@@ -5,8 +5,18 @@ tests use the 8 virtual host devices (SURVEY.md §4.7 distributed testing).
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session env pins JAX_PLATFORMS=axon (the tunneled TPU) and a
+# sitecustomize hook registers the axon PJRT plugin in every interpreter,
+# which stalls CPU-platform JAX init for minutes. Tests must run on host
+# CPU (integer kernels give identical results), so if the axon hook is
+# active, re-exec pytest in a cleaned environment before jax is imported.
+# (Prefer running tests via ./t at the repo root, which strips the axon
+# env up front — jax CPU init takes ~3 min when the axon plugin hook is
+# active, ~5 s without it. Under the plain driver command this conftest
+# still forces the CPU platform; it is just slower to initialize.)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
