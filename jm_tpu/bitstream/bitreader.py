@@ -109,3 +109,25 @@ class BitReader:
             return self.u(n)
         finally:
             self.pos = save
+
+    def peek_pad(self, n: int) -> int:
+        """Peek n bits, zero-padding past the end of the buffer."""
+        pos = self.pos
+        avail = self.nbits - pos
+        if avail >= n:
+            return self.peek(n)
+        if avail <= 0:
+            return 0
+        save = self.pos
+        v = self.u(avail)
+        self.pos = save
+        return v << (n - avail)
+
+    def zeros_until_one(self, limit: int = 32) -> int:
+        """Count and consume leading zero bits up to and including the 1."""
+        n = 0
+        while self.flag() == 0:
+            n += 1
+            if n > limit:
+                raise ValueError("runaway zero run in bitstream")
+        return n

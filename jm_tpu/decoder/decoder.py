@@ -1,0 +1,171 @@
+"""Top-level H.264 decoder: Annex-B in, YUV frames out.
+
+Mirrors the reference's 4-call decoder-library lifecycle
+(ldecod/inc/h264decoder.h:43-47 OpenDecoder/DecodeOneFrame/FinitDecoder/
+CloseDecoder; driver ldecod/src/ldecod.c:1126-1297) as a Python class, with
+the two-phase parse->reconstruct pipeline replacing ldecod's per-MB
+parse+decode loop (ldecod/src/image.c decode_one_frame:809).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..bitstream.nal import NalUnit, NalUnitType, split_annexb
+from ..common.types import SliceType
+from ..ops.deblock import deblock_picture
+from .dpb import DPB, Frame
+from .header import PocContext, parse_slice_header
+from .mb_parse import MBParser, PictureData, SliceContext
+from .parset import parse_pps, parse_sps
+from .recon import Reconstructor
+
+
+@dataclass
+class DecodedFrame:
+    poc: int
+    Y: np.ndarray
+    U: np.ndarray
+    V: np.ndarray
+
+
+class H264Decoder:
+    def __init__(self) -> None:
+        self.sps_map: dict[int, object] = {}
+        self.pps_map: dict[int, object] = {}
+        self.dpb: DPB | None = None
+        self.poc_ctx = PocContext()
+        self._cur = None       # in-flight picture state
+        self._outputs: list[DecodedFrame] = []
+
+    # ------------------------------------------------------------------
+
+    def decode_annexb(self, data: bytes) -> list[DecodedFrame]:
+        """Decode an Annex-B chunk; returns frames completed by THIS call
+        (decode order). Decoder state (SPS/PPS/DPB) persists across calls so
+        a stream may be fed incrementally."""
+        start = len(self._outputs)
+        for nal in split_annexb(data):
+            self._handle_nal(nal)
+        self._finish_picture()
+        return self._outputs[start:]
+
+    # ------------------------------------------------------------------
+
+    def _handle_nal(self, nal: NalUnit) -> None:
+        t = nal.nal_unit_type
+        if t == NalUnitType.SPS:
+            sps = parse_sps(nal.rbsp)
+            self.sps_map[sps.seq_parameter_set_id] = sps
+        elif t == NalUnitType.PPS:
+            pps = parse_pps(nal.rbsp, self.sps_map)
+            self.pps_map[pps.pic_parameter_set_id] = pps
+        elif t in (NalUnitType.SLICE, NalUnitType.IDR):
+            self._handle_slice(nal)
+        elif t in (NalUnitType.SEI, NalUnitType.AUD, NalUnitType.FILLER,
+                   NalUnitType.EOSEQ, NalUnitType.EOSTREAM):
+            pass
+        else:
+            pass  # MVC/aux NALs handled in later phases
+
+    def _handle_slice(self, nal: NalUnit) -> None:
+        hdr, br = parse_slice_header(nal, self.sps_map, self.pps_map)
+        pps = self.pps_map[hdr.pic_parameter_set_id]
+        sps = self.sps_map[pps.seq_parameter_set_id]
+        if pps.entropy_coding_mode_flag:
+            raise NotImplementedError("CABAC slices: phase P3")
+
+        if self.dpb is None or hdr.is_idr and hdr.first_mb_in_slice == 0:
+            if self.dpb is None:
+                self.dpb = DPB(sps)
+
+        if hdr.first_mb_in_slice == 0:
+            self._finish_picture()
+            pic = PictureData(sps.pic_width_in_mbs, sps.frame_height_in_mbs,
+                              sps.chroma_format_idc)
+            poc = self.poc_ctx.compute(hdr, sps)
+            self._cur = {
+                "pic": pic, "sps": sps, "pps": pps, "poc": poc,
+                "headers": [], "slice_params": [], "n_slices": 0,
+            }
+        cur = self._cur
+        pic = cur["pic"]
+
+        # build list0 for this slice
+        if hdr.slice_type == SliceType.P:
+            base = self.dpb.ref_list_p(hdr.frame_num)
+            nact = hdr.num_ref_idx_l0_active_minus1 + 1
+            lst = self.dpb.reorder_list(base, hdr.ref_pic_list_mod_l0,
+                                        hdr.frame_num, nact)
+            if len(lst) < nact:
+                raise ValueError("insufficient reference frames")
+        else:
+            lst = []
+
+        sid = cur["n_slices"]
+        cur["n_slices"] += 1
+        ctx = SliceContext(hdr, sps, pps, sid)
+        parser = MBParser(pic, ctx, br)
+        parser.parse_slice_data()
+        cur["headers"].append((hdr, lst))
+
+        # record per-MB ref uid for deblock strength (after parse, the MBs of
+        # this slice have their ref_idx set)
+        if not hasattr(pic, "ref_pic_id"):
+            pic.ref_pic_id = np.full((pic.n_mbs, 4), -1, np.int64)
+        mask = pic.slice_id == sid
+        if lst:
+            uid = np.array([f.uid for f in lst], np.int64)
+            ridx = pic.ref_idx[mask]
+            pid = np.where(ridx >= 0, uid[np.clip(ridx, 0, len(lst) - 1)], -1)
+            pic.ref_pic_id[mask] = pid
+
+    # ------------------------------------------------------------------
+
+    def _finish_picture(self) -> None:
+        if self._cur is None:
+            return
+        cur, self._cur = self._cur, None
+        pic, sps, pps = cur["pic"], cur["sps"], cur["pps"]
+        hdr0, lst0 = cur["headers"][0]
+
+        rec = Reconstructor(pic, sps, pps, lst0)
+        Y, U, V = rec.run()
+
+        # deblock (per-MB slice params)
+        n = pic.n_mbs
+        disable = np.zeros(n, np.int32)
+        a_off = np.zeros(n, np.int32)
+        b_off = np.zeros(n, np.int32)
+        cb_off = np.full(n, pps.cb_qp_offset, np.int32)
+        cr_off = np.full(n, pps.cr_qp_offset, np.int32)
+        for sid, (hdr, _lst) in enumerate(cur["headers"]):
+            m = pic.slice_id == sid
+            disable[m] = hdr.disable_deblocking_filter_idc
+            a_off[m] = hdr.slice_alpha_c0_offset_div2
+            b_off[m] = hdr.slice_beta_offset_div2
+        if not hasattr(pic, "ref_pic_id"):
+            pic.ref_pic_id = np.full((n, 4), -1, np.int64)
+        deblock_picture(Y, U, V, pic, pic.mb_w, pic.mb_h, pic.qp, {
+            "disable_idc": disable, "alpha_off": a_off, "beta_off": b_off,
+            "cb_qp_off": cb_off, "cr_qp_off": cr_off,
+            "slice_id": pic.slice_id,
+        })
+
+        frame = Frame(poc=cur["poc"], frame_num=hdr0.frame_num,
+                      Y=Y, U=U, V=V, is_ref=hdr0.nal_ref_idc != 0)
+        self.dpb.store(frame,
+                       mmco_ops=(hdr0.mmco_ops
+                                 if hdr0.adaptive_ref_pic_marking_mode_flag
+                                 else None),
+                       idr=hdr0.is_idr,
+                       long_term_flag=hdr0.long_term_reference_flag)
+        self._outputs.append(DecodedFrame(cur["poc"], Y, U, V))
+
+
+def decode_file(path: str) -> list[DecodedFrame]:
+    with open(path, "rb") as f:
+        data = f.read()
+    return H264Decoder().decode_annexb(data)

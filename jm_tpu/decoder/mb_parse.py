@@ -1,0 +1,518 @@
+"""Macroblock-layer parsing for CAVLC slices (spec 7.3.5, 7.4.5, 9.2).
+
+Phase 1 of the two-phase decoder: the serial bitstream parse walks MBs in
+slice order and fills picture-wide SoA numpy arrays (modes, MVs, coeffs,
+nnz); phase 2 (recon) consumes those arrays as batched tensors.
+
+Capability parity with ldecod/src/mb_read.c (read_one_macroblock_i_slice_cavlc
+:1139, read_one_macroblock_p_slice_cavlc:1335, intra pred mode read:91-424,
+skip:765), ldecod/src/read_comp_cavlc.c (read_CBP_and_coeffs_from_NAL) and
+the MV prediction of lcommon/src/mv_prediction.c:192 — new SoA design.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream.bitreader import BitReader
+from ..common.tables import chroma_qp
+from ..common.types import PPS, SPS, SliceHeader, SliceType
+from .cavlc import residual_block_cavlc
+
+# spec Table 9-4: coded_block_pattern mapping, codeNum -> (intra, inter)
+# ChromaArrayType 1/2 (48 entries)
+CBP_MAP_CHROMA = np.array([
+    (47, 0), (31, 16), (15, 1), (0, 2), (23, 4), (27, 8), (29, 32), (30, 3),
+    (7, 5), (11, 10), (13, 12), (14, 15), (39, 47), (43, 7), (45, 11), (46, 13),
+    (16, 14), (3, 6), (5, 9), (10, 31), (12, 35), (19, 37), (21, 42), (26, 44),
+    (28, 33), (35, 34), (37, 36), (42, 40), (44, 39), (1, 43), (2, 45), (4, 46),
+    (8, 17), (17, 18), (18, 20), (20, 24), (24, 19), (6, 21), (9, 26), (22, 28),
+    (25, 23), (32, 27), (33, 29), (34, 30), (36, 22), (40, 25), (38, 38),
+    (41, 41),
+], dtype=np.int32)
+# ChromaArrayType 0/3 (16 entries)
+CBP_MAP_MONO = np.array([
+    (15, 0), (0, 1), (7, 2), (11, 4), (13, 8), (14, 3), (3, 5), (5, 10),
+    (10, 12), (12, 15), (1, 7), (2, 11), (4, 13), (8, 14), (6, 6), (9, 9),
+], dtype=np.int32)
+
+# raster index of 4x4 luma block (by, bx) <-> H.264 coding order (z-scan in MB)
+# coding order: 8x8 quadrants in raster, 4x4 within quadrant in raster.
+CODE2RASTER = np.array([0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15],
+                      dtype=np.int32)
+RASTER2CODE = np.argsort(CODE2RASTER).astype(np.int32)
+
+# MB-type classes
+MB_INTER = 0
+MB_I4 = 1
+MB_I16 = 2
+MB_IPCM = 3
+
+UNAVAIL = -1
+
+
+@dataclass
+class PictureData:
+    """Picture-wide SoA filled by slice parsing, consumed by recon."""
+    mb_w: int
+    mb_h: int
+    chroma_format_idc: int = 1
+
+    def __post_init__(self) -> None:
+        n = self.mb_w * self.mb_h
+        self.n_mbs = n
+        self.mb_class = np.zeros(n, np.int8)            # MB_* class
+        self.skip = np.zeros(n, bool)
+        self.transform8x8 = np.zeros(n, bool)
+        self.i4_modes = np.full((n, 16), -1, np.int8)   # raster block order
+        self.i16_mode = np.full(n, -1, np.int8)
+        self.chroma_mode = np.zeros(n, np.int8)
+        self.cbp = np.zeros(n, np.int32)
+        self.qp = np.zeros(n, np.int32)                 # absolute luma QP
+        self.slice_id = np.full(n, -1, np.int32)
+        # residuals, scan order (inverse-scanned on device):
+        self.luma_coef = np.zeros((n, 16, 16), np.int32)   # [mb][raster blk][scan]
+        self.luma_dc = np.zeros((n, 16), np.int32)         # i16 DC, zigzag scan
+        self.chroma_dc = np.zeros((n, 2, 4), np.int32)     # 4:2:0
+        self.chroma_coef = np.zeros((n, 2, 4, 16), np.int32)  # AC in [1..15]
+        self.luma_coef8 = np.zeros((n, 4, 64), np.int32)   # 8x8 transform MBs
+        # nnz per 4x4 block (raster in MB), for nC pred + deblock bS
+        self.luma_nnz = np.zeros((n, 16), np.int32)
+        self.chroma_nnz = np.zeros((n, 2, 4), np.int32)
+        # inter motion: final MVs quarter-pel, per 4x4 raster block
+        self.mv = np.zeros((n, 16, 2), np.int32)
+        self.ref_idx = np.full((n, 4), -1, np.int8)        # per 8x8, -1 intra
+        # IPCM raw samples
+        self.ipcm_luma = {}
+        self.ipcm_chroma = {}
+
+    # -- neighbor helpers (same-slice availability) -------------------------
+
+    def mb_avail(self, addr: int, cur_addr: int) -> bool:
+        return 0 <= addr < self.n_mbs and self.slice_id[addr] == self.slice_id[cur_addr]
+
+
+@dataclass
+class SliceContext:
+    header: SliceHeader
+    sps: SPS
+    pps: PPS
+    slice_id: int
+    qp: int = 0
+
+    def __post_init__(self) -> None:
+        self.qp = self.header.qp(self.pps)
+
+
+class MBParser:
+    """Serial CAVLC slice-data parser filling a PictureData."""
+
+    def __init__(self, pic: PictureData, ctx: SliceContext, br: BitReader):
+        self.pic = pic
+        self.ctx = ctx
+        self.br = br
+        self.mb_w = pic.mb_w
+        self.qp = ctx.qp
+
+    # ---- neighbor derivation ---------------------------------------------
+
+    def _left_addr(self, addr: int) -> int:
+        return addr - 1 if addr % self.mb_w else -1
+
+    def _up_addr(self, addr: int) -> int:
+        return addr - self.mb_w
+
+    def _avail(self, addr: int, cur: int) -> bool:
+        return addr >= 0 and self.pic.mb_avail(addr, cur)
+
+    # nC for luma 4x4 block `blk` (raster index) of MB `addr` (spec 9.2.1)
+    def _nc_luma(self, addr: int, blk: int) -> int:
+        by, bx = divmod(blk, 4)
+        # neighbor A (left)
+        if bx > 0:
+            a_addr, a_blk = addr, blk - 1
+            avail_a = True
+        else:
+            a_addr, a_blk = self._left_addr(addr), blk + 3
+            avail_a = self._avail(a_addr, addr)
+        if by > 0:
+            b_addr, b_blk = addr, blk - 4
+            avail_b = True
+        else:
+            b_addr, b_blk = self._up_addr(addr), blk + 12
+            avail_b = self._avail(b_addr, addr)
+        return self._combine_nc(
+            (self.pic.luma_nnz[a_addr, a_blk], avail_a),
+            (self.pic.luma_nnz[b_addr, b_blk], avail_b))
+
+    def _nc_chroma(self, addr: int, comp: int, blk: int) -> int:
+        by, bx = divmod(blk, 2)
+        if bx > 0:
+            a_addr, a_blk = addr, blk - 1
+            avail_a = True
+        else:
+            a_addr, a_blk = self._left_addr(addr), blk + 1
+            avail_a = self._avail(a_addr, addr)
+        if by > 0:
+            b_addr, b_blk = addr, blk - 2
+            avail_b = True
+        else:
+            b_addr, b_blk = self._up_addr(addr), blk + 2
+            avail_b = self._avail(b_addr, addr)
+        return self._combine_nc(
+            (self.pic.chroma_nnz[a_addr, comp, a_blk], avail_a),
+            (self.pic.chroma_nnz[b_addr, comp, b_blk], avail_b))
+
+    @staticmethod
+    def _combine_nc(a, b) -> int:
+        (na, avail_a), (nb, avail_b) = a, b
+        if avail_a and avail_b:
+            return (int(na) + int(nb) + 1) >> 1
+        if avail_a:
+            return int(na)
+        if avail_b:
+            return int(nb)
+        return 0
+
+    # ---- intra pred mode prediction (spec 8.3.1.1) ------------------------
+
+    def _pred_intra4_mode(self, addr: int, blk: int) -> int:
+        pic = self.pic
+        by, bx = divmod(blk, 4)
+        if bx > 0:
+            ma = pic.i4_modes[addr, blk - 1]
+            avail_a = True
+        else:
+            a_addr = self._left_addr(addr)
+            avail_a = self._avail(a_addr, addr)
+            ma = pic.i4_modes[a_addr, blk + 3] if avail_a else -1
+            if avail_a and pic.mb_class[a_addr] not in (MB_I4,):
+                ma = 2  # non-I4x4 neighbor counts as DC
+        if by > 0:
+            mb = pic.i4_modes[addr, blk - 4]
+            avail_b = True
+        else:
+            b_addr = self._up_addr(addr)
+            avail_b = self._avail(b_addr, addr)
+            mb = pic.i4_modes[b_addr, blk + 12] if avail_b else -1
+            if avail_b and pic.mb_class[b_addr] not in (MB_I4,):
+                mb = 2
+        if not avail_a or not avail_b:
+            return 2  # DC when any neighbor unavailable
+        return int(min(ma, mb))
+
+    # ---- MV prediction (spec 8.4.1.3) -------------------------------------
+
+    def _mv_neighbor(self, addr: int, bx: int, by: int, cur_blk: int = 0):
+        """Return (mv, ref) of the 4x4 block covering block coords (bx, by)
+        relative to the current MB origin (may resolve into neighbor MBs),
+        or None if unavailable. Intra neighbors return (0, ref=-1) —
+        "available with no motion" per spec 8.4.1.3.2.
+
+        cur_blk: raster index of the current partition's first 4x4 block,
+        used for the within-MB decoded-yet check on neighbor C.
+        """
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        gx, gy = mbx * 4 + bx, mby * 4 + by
+        if gx < 0 or gy < 0 or gx >= self.mb_w * 4:
+            return None
+        naddr = (gy // 4) * self.mb_w + (gx // 4)
+        nblk = (gy % 4) * 4 + (gx % 4)
+        if naddr == addr:
+            # within current MB: available iff already decoded in z-order
+            if RASTER2CODE[nblk] >= RASTER2CODE[cur_blk]:
+                return None
+        else:
+            if naddr > addr or not self._avail(naddr, addr):
+                return None
+        q = (nblk // 8) * 2 + ((nblk % 4) // 2)
+        ref = int(pic.ref_idx[naddr, q])
+        if ref < 0:
+            return (np.zeros(2, np.int32), -1)
+        return (pic.mv[naddr, nblk].copy(), ref)
+
+    def _mv_pred(self, addr: int, bx: int, by: int, bw: int, bh: int,
+                 ref: int) -> np.ndarray:
+        """Median MV predictor for a partition at block coords (bx, by) of
+        size (bw, bh) in 4x4 units, for reference index `ref`."""
+        cur = by * 4 + bx
+        a = self._mv_neighbor(addr, bx - 1, by, cur)
+        b = self._mv_neighbor(addr, bx, by - 1, cur)
+        c = self._mv_neighbor(addr, bx + bw, by - 1, cur)
+        if c is None:
+            c = self._mv_neighbor(addr, bx - 1, by - 1, cur)  # fallback to D
+
+        # directional rules for 16x8 / 8x16
+        if bw == 4 and bh == 2:  # 16x8
+            if by == 0 and b is not None and b[1] == ref:
+                return b[0].copy()
+            if by == 2 and a is not None and a[1] == ref:
+                return a[0].copy()
+        elif bw == 2 and bh == 4:  # 8x16
+            if bx == 0 and a is not None and a[1] == ref:
+                return a[0].copy()
+            if bx == 2 and c is not None and c[1] == ref:
+                return c[0].copy()
+
+        mva = a[0] if a is not None else np.zeros(2, np.int32)
+        mvb = b[0] if b is not None else np.zeros(2, np.int32)
+        mvc = c[0] if c is not None else np.zeros(2, np.int32)
+        refa = a[1] if a is not None else UNAVAIL
+        refb = b[1] if b is not None else UNAVAIL
+        refc = c[1] if c is not None else UNAVAIL
+
+        # if only A valid and B, C unavailable (not just intra) -> A
+        if a is not None and b is None and c is None:
+            return mva.copy()
+
+        match = [r == ref for r in (refa, refb, refc)]
+        if sum(match) == 1:
+            return (mva, mvb, mvc)[match.index(True)].copy()
+        stack = np.stack([mva, mvb, mvc])
+        return np.median(stack, axis=0).astype(np.int32)
+
+    # ---- residual reading -------------------------------------------------
+
+    def _read_luma_residual(self, addr: int, cbp: int, is_i16: bool) -> None:
+        pic, br = self.pic, self.br
+        if is_i16:
+            nc = self._nc_luma(addr, 0)
+            coeffs, _tc = residual_block_cavlc(br, nc, 16)
+            pic.luma_dc[addr] = coeffs
+        for blk8 in range(4):
+            if not (cbp & (1 << blk8)):
+                continue
+            for sub in range(4):
+                code_idx = blk8 * 4 + sub
+                blk = int(CODE2RASTER[code_idx])
+                nc = self._nc_luma(addr, blk)
+                if is_i16:
+                    out = np.zeros(16, np.int32)
+                    ac, tc = residual_block_cavlc(br, nc, 15)
+                    out[1:16] = ac
+                else:
+                    out, tc = residual_block_cavlc(br, nc, 16)
+                pic.luma_coef[addr, blk] = out
+                pic.luma_nnz[addr, blk] = tc
+
+    def _read_chroma_residual(self, addr: int, cbp: int, intra: bool) -> None:
+        pic, br = self.pic, self.br
+        cbp_chroma = cbp >> 4
+        if cbp_chroma & 3:
+            for comp in range(2):
+                coeffs, _tc = residual_block_cavlc(br, -1, 4)
+                pic.chroma_dc[addr, comp] = coeffs
+        if cbp_chroma & 2:
+            for comp in range(2):
+                for blk in range(4):
+                    nc = self._nc_chroma(addr, comp, blk)
+                    ac, tc = residual_block_cavlc(br, nc, 15)
+                    out = np.zeros(16, np.int32)
+                    out[1:16] = ac
+                    pic.chroma_coef[addr, comp, blk] = out
+                    pic.chroma_nnz[addr, comp, blk] = tc
+
+    # ---- intra MB ---------------------------------------------------------
+
+    def _parse_intra_mb(self, addr: int, imb_type: int) -> None:
+        """imb_type: 0 = I_NxN, 1..24 = I_16x16, 25 = I_PCM."""
+        pic, br = self.pic, self.br
+        pps = self.ctx.pps
+        if imb_type == 25:
+            self._parse_ipcm(addr)
+            return
+        if imb_type == 0:
+            pic.mb_class[addr] = MB_I4
+            if pps.transform_8x8_mode_flag:
+                pic.transform8x8[addr] = bool(br.flag())
+                if pic.transform8x8[addr]:
+                    raise NotImplementedError("I_8x8 parse TODO")
+            for code_idx in range(16):
+                blk = int(CODE2RASTER[code_idx])
+                pred = self._pred_intra4_mode(addr, blk)
+                if br.flag():  # prev_intra4x4_pred_mode_flag
+                    mode = pred
+                else:
+                    rem = br.u(3)
+                    mode = rem if rem < pred else rem + 1
+                pic.i4_modes[addr, blk] = mode
+            if self.ctx.sps.chroma_format_idc in (1, 2):
+                pic.chroma_mode[addr] = br.ue()
+            cbp_code = br.ue()
+            cbp_tab = (CBP_MAP_CHROMA if self.ctx.sps.chroma_format_idc in (1, 2)
+                       else CBP_MAP_MONO)
+            cbp = int(cbp_tab[cbp_code][0])
+            pic.cbp[addr] = cbp
+            if cbp:
+                self._read_qp_delta(addr)
+            else:
+                pic.qp[addr] = self.qp
+            self._read_luma_residual(addr, cbp, is_i16=False)
+            self._read_chroma_residual(addr, cbp, intra=True)
+        else:
+            pic.mb_class[addr] = MB_I16
+            k = imb_type - 1
+            pic.i16_mode[addr] = k % 4
+            cbp = ((k // 4) % 3) << 4 | (15 if k >= 12 else 0)
+            pic.cbp[addr] = cbp
+            if self.ctx.sps.chroma_format_idc in (1, 2):
+                pic.chroma_mode[addr] = br.ue()
+            self._read_qp_delta(addr)
+            self._read_luma_residual(addr, cbp & 15, is_i16=True)
+            self._read_chroma_residual(addr, cbp, intra=True)
+
+    def _parse_ipcm(self, addr: int) -> None:
+        pic, br = self.pic, self.br
+        pic.mb_class[addr] = MB_IPCM
+        br.align()
+        luma = np.array([br.u(8) for _ in range(256)],
+                        np.uint8).reshape(16, 16)
+        cf = self.ctx.sps.chroma_format_idc
+        if cf == 1:
+            chroma = np.array([br.u(8) for _ in range(128)],
+                              np.uint8).reshape(2, 8, 8)
+        elif cf == 0:
+            chroma = None
+        else:
+            raise NotImplementedError("IPCM for 4:2:2/4:4:4 TODO")
+        pic.ipcm_luma[addr] = luma
+        pic.ipcm_chroma[addr] = chroma
+        pic.qp[addr] = self.qp
+        # PCM MBs count as 16 nnz for nC prediction and bS
+        pic.luma_nnz[addr] = 16
+        pic.chroma_nnz[addr] = 16
+
+    def _read_qp_delta(self, addr: int) -> None:
+        dq = self.br.se()
+        if not -27 <= dq <= 26:
+            raise ValueError(f"mb_qp_delta {dq} out of range")
+        self.qp = (self.qp + dq + 52) % 52  # spec 7.4.5: modular wrap
+        self.pic.qp[addr] = self.qp
+
+    # ---- inter MB (P slices) ---------------------------------------------
+
+    def _parse_p_mb(self, addr: int, mb_type: int) -> None:
+        pic, br = self.pic, self.br
+        h = self.ctx.header
+        nref = h.num_ref_idx_l0_active_minus1 + 1
+        pic.mb_class[addr] = MB_INTER
+
+        if mb_type in (0, 1, 2):
+            parts = {
+                0: [(0, 0, 4, 4)],
+                1: [(0, 0, 4, 2), (0, 2, 4, 2)],
+                2: [(0, 0, 2, 4), (2, 0, 2, 4)],
+            }[mb_type]
+            refs = []
+            for _ in parts:
+                refs.append(br.te(nref - 1) if nref > 1 else 0)
+            for (bx, by, bw, bh), ref in zip(parts, refs):
+                for yy in range(by, by + bh):
+                    for xx in range(bx, bx + bw):
+                        q = (yy // 2) * 2 + (xx // 2)
+                        pic.ref_idx[addr, q] = ref
+            for (bx, by, bw, bh), ref in zip(parts, refs):
+                mvd = np.array([br.se(), br.se()], np.int32)
+                pred = self._mv_pred(addr, bx, by, bw, bh, ref)
+                mv = pred + mvd
+                for yy in range(by, by + bh):
+                    for xx in range(bx, bx + bw):
+                        pic.mv[addr, yy * 4 + xx] = mv
+        elif mb_type in (3, 4):
+            sub_types = [br.ue() for _ in range(4)]
+            if any(t > 3 for t in sub_types):
+                raise ValueError("invalid sub_mb_type")
+            refs = [0, 0, 0, 0]
+            if mb_type == 3 and nref > 1:
+                refs = [br.te(nref - 1) for _ in range(4)]
+            for q, r in enumerate(refs):
+                pic.ref_idx[addr, q] = r
+            for q in range(4):
+                qx, qy = (q % 2) * 2, (q // 2) * 2
+                st = sub_types[q]
+                subparts = {
+                    0: [(0, 0, 2, 2)],
+                    1: [(0, 0, 2, 1), (0, 1, 2, 1)],
+                    2: [(0, 0, 1, 2), (1, 0, 1, 2)],
+                    3: [(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)],
+                }[st]
+                for (sx, sy, sw, sh) in subparts:
+                    bx, by = qx + sx, qy + sy
+                    mvd = np.array([br.se(), br.se()], np.int32)
+                    pred = self._mv_pred(addr, bx, by, sw, sh, refs[q])
+                    mv = pred + mvd
+                    for yy in range(by, by + sh):
+                        for xx in range(bx, bx + sw):
+                            pic.mv[addr, yy * 4 + xx] = mv
+        else:
+            self._parse_intra_mb(addr, mb_type - 5)
+            return
+
+        cbp_code = br.ue()
+        cbp_tab = (CBP_MAP_CHROMA if self.ctx.sps.chroma_format_idc in (1, 2)
+                   else CBP_MAP_MONO)
+        cbp = int(cbp_tab[cbp_code][1])
+        pic.cbp[addr] = cbp
+        if cbp:
+            self._read_qp_delta(addr)
+        else:
+            pic.qp[addr] = self.qp
+        self._read_luma_residual(addr, cbp & 15, is_i16=False)
+        self._read_chroma_residual(addr, cbp, intra=False)
+
+    def _parse_p_skip(self, addr: int) -> None:
+        """P_Skip MV derivation (spec 8.4.1.1)."""
+        pic = self.pic
+        pic.mb_class[addr] = MB_INTER
+        pic.skip[addr] = True
+        pic.ref_idx[addr] = 0
+        pic.qp[addr] = self.qp
+        a = self._mv_neighbor(addr, -1, 0)
+        b = self._mv_neighbor(addr, 0, -1)
+        if (a is None or b is None or
+                (a[1] == 0 and a[0][0] == 0 and a[0][1] == 0) or
+                (b[1] == 0 and b[0][0] == 0 and b[0][1] == 0)):
+            mv = np.zeros(2, np.int32)
+        else:
+            mv = self._mv_pred(addr, 0, 0, 4, 4, 0)
+        pic.mv[addr] = mv
+
+    # ---- slice loop -------------------------------------------------------
+
+    def parse_slice_data(self) -> None:
+        h = self.ctx.header
+        pic, br = self.pic, self.br
+        addr = h.first_mb_in_slice
+        stype = h.slice_type
+        n = pic.n_mbs
+
+        if stype == SliceType.I:
+            while True:
+                pic.slice_id[addr] = self.ctx.slice_id
+                mb_type = br.ue()
+                self._parse_intra_mb(addr, mb_type)
+                addr += 1
+                if addr >= n or not br.more_rbsp_data():
+                    break
+        elif stype == SliceType.P:
+            while addr < n:
+                skip_run = br.ue()
+                for _ in range(skip_run):
+                    if addr >= n:
+                        raise ValueError("mb_skip_run past end of picture")
+                    pic.slice_id[addr] = self.ctx.slice_id
+                    self._parse_p_skip(addr)
+                    addr += 1
+                if addr >= n or not br.more_rbsp_data():
+                    break
+                pic.slice_id[addr] = self.ctx.slice_id
+                mb_type = br.ue()
+                self._parse_p_mb(addr, mb_type)
+                addr += 1
+                if not br.more_rbsp_data():
+                    break
+        else:
+            raise NotImplementedError(f"slice type {stype} parse TODO")

@@ -1,0 +1,281 @@
+"""Phase-2 decoder reconstruction: batched residual decode + MB recon.
+
+Residual decode (inverse scan -> dequant -> inverse transform) is fully
+batched numpy/jnp over all MBs of the picture. The pixel reconstruction
+walks MBs serially on the host in this reference path (intra prediction and
+MC); the device wavefront twin is validated against it.
+
+Capability parity with ldecod/src/macroblock.c decode_one_macroblock:1402,
+mb_prediction.c, block.c (itrans4x4/itrans_2) — new SoA design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..common.tables import ZIGZAG_4x4, chroma_qp
+from ..ops import intra as I
+from ..ops import interp as P
+from ..ops.quant import (FLAT_INV_SCALE_4x4, rshift_rnd_sf)
+from .mb_parse import MB_I4, MB_I16, MB_INTER, MB_IPCM, PictureData
+
+_ZZ = np.asarray(ZIGZAG_4x4)
+
+
+def _inv_scan_4x4(coef_scan: np.ndarray) -> np.ndarray:
+    """(..., 16) scan order -> (..., 4, 4) raster."""
+    out = np.zeros_like(coef_scan)
+    out[..., _ZZ] = coef_scan
+    return out.reshape(*coef_scan.shape[:-1], 4, 4)
+
+
+def _np_dequant_4x4(coef, qp, tab=None):
+    tab = FLAT_INV_SCALE_4x4 if tab is None else tab
+    scale = tab[qp]                      # (..., 4, 4)
+    per = (qp // 6)[..., None, None]
+    return rshift_rnd_sf((coef.astype(np.int64) * scale) << per, 4).astype(np.int32)
+
+
+def _np_inv4(d):
+    """Batched spec inverse 4x4 (no rounding); d: (..., 4, 4) int."""
+    d = d.astype(np.int64)
+    e0 = d[..., :, 0] + d[..., :, 2]
+    e1 = d[..., :, 0] - d[..., :, 2]
+    e2 = (d[..., :, 1] >> 1) - d[..., :, 3]
+    e3 = d[..., :, 1] + (d[..., :, 3] >> 1)
+    f = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
+    g0 = f[..., 0, :] + f[..., 2, :]
+    g1 = f[..., 0, :] - f[..., 2, :]
+    g2 = (f[..., 1, :] >> 1) - f[..., 3, :]
+    g3 = f[..., 1, :] + (f[..., 3, :] >> 1)
+    return np.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=-2)
+
+
+def _np_hadamard4(d):
+    d = d.astype(np.int64)
+    a0 = d[..., :, 0] + d[..., :, 2]
+    a1 = d[..., :, 0] - d[..., :, 2]
+    a2 = d[..., :, 1] - d[..., :, 3]
+    a3 = d[..., :, 1] + d[..., :, 3]
+    f = np.stack([a0 + a3, a1 + a2, a1 - a2, a0 - a3], axis=-1)
+    b0 = f[..., 0, :] + f[..., 2, :]
+    b1 = f[..., 0, :] - f[..., 2, :]
+    b2 = f[..., 1, :] - f[..., 3, :]
+    b3 = f[..., 1, :] + f[..., 3, :]
+    return np.stack([b0 + b3, b1 + b2, b1 - b2, b0 - b3], axis=-2)
+
+
+def decode_residuals(pic: PictureData, cb_qp_off: int, cr_qp_off: int):
+    """Returns (res_luma (n,16,4,4), res_chroma (n,2,4,4,4)) int32 spatial
+    residuals, ready to add to prediction."""
+    n = pic.n_mbs
+    qp = pic.qp.astype(np.int64)
+
+    # ---- luma AC / 4x4 ----
+    raster = _inv_scan_4x4(pic.luma_coef)          # (n, 16, 4, 4)
+    deq = _np_dequant_4x4(raster, qp[:, None])
+    # Intra16x16: DC path
+    i16 = pic.mb_class == MB_I16
+    if i16.any():
+        dc_r = _inv_scan_4x4(pic.luma_dc)          # (n, 4, 4)
+        dc_t = _np_hadamard4(dc_r)
+        scale = FLAT_INV_SCALE_4x4[qp, 0, 0][:, None, None].astype(np.int64)
+        per = (qp // 6)[:, None, None]
+        dc_s = rshift_rnd_sf((dc_t * scale) << per, 6).astype(np.int32)
+        # scatter into per-block [0, 0]
+        blk = np.arange(16)
+        by, bx = blk // 4, blk % 4
+        deq_dc = deq.copy()
+        deq_dc[:, blk, 0, 0] = dc_s[:, by, bx]
+        deq = np.where(i16[:, None, None, None], deq_dc, deq)
+    res_luma = ((_np_inv4(deq) + 32) >> 6).astype(np.int32)
+
+    # ---- chroma ----
+    qpc_cb = np.array([chroma_qp(int(q), cb_qp_off) for q in pic.qp], np.int64)
+    qpc_cr = np.array([chroma_qp(int(q), cr_qp_off) for q in pic.qp], np.int64)
+    qpc = np.stack([qpc_cb, qpc_cr], axis=1)       # (n, 2)
+    c_raster = _inv_scan_4x4(pic.chroma_coef)      # (n, 2, 4, 4, 4)
+    c_deq = _np_dequant_4x4(c_raster, qpc[:, :, None])
+    # chroma DC: 2x2 hadamard + scale
+    dc = pic.chroma_dc.reshape(n, 2, 2, 2).astype(np.int64)
+    a, b = dc[..., 0, 0], dc[..., 0, 1]
+    c, d = dc[..., 1, 0], dc[..., 1, 1]
+    f = np.stack([
+        np.stack([a + b + c + d, a - b + c - d], axis=-1),
+        np.stack([a + b - c - d, a - b - c + d], axis=-1)], axis=-2)
+    scale = FLAT_INV_SCALE_4x4[qpc, 0, 0][..., None, None].astype(np.int64)
+    per = (qpc // 6)[..., None, None]
+    dc_s = (((f * scale) << per) >> 5).astype(np.int32)
+    blk = np.arange(4)
+    c_deq[:, :, blk, 0, 0] = dc_s[:, :, blk // 2, blk % 2]
+    res_chroma = ((_np_inv4(c_deq) + 32) >> 6).astype(np.int32)
+    return res_luma, res_chroma
+
+
+class Reconstructor:
+    """Host-side reference reconstruction of one picture."""
+
+    def __init__(self, pic: PictureData, sps, pps, ref_frames):
+        """ref_frames: list (ref_idx order, list0) of DPB Frame objects with
+        .luma_planes (INT,B,H,J) and .chroma_pad (U, V) padded planes."""
+        self.pic = pic
+        self.sps = sps
+        self.pps = pps
+        self.refs = ref_frames
+        self.mb_w = pic.mb_w
+        self.mb_h = pic.mb_h
+        self.w = self.mb_w * 16
+        self.h = self.mb_h * 16
+        self.Y = np.zeros((self.h, self.w), np.uint8)
+        self.U = np.zeros((self.h // 2, self.w // 2), np.uint8)
+        self.V = np.zeros((self.h // 2, self.w // 2), np.uint8)
+
+    # ---- availability ----------------------------------------------------
+
+    def _mb_avail(self, naddr: int, addr: int) -> bool:
+        if naddr < 0 or naddr >= self.pic.n_mbs:
+            return False
+        return self.pic.slice_id[naddr] == self.pic.slice_id[addr]
+
+    def _block_avail(self, addr, gbx, gby, cur_code) -> bool:
+        """Availability of 4x4 luma block at global block coords for intra
+        prediction from the current block (z-order aware)."""
+        if gbx < 0 or gby < 0 or gbx >= self.mb_w * 4:
+            return False
+        naddr = (gby // 4) * self.mb_w + (gbx // 4)
+        mbx, mby = gbx // 4, gby // 4
+        addr_mbx, addr_mby = addr % self.mb_w, addr // self.mb_w
+        if naddr == addr:
+            from .mb_parse import RASTER2CODE
+            nblk = (gby % 4) * 4 + (gbx % 4)
+            return RASTER2CODE[nblk] < cur_code
+        if naddr > addr:
+            return False
+        return self._mb_avail(naddr, addr)
+
+    # ---- reconstruction ---------------------------------------------------
+
+    def run(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        pic = self.pic
+        res_l, res_c = decode_residuals(
+            pic, self.pps.cb_qp_offset, self.pps.cr_qp_offset)
+        from .mb_parse import CODE2RASTER
+        for addr in range(pic.n_mbs):
+            cls = pic.mb_class[addr]
+            if cls == MB_INTER:
+                self._recon_inter(addr, res_l, res_c)
+            elif cls == MB_I16:
+                self._recon_i16(addr, res_l, res_c)
+            elif cls == MB_I4:
+                self._recon_i4(addr, res_l, res_c, CODE2RASTER)
+            elif cls == MB_IPCM:
+                self._recon_ipcm(addr)
+        return self.Y, self.U, self.V
+
+    # -- intra 4x4 ---------------------------------------------------------
+
+    def _recon_i4(self, addr, res_l, res_c, code2raster):
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        px, py = mbx * 16, mby * 16
+        Y = self.Y
+        for code in range(16):
+            blk = int(code2raster[code])
+            by, bx = divmod(blk, 4)
+            gx, gy = mbx * 4 + bx, mby * 4 + by
+            x, y = gx * 4, gy * 4
+            avail_l = self._block_avail(addr, gx - 1, gy, code)
+            avail_t = self._block_avail(addr, gx, gy - 1, code)
+            avail_tl = self._block_avail(addr, gx - 1, gy - 1, code)
+            avail_tr = self._block_avail(addr, gx + 1, gy - 1, code)
+            top = np.zeros(8, np.int32)
+            left = np.zeros(4, np.int32)
+            corner = 0
+            if avail_t:
+                top[0:4] = Y[y - 1, x:x + 4]
+                if avail_tr:
+                    top[4:8] = Y[y - 1, x + 4:x + 8]
+                else:
+                    top[4:8] = Y[y - 1, x + 3]
+            if avail_l:
+                left[:] = Y[y:y + 4, x - 1]
+            if avail_tl:
+                corner = int(Y[y - 1, x - 1])
+            pred = I.predict_i4(int(pic.i4_modes[addr, blk]), top, left,
+                                corner, avail_t, avail_l)
+            Y[y:y + 4, x:x + 4] = np.clip(pred + res_l[addr, blk], 0, 255)
+        self._recon_chroma_intra(addr, res_c)
+
+    def _recon_i16(self, addr, res_l, res_c):
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        px, py = mbx * 16, mby * 16
+        Y = self.Y
+        avail_l = self._mb_avail(addr - 1, addr) if mbx > 0 else False
+        avail_t = self._mb_avail(addr - self.mb_w, addr)
+        avail_tl = (mbx > 0) and self._mb_avail(addr - self.mb_w - 1, addr)
+        top = Y[py - 1, px:px + 16].astype(np.int32) if avail_t else np.zeros(16, np.int32)
+        left = Y[py:py + 16, px - 1].astype(np.int32) if avail_l else np.zeros(16, np.int32)
+        corner = int(Y[py - 1, px - 1]) if avail_tl else 0
+        pred = I.predict_i16(int(pic.i16_mode[addr]), top, left, corner,
+                             avail_t, avail_l)
+        res = res_l[addr].reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+        Y[py:py + 16, px:px + 16] = np.clip(pred + res, 0, 255)
+        self._recon_chroma_intra(addr, res_c)
+
+    def _recon_chroma_intra(self, addr, res_c):
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        cx, cy = mbx * 8, mby * 8
+        avail_l = self._mb_avail(addr - 1, addr) if mbx > 0 else False
+        avail_t = self._mb_avail(addr - self.mb_w, addr)
+        avail_tl = (mbx > 0) and self._mb_avail(addr - self.mb_w - 1, addr)
+        mode = int(pic.chroma_mode[addr])
+        for comp, plane in ((0, self.U), (1, self.V)):
+            top = plane[cy - 1, cx:cx + 8].astype(np.int32) if avail_t else np.zeros(8, np.int32)
+            left = plane[cy:cy + 8, cx - 1].astype(np.int32) if avail_l else np.zeros(8, np.int32)
+            corner = int(plane[cy - 1, cx - 1]) if avail_tl else 0
+            pred = I.predict_chroma(mode, top, left, corner, avail_t, avail_l)
+            res = res_c[addr, comp].reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
+            plane[cy:cy + 8, cx:cx + 8] = np.clip(pred + res, 0, 255)
+
+    # -- inter -------------------------------------------------------------
+
+    def _recon_inter(self, addr, res_l, res_c):
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        px, py = mbx * 16, mby * 16
+        pred_y = np.zeros((16, 16), np.int32)
+        pred_u = np.zeros((8, 8), np.int32)
+        pred_v = np.zeros((8, 8), np.int32)
+        for blk in range(16):
+            by, bx = divmod(blk, 4)
+            q = (by // 2) * 2 + (bx // 2)
+            ref = self.refs[pic.ref_idx[addr, q]]
+            mvx, mvy = int(pic.mv[addr, blk, 0]), int(pic.mv[addr, blk, 1])
+            x4 = (px + bx * 4) * 4 + mvx
+            y4 = (py + by * 4) * 4 + mvy
+            pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = P.mc_luma_block(
+                ref.luma_planes, x4, y4, 4, 4, self.w, self.h)
+            # chroma: eighth-pel, block 2x2
+            cx8 = (px // 2 + bx * 2) * 8 + mvx
+            cy8 = (py // 2 + by * 2) * 8 + mvy
+            pred_u[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = P.mc_chroma_block(
+                ref.chroma_pad[0], cx8, cy8, 2, 2, self.w // 2, self.h // 2)
+            pred_v[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = P.mc_chroma_block(
+                ref.chroma_pad[1], cx8, cy8, 2, 2, self.w // 2, self.h // 2)
+        res = res_l[addr].reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+        self.Y[py:py + 16, px:px + 16] = np.clip(pred_y + res, 0, 255)
+        for comp, plane, pr in ((0, self.U, pred_u), (1, self.V, pred_v)):
+            resc = res_c[addr, comp].reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
+            cx, cy = mbx * 8, mby * 8
+            plane[cy:cy + 8, cx:cx + 8] = np.clip(pr + resc, 0, 255)
+
+    def _recon_ipcm(self, addr):
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        self.Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16] = pic.ipcm_luma[addr]
+        ch = pic.ipcm_chroma[addr]
+        if ch is not None:
+            self.U[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = ch[0]
+            self.V[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = ch[1]

@@ -1,0 +1,261 @@
+"""In-loop deblocking filter (spec 8.7).
+
+Host numpy reference implementation, bit-exact; the batched wavefront device
+kernel (ops/deblock_jax) is validated against it. Capability parity with
+ldecod/src/loop_filter_normal.c (GetStrengthNormal:52ff, EdgeLoopLumaVer:301,
+EdgeLoopLumaHor, chroma twins) and the encoder copy lencod/src/loopFilter.c
+— new implementation.
+
+Strength derivation here covers frame-coded P/I slices with list-0 motion
+(B-slice two-list strength rules land with B support).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..common.tables import ALPHA_TABLE, BETA_TABLE, TC0_TABLE, chroma_qp
+
+
+def clip3(lo, hi, x):
+    return np.minimum(hi, np.maximum(lo, x))
+
+
+def compute_bs(pic, mb_w: int, mb_h: int):
+    """Boundary strengths for vertical and horizontal 4x4-block edges.
+
+    Returns (bs_v, bs_h), each (4*mb_h, 4*mb_w) int8; bs_v[y, x] is the
+    strength of the vertical edge at the LEFT side of 4x4 block (y, x);
+    column x=0 entries refer to the picture edge and are unused.
+    """
+    H, W = 4 * mb_h, 4 * mb_w
+    # per-4x4-block fields in global block coords
+    intra = np.zeros((H, W), bool)
+    nnz = np.zeros((H, W), np.int32)
+    mv = np.zeros((H, W, 2), np.int32)
+    ref = np.zeros((H, W), np.int32)
+
+    mc = pic.mb_class.reshape(mb_h, mb_w)
+    intra_mb = mc != 0
+    intra = np.repeat(np.repeat(intra_mb, 4, 0), 4, 1)
+
+    nnz = pic.luma_nnz.reshape(mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3).reshape(H, W)
+    mv = pic.mv.reshape(mb_h, mb_w, 4, 4, 2).transpose(0, 2, 1, 3, 4).reshape(H, W, 2)
+    ref8 = pic.ref_pic_id if hasattr(pic, "ref_pic_id") else pic.ref_idx.astype(np.int32)
+    ref = np.repeat(np.repeat(
+        ref8.reshape(mb_h, mb_w, 2, 2).transpose(0, 2, 1, 3).reshape(2 * mb_h, 2 * mb_w),
+        2, 0), 2, 1)
+
+    def edge_bs(p_sel, q_sel, is_mb_edge):
+        """p/q: tuples of sliced arrays (intra, nnz, mv, ref)."""
+        ip, nn_p, mv_p, rf_p = p_sel
+        iq, nn_q, mv_q, rf_q = q_sel
+        bs = np.zeros(ip.shape, np.int8)
+        either_intra = ip | iq
+        bs[either_intra & is_mb_edge] = 4
+        bs[either_intra & ~is_mb_edge] = 3
+        coef = (nn_p > 0) | (nn_q > 0)
+        mvd = (np.abs(mv_p - mv_q) >= 4).any(axis=-1)
+        refd = rf_p != rf_q
+        rest = ~either_intra
+        bs[rest & coef] = 2
+        bs[rest & ~coef & (mvd | refd)] = 1
+        return bs
+
+    bs_v = np.zeros((H, W), np.int8)
+    sel_p = (intra[:, :-1], nnz[:, :-1], mv[:, :-1], ref[:, :-1])
+    sel_q = (intra[:, 1:], nnz[:, 1:], mv[:, 1:], ref[:, 1:])
+    is_mb_v = np.zeros((H, W - 1), bool)
+    is_mb_v[:, 3::4] = True  # edge left of block x where x%4==0
+    bs_v[:, 1:] = edge_bs(sel_p, sel_q, is_mb_v)
+
+    bs_h = np.zeros((H, W), np.int8)
+    sel_p = (intra[:-1, :], nnz[:-1, :], mv[:-1, :], ref[:-1, :])
+    sel_q = (intra[1:, :], nnz[1:, :], mv[1:, :], ref[1:, :])
+    is_mb_h = np.zeros((H - 1, W), bool)
+    is_mb_h[3::4, :] = True
+    bs_h[1:, :] = edge_bs(sel_p, sel_q, is_mb_h)
+    return bs_v, bs_h
+
+
+def _filter_luma_edge(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0):
+    """Filter one luma edge line-batch. All args int32 arrays of same shape.
+    Returns new (p2, p1, p0, q0, q1, q2)."""
+    fflag = ((np.abs(p0 - q0) < alpha) & (np.abs(p1 - p0) < beta)
+             & (np.abs(q1 - q0) < beta) & (bs > 0))
+    ap = np.abs(p2 - p0) < beta
+    aq = np.abs(q2 - q0) < beta
+
+    # bs < 4 path
+    tc = tc0 + ap.astype(np.int32) + aq.astype(np.int32)
+    delta = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+    np0 = np.clip(p0 + delta, 0, 255)
+    nq0 = np.clip(q0 - delta, 0, 255)
+    np1 = p1 + clip3(-tc0, tc0, (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1)
+    nq1 = q1 + clip3(-tc0, tc0, (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1)
+    np1 = np.where(ap, np1, p1)
+    nq1 = np.where(aq, nq1, q1)
+
+    # bs == 4 strong path
+    strong = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+    sp0 = np.where(strong & ap, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                   (2 * p1 + p0 + q1 + 2) >> 2)
+    sp1 = np.where(strong & ap, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    sp2 = np.where(strong & ap, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    sq0 = np.where(strong & aq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                   (2 * q1 + q0 + p1 + 2) >> 2)
+    sq1 = np.where(strong & aq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+    sq2 = np.where(strong & aq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+
+    is4 = bs == 4
+    rp0 = np.where(is4, sp0, np0)
+    rp1 = np.where(is4, sp1, np1)
+    rp2 = np.where(is4, sp2, p2)
+    rq0 = np.where(is4, sq0, nq0)
+    rq1 = np.where(is4, sq1, nq1)
+    rq2 = np.where(is4, sq2, q2)
+
+    rp0 = np.where(fflag, rp0, p0)
+    rp1 = np.where(fflag, rp1, p1)
+    rp2 = np.where(fflag, rp2, p2)
+    rq0 = np.where(fflag, rq0, q0)
+    rq1 = np.where(fflag, rq1, q1)
+    rq2 = np.where(fflag, rq2, q2)
+    return rp2, rp1, rp0, rq0, rq1, rq2
+
+
+def _filter_chroma_edge(p1, p0, q0, q1, bs, alpha, beta, tc0):
+    fflag = ((np.abs(p0 - q0) < alpha) & (np.abs(p1 - p0) < beta)
+             & (np.abs(q1 - q0) < beta) & (bs > 0))
+    tc = tc0 + 1
+    delta = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+    np0 = np.clip(p0 + delta, 0, 255)
+    nq0 = np.clip(q0 - delta, 0, 255)
+    sp0 = (2 * p1 + p0 + q1 + 2) >> 2
+    sq0 = (2 * q1 + q0 + p1 + 2) >> 2
+    is4 = bs == 4
+    rp0 = np.where(is4, sp0, np0)
+    rq0 = np.where(is4, sq0, nq0)
+    rp0 = np.where(fflag, rp0, p0)
+    rq0 = np.where(fflag, rq0, q0)
+    return rp0, rq0
+
+
+def deblock_picture(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params):
+    """In-place deblock of planes. qp_arr: per-MB luma QP. slice_params:
+    per-MB (disable_idc, alpha_off, beta_off, cb_off, cr_off, slice_id).
+    """
+    bs_v, bs_h = compute_bs(pic, mb_w, mb_h)
+    disable = slice_params["disable_idc"]
+    a_off = slice_params["alpha_off"]
+    b_off = slice_params["beta_off"]
+    cb_off = slice_params["cb_qp_off"]
+    cr_off = slice_params["cr_qp_off"]
+    slice_id = slice_params["slice_id"]
+    qpc_tab = {off: np.array([chroma_qp(q, off) for q in range(52)], np.int32)
+               for off in set(cb_off.tolist()) | set(cr_off.tolist())}
+
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            addr = mby * mb_w + mbx
+            if disable[addr] == 1:
+                continue
+            px, py = mbx * 16, mby * 16
+
+            def edge_qp_pair(n_addr):
+                return qp_arr[n_addr], qp_arr[addr]
+
+            # ---- vertical edges (filter left to right) ----
+            for ex in range(4):
+                x = px + ex * 4
+                if ex == 0:
+                    if mbx == 0:
+                        continue
+                    n_addr = addr - 1
+                    if disable[addr] == 2 and slice_id[n_addr] != slice_id[addr]:
+                        continue
+                    qp_p, qp_q = edge_qp_pair(n_addr)
+                else:
+                    qp_p = qp_q = qp_arr[addr]
+                bs_col = bs_v[4 * mby:4 * mby + 4, (x // 4)]
+                if not bs_col.any():
+                    continue
+                bs_line = np.repeat(bs_col, 4).astype(np.int32)
+                qp_av = (int(qp_p) + int(qp_q) + 1) >> 1
+                ia = min(max(qp_av + 2 * a_off[addr], 0), 51)
+                ib = min(max(qp_av + 2 * b_off[addr], 0), 51)
+                alpha, beta = int(ALPHA_TABLE[ia]), int(BETA_TABLE[ib])
+                tc0 = TC0_TABLE[np.clip(bs_line, 1, 3) - 1, ia]
+                cols = Y[py:py + 16, x - 4:x + 4].astype(np.int32)
+                res = _filter_luma_edge(
+                    cols[:, 0], cols[:, 1], cols[:, 2], cols[:, 3],
+                    cols[:, 4], cols[:, 5], cols[:, 6], cols[:, 7],
+                    bs_line, alpha, beta, tc0)
+                Y[py:py + 16, x - 3:x + 3] = np.stack(res, axis=1)
+
+                # chroma edges at luma x offsets 0 and 8 (4:2:0)
+                if ex in (0, 2):
+                    cx = x // 2
+                    cyy = py // 2
+                    bs_c = np.repeat(bs_col, 2).astype(np.int32)
+                    for plane, off_arr in ((U, cb_off), (V, cr_off)):
+                        qpc_p = int(qpc_tab[off_arr[addr]][qp_p])
+                        qpc_q = int(qpc_tab[off_arr[addr]][qp_q])
+                        qpc_av = (qpc_p + qpc_q + 1) >> 1
+                        ia_c = min(max(qpc_av + 2 * a_off[addr], 0), 51)
+                        ib_c = min(max(qpc_av + 2 * b_off[addr], 0), 51)
+                        al_c, be_c = int(ALPHA_TABLE[ia_c]), int(BETA_TABLE[ib_c])
+                        tc0_c = TC0_TABLE[np.clip(bs_c, 1, 3) - 1, ia_c]
+                        cc = plane[cyy:cyy + 8, cx - 2:cx + 2].astype(np.int32)
+                        rp0, rq0 = _filter_chroma_edge(
+                            cc[:, 0], cc[:, 1], cc[:, 2], cc[:, 3],
+                            bs_c, al_c, be_c, tc0_c)
+                        plane[cyy:cyy + 8, cx - 1] = rp0
+                        plane[cyy:cyy + 8, cx] = rq0
+
+            # ---- horizontal edges (top to bottom) ----
+            for ey in range(4):
+                y = py + ey * 4
+                if ey == 0:
+                    if mby == 0:
+                        continue
+                    n_addr = addr - mb_w
+                    if disable[addr] == 2 and slice_id[n_addr] != slice_id[addr]:
+                        continue
+                    qp_p, qp_q = edge_qp_pair(n_addr)
+                else:
+                    qp_p = qp_q = qp_arr[addr]
+                bs_row = bs_h[(y // 4), 4 * mbx:4 * mbx + 4]
+                if not bs_row.any():
+                    continue
+                bs_line = np.repeat(bs_row, 4).astype(np.int32)
+                qp_av = (int(qp_p) + int(qp_q) + 1) >> 1
+                ia = min(max(qp_av + 2 * a_off[addr], 0), 51)
+                ib = min(max(qp_av + 2 * b_off[addr], 0), 51)
+                alpha, beta = int(ALPHA_TABLE[ia]), int(BETA_TABLE[ib])
+                tc0 = TC0_TABLE[np.clip(bs_line, 1, 3) - 1, ia]
+                rows = Y[y - 4:y + 4, px:px + 16].astype(np.int32)
+                res = _filter_luma_edge(
+                    rows[0], rows[1], rows[2], rows[3],
+                    rows[4], rows[5], rows[6], rows[7],
+                    bs_line, alpha, beta, tc0)
+                Y[y - 3:y + 3, px:px + 16] = np.stack(res, axis=0)
+
+                if ey in (0, 2):
+                    cy = y // 2
+                    cxx = px // 2
+                    bs_c = np.repeat(bs_row, 2).astype(np.int32)
+                    for plane, off_arr in ((U, cb_off), (V, cr_off)):
+                        qpc_p = int(qpc_tab[off_arr[addr]][qp_p])
+                        qpc_q = int(qpc_tab[off_arr[addr]][qp_q])
+                        qpc_av = (qpc_p + qpc_q + 1) >> 1
+                        ia_c = min(max(qpc_av + 2 * a_off[addr], 0), 51)
+                        ib_c = min(max(qpc_av + 2 * b_off[addr], 0), 51)
+                        al_c, be_c = int(ALPHA_TABLE[ia_c]), int(BETA_TABLE[ib_c])
+                        tc0_c = TC0_TABLE[np.clip(bs_c, 1, 3) - 1, ia_c]
+                        cc = plane[cy - 2:cy + 2, cxx:cxx + 8].astype(np.int32)
+                        rp0, rq0 = _filter_chroma_edge(
+                            cc[0], cc[1], cc[2], cc[3],
+                            bs_c, al_c, be_c, tc0_c)
+                        plane[cy - 1, cxx:cxx + 8] = rp0
+                        plane[cy, cxx:cxx + 8] = rq0

@@ -1,0 +1,39 @@
+"""Decoder conformance: bit-exact YUV vs the JM reference recon for golden
+streams produced by the reference lencod (SURVEY.md §4.1 round-trip oracle).
+"""
+
+import numpy as np
+import pytest
+
+from jm_tpu.decoder.decoder import decode_file
+
+W, H = 176, 144
+FRAME_SIZE = W * H * 3 // 2
+
+
+def _load_yuv(path, n_frames):
+    data = np.fromfile(path, np.uint8)
+    out = []
+    for i in range(n_frames):
+        r = data[i * FRAME_SIZE:(i + 1) * FRAME_SIZE]
+        Y = r[:W * H].reshape(H, W)
+        U = r[W * H:W * H + W * H // 4].reshape(H // 2, W // 2)
+        V = r[W * H + W * H // 4:].reshape(H // 2, W // 2)
+        out.append((Y, U, V))
+    return out
+
+
+@pytest.mark.parametrize("stream,recon,n", [
+    ("i1.264", "i1_rec.yuv", 1),
+    ("ipp3.264", "ipp3_rec.yuv", 3),
+    ("qp20.264", "qp20_rec.yuv", 3),
+    ("qp36.264", "qp36_rec.yuv", 3),
+])
+def test_bit_exact_vs_jm(golden_dir, stream, recon, n):
+    frames = decode_file(str(golden_dir / stream))
+    assert len(frames) == n
+    refs = _load_yuv(golden_dir / recon, n)
+    for i, (f, (Yr, Ur, Vr)) in enumerate(zip(frames, refs)):
+        np.testing.assert_array_equal(f.Y, Yr, err_msg=f"frame {i} Y")
+        np.testing.assert_array_equal(f.U, Ur, err_msg=f"frame {i} U")
+        np.testing.assert_array_equal(f.V, Vr, err_msg=f"frame {i} V")
