@@ -17,6 +17,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..bitstream.bitreader import BitReader
+from ..common.predict_ctx import CODE2RASTER, RASTER2CODE, PredCtx
 from ..common.tables import chroma_qp
 from ..common.types import PPS, SPS, SliceHeader, SliceType
 from .cavlc import residual_block_cavlc
@@ -37,12 +38,6 @@ CBP_MAP_MONO = np.array([
     (15, 0), (0, 1), (7, 2), (11, 4), (13, 8), (14, 3), (3, 5), (5, 10),
     (10, 12), (12, 15), (1, 7), (2, 11), (4, 13), (8, 14), (6, 6), (9, 9),
 ], dtype=np.int32)
-
-# raster index of 4x4 luma block (by, bx) <-> H.264 coding order (z-scan in MB)
-# coding order: 8x8 quadrants in raster, 4x4 within quadrant in raster.
-CODE2RASTER = np.array([0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15],
-                      dtype=np.int32)
-RASTER2CODE = np.argsort(CODE2RASTER).astype(np.int32)
 
 # MB-type classes
 MB_INTER = 0
@@ -115,164 +110,24 @@ class MBParser:
         self.br = br
         self.mb_w = pic.mb_w
         self.qp = ctx.qp
+        self.pctx = PredCtx(pic)
 
-    # ---- neighbor derivation ---------------------------------------------
+    # ---- neighbor/prediction derivation: shared PredCtx ------------------
 
-    def _left_addr(self, addr: int) -> int:
-        return addr - 1 if addr % self.mb_w else -1
-
-    def _up_addr(self, addr: int) -> int:
-        return addr - self.mb_w
-
-    def _avail(self, addr: int, cur: int) -> bool:
-        return addr >= 0 and self.pic.mb_avail(addr, cur)
-
-    # nC for luma 4x4 block `blk` (raster index) of MB `addr` (spec 9.2.1)
     def _nc_luma(self, addr: int, blk: int) -> int:
-        by, bx = divmod(blk, 4)
-        # neighbor A (left)
-        if bx > 0:
-            a_addr, a_blk = addr, blk - 1
-            avail_a = True
-        else:
-            a_addr, a_blk = self._left_addr(addr), blk + 3
-            avail_a = self._avail(a_addr, addr)
-        if by > 0:
-            b_addr, b_blk = addr, blk - 4
-            avail_b = True
-        else:
-            b_addr, b_blk = self._up_addr(addr), blk + 12
-            avail_b = self._avail(b_addr, addr)
-        return self._combine_nc(
-            (self.pic.luma_nnz[a_addr, a_blk], avail_a),
-            (self.pic.luma_nnz[b_addr, b_blk], avail_b))
+        return self.pctx.nc_luma(addr, blk)
 
     def _nc_chroma(self, addr: int, comp: int, blk: int) -> int:
-        by, bx = divmod(blk, 2)
-        if bx > 0:
-            a_addr, a_blk = addr, blk - 1
-            avail_a = True
-        else:
-            a_addr, a_blk = self._left_addr(addr), blk + 1
-            avail_a = self._avail(a_addr, addr)
-        if by > 0:
-            b_addr, b_blk = addr, blk - 2
-            avail_b = True
-        else:
-            b_addr, b_blk = self._up_addr(addr), blk + 2
-            avail_b = self._avail(b_addr, addr)
-        return self._combine_nc(
-            (self.pic.chroma_nnz[a_addr, comp, a_blk], avail_a),
-            (self.pic.chroma_nnz[b_addr, comp, b_blk], avail_b))
-
-    @staticmethod
-    def _combine_nc(a, b) -> int:
-        (na, avail_a), (nb, avail_b) = a, b
-        if avail_a and avail_b:
-            return (int(na) + int(nb) + 1) >> 1
-        if avail_a:
-            return int(na)
-        if avail_b:
-            return int(nb)
-        return 0
-
-    # ---- intra pred mode prediction (spec 8.3.1.1) ------------------------
+        return self.pctx.nc_chroma(addr, comp, blk)
 
     def _pred_intra4_mode(self, addr: int, blk: int) -> int:
-        pic = self.pic
-        by, bx = divmod(blk, 4)
-        if bx > 0:
-            ma = pic.i4_modes[addr, blk - 1]
-            avail_a = True
-        else:
-            a_addr = self._left_addr(addr)
-            avail_a = self._avail(a_addr, addr)
-            ma = pic.i4_modes[a_addr, blk + 3] if avail_a else -1
-            if avail_a and pic.mb_class[a_addr] not in (MB_I4,):
-                ma = 2  # non-I4x4 neighbor counts as DC
-        if by > 0:
-            mb = pic.i4_modes[addr, blk - 4]
-            avail_b = True
-        else:
-            b_addr = self._up_addr(addr)
-            avail_b = self._avail(b_addr, addr)
-            mb = pic.i4_modes[b_addr, blk + 12] if avail_b else -1
-            if avail_b and pic.mb_class[b_addr] not in (MB_I4,):
-                mb = 2
-        if not avail_a or not avail_b:
-            return 2  # DC when any neighbor unavailable
-        return int(min(ma, mb))
-
-    # ---- MV prediction (spec 8.4.1.3) -------------------------------------
+        return self.pctx.pred_intra4_mode(addr, blk)
 
     def _mv_neighbor(self, addr: int, bx: int, by: int, cur_blk: int = 0):
-        """Return (mv, ref) of the 4x4 block covering block coords (bx, by)
-        relative to the current MB origin (may resolve into neighbor MBs),
-        or None if unavailable. Intra neighbors return (0, ref=-1) —
-        "available with no motion" per spec 8.4.1.3.2.
+        return self.pctx.mv_neighbor(addr, bx, by, cur_blk)
 
-        cur_blk: raster index of the current partition's first 4x4 block,
-        used for the within-MB decoded-yet check on neighbor C.
-        """
-        pic = self.pic
-        mbx, mby = addr % self.mb_w, addr // self.mb_w
-        gx, gy = mbx * 4 + bx, mby * 4 + by
-        if gx < 0 or gy < 0 or gx >= self.mb_w * 4:
-            return None
-        naddr = (gy // 4) * self.mb_w + (gx // 4)
-        nblk = (gy % 4) * 4 + (gx % 4)
-        if naddr == addr:
-            # within current MB: available iff already decoded in z-order
-            if RASTER2CODE[nblk] >= RASTER2CODE[cur_blk]:
-                return None
-        else:
-            if naddr > addr or not self._avail(naddr, addr):
-                return None
-        q = (nblk // 8) * 2 + ((nblk % 4) // 2)
-        ref = int(pic.ref_idx[naddr, q])
-        if ref < 0:
-            return (np.zeros(2, np.int32), -1)
-        return (pic.mv[naddr, nblk].copy(), ref)
-
-    def _mv_pred(self, addr: int, bx: int, by: int, bw: int, bh: int,
-                 ref: int) -> np.ndarray:
-        """Median MV predictor for a partition at block coords (bx, by) of
-        size (bw, bh) in 4x4 units, for reference index `ref`."""
-        cur = by * 4 + bx
-        a = self._mv_neighbor(addr, bx - 1, by, cur)
-        b = self._mv_neighbor(addr, bx, by - 1, cur)
-        c = self._mv_neighbor(addr, bx + bw, by - 1, cur)
-        if c is None:
-            c = self._mv_neighbor(addr, bx - 1, by - 1, cur)  # fallback to D
-
-        # directional rules for 16x8 / 8x16
-        if bw == 4 and bh == 2:  # 16x8
-            if by == 0 and b is not None and b[1] == ref:
-                return b[0].copy()
-            if by == 2 and a is not None and a[1] == ref:
-                return a[0].copy()
-        elif bw == 2 and bh == 4:  # 8x16
-            if bx == 0 and a is not None and a[1] == ref:
-                return a[0].copy()
-            if bx == 2 and c is not None and c[1] == ref:
-                return c[0].copy()
-
-        mva = a[0] if a is not None else np.zeros(2, np.int32)
-        mvb = b[0] if b is not None else np.zeros(2, np.int32)
-        mvc = c[0] if c is not None else np.zeros(2, np.int32)
-        refa = a[1] if a is not None else UNAVAIL
-        refb = b[1] if b is not None else UNAVAIL
-        refc = c[1] if c is not None else UNAVAIL
-
-        # if only A valid and B, C unavailable (not just intra) -> A
-        if a is not None and b is None and c is None:
-            return mva.copy()
-
-        match = [r == ref for r in (refa, refb, refc)]
-        if sum(match) == 1:
-            return (mva, mvb, mvc)[match.index(True)].copy()
-        stack = np.stack([mva, mvb, mvc])
-        return np.median(stack, axis=0).astype(np.int32)
+    def _mv_pred(self, addr, bx, by, bw, bh, ref):
+        return self.pctx.mv_pred(addr, bx, by, bw, bh, ref)
 
     # ---- residual reading -------------------------------------------------
 
@@ -470,15 +325,7 @@ class MBParser:
         pic.skip[addr] = True
         pic.ref_idx[addr] = 0
         pic.qp[addr] = self.qp
-        a = self._mv_neighbor(addr, -1, 0)
-        b = self._mv_neighbor(addr, 0, -1)
-        if (a is None or b is None or
-                (a[1] == 0 and a[0][0] == 0 and a[0][1] == 0) or
-                (b[1] == 0 and b[0][0] == 0 and b[0][1] == 0)):
-            mv = np.zeros(2, np.int32)
-        else:
-            mv = self._mv_pred(addr, 0, 0, 4, 4, 0)
-        pic.mv[addr] = mv
+        pic.mv[addr] = self.pctx.skip_mv(addr)
 
     # ---- slice loop -------------------------------------------------------
 

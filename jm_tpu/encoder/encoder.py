@@ -1,0 +1,539 @@
+"""Baseline-profile H.264 encoder: IPPP, CAVLC, closed-loop recon.
+
+Pipeline (per frame): [P] batched full-search ME sweep -> serial MB loop
+(mode decision + residual coding + incremental recon, the wavefront-batch
+device twin lands next) -> deblock (shared with decoder) -> DPB -> slice
+serialization (pure function of PictureData).
+
+Capability parity with lencod's driver/mode-decision stack
+(lencod/src/lencod.c encode_sequence:885, image.c encode_one_frame:1183,
+slice.c encode_one_slice:431, md_low.c encode_one_macroblock_low:104) —
+new architecture: decision state lives in the same PictureData SoA the
+decoder uses, so encoder recon is decode-exact by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream.nal import NalUnitType, annexb_bytes
+from ..common.predict_ctx import CODE2RASTER, PredCtx
+from ..common.tables import chroma_qp
+from ..common.types import PPS, SPS, SliceType
+from ..decoder.dpb import Frame
+from ..decoder.mb_parse import MB_I4, MB_I16, MB_INTER, PictureData
+from ..ops import interp as ip
+from ..ops import intra as it
+from ..ops.deblock import deblock_picture
+from . import me as ME
+from . import residual_np as RN
+from .syntax import serialize_slice, write_pps, write_sps
+
+# JM-style lambda (md_low): lambda_mode = 0.85 * 2^((QP-12)/3); ME cost uses
+# its square root (SAD domain).
+def lambda_me(qp: int) -> int:
+    return max(1, int(round((0.85 * 2.0 ** ((qp - 12) / 3.0)) ** 0.5)))
+
+
+def lambda_mode4(qp: int) -> int:
+    """Penalty unit for non-most-probable intra-4x4 modes (JM md_low uses
+    4 * lambda_me)."""
+    return 4 * lambda_me(qp)
+
+
+@dataclass
+class EncoderConfig:
+    width: int = 176
+    height: int = 144
+    qp: int = 28
+    intra_period: int = 0        # 0: only first frame is I
+    search_range: int = 16
+    num_ref: int = 1             # list0 size (P2: single reference)
+    level_idc: int = 30
+    deblock: bool = True
+
+
+class Encoder:
+    """IPPP Baseline encoder with the 4-call lifecycle of the reference
+    decoder library mirrored on the encode side: construct, encode_frame()
+    per picture, flush() (no-op for IPPP), close."""
+
+    def __init__(self, cfg: EncoderConfig):
+        if cfg.width % 16 or cfg.height % 16:
+            raise NotImplementedError("cropping: later phase")
+        self.cfg = cfg
+        self.mb_w = cfg.width // 16
+        self.mb_h = cfg.height // 16
+        self.sps = SPS(
+            profile_idc=66, level_idc=cfg.level_idc,
+            log2_max_frame_num_minus4=4,
+            pic_order_cnt_type=2,
+            max_num_ref_frames=cfg.num_ref,
+            pic_width_in_mbs_minus1=self.mb_w - 1,
+            pic_height_in_map_units_minus1=self.mb_h - 1,
+            frame_mbs_only_flag=1, direct_8x8_inference_flag=1)
+        self.pps = PPS(num_ref_idx_l0_default_active_minus1=cfg.num_ref - 1)
+        self.frame_idx = 0
+        self.frame_num = 0
+        self.idr_pic_id = 0
+        self.refs: list[Frame] = []   # most recent first
+        self._uid = 0
+        self.stats = []
+
+    # ------------------------------------------------------------------
+
+    def encode_frame(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> bytes:
+        cfg = self.cfg
+        is_idr = self.frame_idx == 0 or (
+            cfg.intra_period > 0 and self.frame_idx % cfg.intra_period == 0)
+        stype = SliceType.I if is_idr else SliceType.P
+        if is_idr:
+            self.frame_num = 0  # spec 7.4.3: IDR pictures have frame_num 0
+
+        fe = _FrameEncoder(self, stype, Y, U, V)
+        pic = fe.encode()
+
+        # closed-loop recon for the DPB: deblocked copy
+        recY, recU, recV = fe.recY.copy(), fe.recU.copy(), fe.recV.copy()
+        if cfg.deblock:
+            n = pic.n_mbs
+            deblock_picture(recY, recU, recV, pic, self.mb_w, self.mb_h,
+                            pic.qp, {
+                "disable_idc": np.zeros(n, np.int32),
+                "alpha_off": np.zeros(n, np.int32),
+                "beta_off": np.zeros(n, np.int32),
+                "cb_qp_off": np.full(n, self.pps.cb_qp_offset, np.int32),
+                "cr_qp_off": np.full(n, self.pps.cr_qp_offset, np.int32),
+                "slice_id": pic.slice_id,
+            })
+        frame = Frame(poc=2 * self.frame_idx, frame_num=self.frame_num,
+                      Y=recY, U=recU, V=recV)
+        frame.uid = self._uid
+        self._uid += 1
+        if is_idr:
+            self.refs = []
+        self.refs.insert(0, frame)
+        del self.refs[self.cfg.num_ref:]
+
+        # serialize
+        payload = b""
+        if is_idr:
+            payload += annexb_bytes(3, NalUnitType.SPS, write_sps(self.sps))
+            payload += annexb_bytes(3, NalUnitType.PPS, write_pps(self.pps))
+        rbsp = serialize_slice(
+            pic, self.sps, self.pps, slice_type=stype,
+            frame_num=self.frame_num, idr=is_idr, qp=cfg.qp,
+            idr_pic_id=self.idr_pic_id, num_ref_idx_l0=cfg.num_ref)
+        nal_type = NalUnitType.IDR if is_idr else NalUnitType.SLICE
+        payload += annexb_bytes(3, nal_type, rbsp)
+
+        if is_idr:
+            self.idr_pic_id = (self.idr_pic_id + 1) % 65536
+        self.frame_num = (self.frame_num + 1) % self.sps.max_frame_num
+        self.frame_idx += 1
+        self.stats.append({"type": "I" if is_idr else "P",
+                           "bits": len(payload) * 8})
+        return payload
+
+    @property
+    def recon_frames(self):
+        return self.refs
+
+
+class _FrameEncoder:
+    """Encodes one frame: mode decision + residual coding + recon."""
+
+    def __init__(self, enc: Encoder, stype: SliceType, Y, U, V):
+        self.enc = enc
+        self.stype = stype
+        self.origY = np.asarray(Y, np.uint8)
+        self.origU = np.asarray(U, np.uint8)
+        self.origV = np.asarray(V, np.uint8)
+        self.mb_w, self.mb_h = enc.mb_w, enc.mb_h
+        self.w, self.h = enc.cfg.width, enc.cfg.height
+        self.qp = enc.cfg.qp
+        self.qpc = chroma_qp(self.qp, enc.pps.chroma_qp_index_offset)
+        self.lam = lambda_me(self.qp)
+        self.lam4 = lambda_mode4(self.qp)
+        self.pic = PictureData(self.mb_w, self.mb_h)
+        self.pctx = PredCtx(self.pic)
+        self.recY = np.zeros_like(self.origY)
+        self.recU = np.zeros_like(self.origU)
+        self.recV = np.zeros_like(self.origV)
+        self.ref = enc.refs[0] if stype == SliceType.P else None
+
+    # ---- helpers ----------------------------------------------------------
+
+    def _mb_orig(self, addr):
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        px, py = mbx * 16, mby * 16
+        return (self.origY[py:py + 16, px:px + 16],
+                self.origU[py // 2:py // 2 + 8, px // 2:px // 2 + 8],
+                self.origV[py // 2:py // 2 + 8, px // 2:px // 2 + 8])
+
+    def _mb_avail(self, naddr, addr):
+        return self.pctx.avail(naddr, addr)
+
+    # ---- frame loop -------------------------------------------------------
+
+    def encode(self) -> PictureData:
+        if self.stype == SliceType.P:
+            ref_int_plane = self.ref.luma_planes[0]
+            self.int_mvs = ME.full_search_int(
+                self.origY, ref_int_plane, self.mb_w, self.mb_h,
+                self.enc.cfg.search_range, ip.PAD)
+        for addr in range(self.pic.n_mbs):
+            self.pic.slice_id[addr] = 0
+            self.pic.qp[addr] = self.qp
+            if self.stype == SliceType.I:
+                self._encode_intra_mb(addr)
+            else:
+                self._encode_p_mb(addr)
+        return self.pic
+
+    # ---- intra ------------------------------------------------------------
+
+    def _i16_candidates(self, addr):
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        px, py = mbx * 16, mby * 16
+        avail_l = mbx > 0 and self._mb_avail(addr - 1, addr)
+        avail_t = self._mb_avail(addr - self.mb_w, addr)
+        avail_tl = mbx > 0 and self._mb_avail(addr - self.mb_w - 1, addr)
+        top = self.recY[py - 1, px:px + 16].astype(np.int32) if avail_t \
+            else np.zeros(16, np.int32)
+        left = self.recY[py:py + 16, px - 1].astype(np.int32) if avail_l \
+            else np.zeros(16, np.int32)
+        corner = int(self.recY[py - 1, px - 1]) if avail_tl else 0
+        modes = [it.I16_DC]
+        if avail_t:
+            modes.append(it.I16_VERT)
+        if avail_l:
+            modes.append(it.I16_HOR)
+        if avail_t and avail_l and avail_tl:
+            modes.append(it.I16_PLANE)
+        return modes, top, left, corner, avail_t, avail_l
+
+    def _eval_i16(self, addr, origY_mb):
+        modes, top, left, corner, avail_t, avail_l = self._i16_candidates(addr)
+        best = None
+        o = origY_mb.astype(np.int32)
+        for m in modes:
+            pred = it.predict_i16(m, top, left, corner, avail_t, avail_l)
+            sad = int(np.abs(o - pred).sum())
+            if best is None or sad < best[0]:
+                best = (sad, m, pred)
+        return best  # (cost, mode, pred)
+
+    def _encode_i16(self, addr, origY_mb, mode, pred):
+        pic, qp = self.pic, self.qp
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        px, py = mbx * 16, mby * 16
+        res = origY_mb.astype(np.int64) - pred
+        blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+        w = RN.np_forward4x4(blocks)
+        from ..decoder.recon import _np_hadamard4
+        dc = w[:, 0, 0].reshape(4, 4)
+        # JM forward hadamard carries a >>1 (lcommon/src/transform.c:163)
+        dc_lev = RN.np_quant_dc(_np_hadamard4(dc) >> 1, qp, True)
+        ac = RN.np_quant_4x4(w, qp, True)
+        ac_scan = RN.to_scan(ac)
+        ac_scan[:, 0] = 0
+        dc_scan = RN.to_scan(dc_lev.reshape(1, 4, 4))[0]
+        pic.mb_class[addr] = MB_I16
+        pic.i16_mode[addr] = mode
+        pic.luma_dc[addr] = dc_scan
+        pic.luma_coef[addr, :, :] = 0
+        pic.luma_coef[addr, :, 1:] = ac_scan[:, 1:]
+        nnz = (ac_scan[:, 1:] != 0).sum(axis=1)
+        cbp_luma = 15 if nnz.any() else 0
+        if not cbp_luma:
+            pic.luma_coef[addr, :, :] = 0
+            nnz = np.zeros(16, np.int64)
+            ac_scan[:, :] = 0
+        pic.luma_nnz[addr] = nnz
+        pred_blocks = pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+        rec = RN.recon_luma_i16(pred_blocks, ac_scan if cbp_luma else
+                                np.zeros((16, 16), np.int32), dc_scan, qp)
+        rec16 = rec.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+        self.recY[py:py + 16, px:px + 16] = rec16
+        return cbp_luma
+
+    def _encode_i4_mb(self, addr, origY_mb):
+        """Sequential 4x4 intra coding; returns (total_cost, cbp_luma).
+        Commits recon and coefficients directly."""
+        pic, qp = self.pic, self.qp
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        pic.mb_class[addr] = MB_I4
+        total_cost = 0
+        nnz_any_quad = [False] * 4
+        for code in range(16):
+            blk = int(CODE2RASTER[code])
+            by, bx = divmod(blk, 4)
+            gx, gy = mbx * 4 + bx, mby * 4 + by
+            x, y = gx * 4, gy * 4
+            avail_l, avail_t, avail_tl, avail_tr = self._blk_avail(addr, gx, gy, code)
+            top = np.zeros(8, np.int32)
+            left = np.zeros(4, np.int32)
+            corner = 0
+            Y = self.recY
+            if avail_t:
+                top[0:4] = Y[y - 1, x:x + 4]
+                top[4:8] = Y[y - 1, x + 4:x + 8] if avail_tr else Y[y - 1, x + 3]
+            if avail_l:
+                left[:] = Y[y:y + 4, x - 1]
+            if avail_tl:
+                corner = int(Y[y - 1, x - 1])
+            mpm = self.pctx.pred_intra4_mode(addr, blk)
+            o = origY_mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4].astype(np.int32)
+            cand = [it.I4_DC]
+            if avail_t:
+                cand += [it.I4_VERT, it.I4_VL]
+                cand += [it.I4_DDL]
+            if avail_l:
+                cand += [it.I4_HOR, it.I4_HU]
+            if avail_t and avail_l and avail_tl:
+                cand += [it.I4_DDR, it.I4_VR, it.I4_HD]
+            best = None
+            for m in cand:
+                pred = it.predict_i4(m, top, left, corner, avail_t, avail_l)
+                cost = int(np.abs(o - pred).sum())
+                if m != mpm:
+                    cost += self.lam4
+                if best is None or cost < best[0]:
+                    best = (cost, m, pred)
+            cost, m, pred = best
+            total_cost += cost
+            pic.i4_modes[addr, blk] = m
+            # residual
+            w = RN.np_forward4x4((o - pred)[None])[0]
+            lev = RN.np_quant_4x4(w[None], qp, True)[0]
+            scan = RN.to_scan(lev[None])[0]
+            pic.luma_coef[addr, blk] = scan
+            tc = int((scan != 0).sum())
+            pic.luma_nnz[addr, blk] = tc
+            if tc:
+                nnz_any_quad[(by // 2) * 2 + bx // 2] = True
+            rec = RN.recon_luma_4x4(pred[None], scan[None], qp)[0]
+            self.recY[y:y + 4, x:x + 4] = rec
+        cbp_luma = sum(1 << q for q in range(4) if nnz_any_quad[q])
+        return total_cost, cbp_luma
+
+    def _blk_avail(self, addr, gx, gy, code):
+        from ..common.predict_ctx import RASTER2CODE
+
+        def ok(nx, ny):
+            if nx < 0 or ny < 0 or nx >= self.mb_w * 4:
+                return False
+            naddr = (ny // 4) * self.mb_w + (nx // 4)
+            if naddr == addr:
+                nblk = (ny % 4) * 4 + (nx % 4)
+                return RASTER2CODE[nblk] < code
+            if naddr > addr:
+                return False
+            return self._mb_avail(naddr, addr)
+        return ok(gx - 1, gy), ok(gx, gy - 1), ok(gx - 1, gy - 1), ok(gx + 1, gy - 1)
+
+    def _encode_chroma_intra(self, addr):
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        cx, cy = mbx * 8, mby * 8
+        avail_l = mbx > 0 and self._mb_avail(addr - 1, addr)
+        avail_t = self._mb_avail(addr - self.mb_w, addr)
+        avail_tl = mbx > 0 and self._mb_avail(addr - self.mb_w - 1, addr)
+        origU, origV = self._mb_orig(addr)[1:]
+        modes = [it.C_DC]
+        if avail_l:
+            modes.append(it.C_HOR)
+        if avail_t:
+            modes.append(it.C_VERT)
+        if avail_t and avail_l and avail_tl:
+            modes.append(it.C_PLANE)
+        best = None
+        for m in modes:
+            sad = 0
+            preds = []
+            for comp, plane, orig in ((0, self.recU, origU), (1, self.recV, origV)):
+                top = plane[cy - 1, cx:cx + 8].astype(np.int32) if avail_t \
+                    else np.zeros(8, np.int32)
+                left = plane[cy:cy + 8, cx - 1].astype(np.int32) if avail_l \
+                    else np.zeros(8, np.int32)
+                corner = int(plane[cy - 1, cx - 1]) if avail_tl else 0
+                pred = it.predict_chroma(m, top, left, corner, avail_t, avail_l)
+                sad += int(np.abs(orig.astype(np.int32) - pred).sum())
+                preds.append(pred)
+            if best is None or sad < best[0]:
+                best = (sad, m, preds)
+        _sad, mode, preds = best
+        pic.chroma_mode[addr] = mode
+        return self._code_chroma_residual(addr, preds[0], preds[1], intra=True)
+
+    def _code_chroma_residual(self, addr, predU, predV, intra):
+        """Quantize and commit chroma residual; returns cbp_chroma (0/1/2)."""
+        pic, qpc = self.pic, self.qpc
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        cx, cy = mbx * 8, mby * 8
+        origU, origV = self._mb_orig(addr)[1:]
+        any_ac = False
+        any_dc = False
+        store = []
+        for comp, pred, orig in ((0, predU, origU), (1, predV, origV)):
+            res = orig.astype(np.int64) - pred
+            blocks = res.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 4, 4)
+            w = RN.np_forward4x4(blocks)
+            dc = w[:, 0, 0].reshape(2, 2)
+            dc_t = RN.np_hadamard2x2(dc)
+            dc_lev = RN.np_quant_dc(dc_t, qpc, intra)
+            ac = RN.np_quant_4x4(w, qpc, intra)
+            ac_scan = RN.to_scan(ac)
+            ac_scan[:, 0] = 0
+            store.append((dc_lev.reshape(4), ac_scan, pred))
+            if (ac_scan[:, 1:] != 0).any():
+                any_ac = True
+            if (dc_lev != 0).any():
+                any_dc = True
+        cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+        for comp, (dc_lev, ac_scan, pred) in enumerate(store):
+            if cbp_chroma < 2:
+                ac_scan[:, :] = 0
+            if cbp_chroma == 0:
+                dc_lev[:] = 0
+            pic.chroma_dc[addr, comp] = dc_lev
+            pic.chroma_coef[addr, comp, :, :] = 0
+            pic.chroma_coef[addr, comp, :, 1:] = ac_scan[:, 1:]
+            pic.chroma_nnz[addr, comp] = (ac_scan[:, 1:] != 0).sum(axis=1)
+            pred_blocks = pred.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 4, 4)
+            rec = RN.recon_chroma(pred_blocks, ac_scan, dc_lev, qpc)
+            rec8 = rec.reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
+            plane = self.recU if comp == 0 else self.recV
+            plane[cy:cy + 8, cx:cx + 8] = rec8
+        return cbp_chroma
+
+    def _encode_intra_mb(self, addr):
+        pic = self.pic
+        origY_mb = self._mb_orig(addr)[0]
+        cost16, mode16, pred16 = self._eval_i16(addr, origY_mb)
+        # try I4 on a scratch state; to avoid state snapshots, decide with a
+        # cheap estimate first: run I4 fully only if its lower bound can win.
+        # v1: always run I4 (it is the JM default winner at most QPs), then
+        # compare against I16 by reconstruction SSD + bit-ish penalty.
+        save = _MBSnapshot(self, addr)
+        cost4, cbp_luma4 = self._encode_i4_mb(addr, origY_mb)
+        if cost16 + 24 * self.lam < cost4:
+            save.restore()
+            pic.i4_modes[addr] = -1
+            cbp_luma = self._encode_i16(addr, origY_mb, mode16, pred16)
+        else:
+            cbp_luma = cbp_luma4
+        cbp_chroma = self._encode_chroma_intra(addr)
+        pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma
+        pic.qp[addr] = self.qp
+
+    # ---- inter ------------------------------------------------------------
+
+    def _encode_p_mb(self, addr):
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        px, py = mbx * 16, mby * 16
+        origY_mb, origU_mb, origV_mb = self._mb_orig(addr)
+        o = origY_mb.astype(np.int32)
+
+        planes = self.ref.luma_planes
+        pred_mv = self.pctx.mv_pred(addr, 0, 0, 4, 4, 0)
+        int_mv = self.int_mvs[addr]
+        best_mv, cost_inter = ME.subpel_refine(
+            origY_mb, planes, px, py, int_mv, self.w, self.h, pred_mv, self.lam)
+
+        # skip candidate
+        skip_mv = self.pctx.skip_mv(addr)
+        skip_pred = ip.mc_luma_block(planes, px * 4 + int(skip_mv[0]),
+                                     py * 4 + int(skip_mv[1]), 16, 16,
+                                     self.w, self.h)
+        cost_skip = int(np.abs(o - skip_pred).sum())
+        if cost_skip <= cost_inter:
+            best_mv = skip_mv.copy()
+            cost_inter = cost_skip
+
+        # intra-16 fallback for scene changes / uncovered areas
+        cost16, mode16, pred16 = self._eval_i16(addr, origY_mb)
+        if cost16 + 2 * self.lam4 < cost_inter:
+            pic.ref_idx[addr] = -1
+            cbp_luma = self._encode_i16(addr, origY_mb, mode16, pred16)
+            cbp_chroma = self._encode_chroma_intra(addr)
+            pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma
+            return
+
+        # commit inter 16x16
+        pic.mb_class[addr] = MB_INTER
+        pic.ref_idx[addr] = 0
+        pic.mv[addr] = best_mv
+        if not hasattr(pic, "ref_pic_id"):
+            pic.ref_pic_id = np.full((pic.n_mbs, 4), -1, np.int64)
+        pic.ref_pic_id[addr] = self.ref.uid
+
+        predY = ip.mc_luma_block(planes, px * 4 + int(best_mv[0]),
+                                 py * 4 + int(best_mv[1]), 16, 16,
+                                 self.w, self.h)
+        res = o.astype(np.int64) - predY
+        blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+        w = RN.np_forward4x4(blocks)
+        lev = RN.np_quant_4x4(w, self.qp, False)
+        scan = RN.to_scan(lev)
+        pic.luma_coef[addr] = scan
+        nnz = (scan != 0).sum(axis=1)
+        pic.luma_nnz[addr] = nnz
+        cbp_luma = 0
+        for q in range(4):
+            qb = [0, 1, 4, 5] if q == 0 else [2, 3, 6, 7] if q == 1 \
+                else [8, 9, 12, 13] if q == 2 else [10, 11, 14, 15]
+            if nnz[qb].any():
+                cbp_luma |= 1 << q
+        # zero out quadrants not in cbp (none here: cbp covers all nonzero)
+        pred_blocks = predY.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+        rec = RN.recon_luma_4x4(pred_blocks, scan, self.qp)
+        self.recY[py:py + 16, px:px + 16] = \
+            rec.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+
+        # chroma MC + residual
+        cpx, cpy = px // 2, py // 2
+        predU = ip.mc_chroma_block(self.ref.chroma_pad[0],
+                                   cpx * 8 + int(best_mv[0]),
+                                   cpy * 8 + int(best_mv[1]), 8, 8,
+                                   self.w // 2, self.h // 2)
+        predV = ip.mc_chroma_block(self.ref.chroma_pad[1],
+                                   cpx * 8 + int(best_mv[0]),
+                                   cpy * 8 + int(best_mv[1]), 8, 8,
+                                   self.w // 2, self.h // 2)
+        cbp_chroma = self._code_chroma_residual(addr, predU, predV, intra=False)
+        pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma
+
+        # skip decision: inter16x16, ref 0, mv == skip mv, no coefficients
+        if (pic.cbp[addr] == 0 and (best_mv == skip_mv).all()):
+            pic.skip[addr] = True
+
+
+class _MBSnapshot:
+    """Save/restore of per-MB mutable state for candidate trials (the
+    moral equivalent of lencod/src/rdopt_coding_state.c)."""
+
+    def __init__(self, fe: _FrameEncoder, addr: int):
+        self.fe = fe
+        self.addr = addr
+        mbx, mby = addr % fe.mb_w, addr // fe.mb_w
+        self.px, self.py = mbx * 16, mby * 16
+        self.recY = fe.recY[self.py:self.py + 16, self.px:self.px + 16].copy()
+        p = fe.pic
+        self.coef = p.luma_coef[addr].copy()
+        self.nnz = p.luma_nnz[addr].copy()
+        self.modes = p.i4_modes[addr].copy()
+        self.cls = p.mb_class[addr]
+
+    def restore(self):
+        fe, addr = self.fe, self.addr
+        fe.recY[self.py:self.py + 16, self.px:self.px + 16] = self.recY
+        p = fe.pic
+        p.luma_coef[addr] = self.coef
+        p.luma_nnz[addr] = self.nnz
+        p.i4_modes[addr] = self.modes
+        p.mb_class[addr] = self.cls

@@ -1,0 +1,111 @@
+"""Numpy residual-coding helpers shared by the encoder's serial reference
+path: forward transforms, quant, and the decode-mirror recon chain.
+
+The inverse/dequant halves import the decoder's implementations so the
+encoder's closed-loop reconstruction is bit-identical to what any
+conforming decoder produces (the property JM maintains by linking both
+binaries against lcommon).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..common.tables import QUANT_SCALE_4x4, ZIGZAG_4x4
+from ..decoder.recon import (_np_dequant_4x4, _np_hadamard4, _np_inv4,
+                             rshift_rnd_sf)
+from ..ops.quant import FLAT_INV_SCALE_4x4
+
+_ZZ = np.asarray(ZIGZAG_4x4)
+
+
+def np_forward4x4(x: np.ndarray) -> np.ndarray:
+    """Batched forward core transform, (..., 4, 4) int."""
+    d = x.astype(np.int64)
+    # vertical
+    p0 = d[..., 0, :] + d[..., 3, :]
+    p1 = d[..., 1, :] + d[..., 2, :]
+    m0 = d[..., 0, :] - d[..., 3, :]
+    m1 = d[..., 1, :] - d[..., 2, :]
+    t = np.stack([p0 + p1, 2 * m0 + m1, p0 - p1, m0 - 2 * m1], axis=-2)
+    # horizontal
+    p0 = t[..., :, 0] + t[..., :, 3]
+    p1 = t[..., :, 1] + t[..., :, 2]
+    m0 = t[..., :, 0] - t[..., :, 3]
+    m1 = t[..., :, 1] - t[..., :, 2]
+    return np.stack([p0 + p1, 2 * m0 + m1, p0 - p1, m0 - 2 * m1], axis=-1)
+
+
+def np_hadamard2x2(x: np.ndarray) -> np.ndarray:
+    a, b = x[..., 0, 0], x[..., 0, 1]
+    c, d = x[..., 1, 0], x[..., 1, 1]
+    r0 = np.stack([a + b + c + d, a - b + c - d], axis=-1)
+    r1 = np.stack([a + b - c - d, a - b - c + d], axis=-1)
+    return np.stack([r0, r1], axis=-2)
+
+
+def np_quant_4x4(w: np.ndarray, qp: int, intra: bool) -> np.ndarray:
+    mf = QUANT_SCALE_4x4[qp % 6].astype(np.int64)
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // (3 if intra else 6)
+    lev = (np.abs(w.astype(np.int64)) * mf + f) >> qbits
+    return (np.sign(w) * lev).astype(np.int32)
+
+
+def np_quant_dc(dc: np.ndarray, qp: int, intra: bool) -> np.ndarray:
+    """DC quant after forward Hadamard (luma 4x4 or chroma 2x2)."""
+    mf = int(QUANT_SCALE_4x4[qp % 6, 0, 0])
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // (3 if intra else 6)
+    lev = (np.abs(dc.astype(np.int64)) * mf + 2 * f) >> (qbits + 1)
+    return (np.sign(dc) * lev).astype(np.int32)
+
+
+def to_scan(raster_blocks: np.ndarray) -> np.ndarray:
+    """(..., 4, 4) raster -> (..., 16) zig-zag scan order."""
+    flat = raster_blocks.reshape(*raster_blocks.shape[:-2], 16)
+    return flat[..., _ZZ]
+
+
+def from_scan(scan: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(scan)
+    out[..., _ZZ] = scan
+    return out.reshape(*scan.shape[:-1], 4, 4)
+
+
+def recon_luma_4x4(pred_blocks: np.ndarray, lev_scan: np.ndarray,
+                   qp: int) -> np.ndarray:
+    """Decode-mirror recon of 16 luma 4x4 blocks (non-i16).
+
+    pred_blocks (16,4,4); lev_scan (16,16) scan order. Returns recon (16,4,4).
+    """
+    d = _np_dequant_4x4(from_scan(lev_scan), np.full((16,), qp, np.int64))
+    r = (_np_inv4(d) + 32) >> 6
+    return np.clip(pred_blocks + r, 0, 255).astype(np.uint8)
+
+
+def recon_luma_i16(pred_blocks, ac_scan, dc_scan, qp):
+    """Decode-mirror recon for Intra16x16: ac_scan (16,16) with [*,0]==0,
+    dc_scan (16,) zig-zag DC levels."""
+    d = _np_dequant_4x4(from_scan(ac_scan), np.full((16,), qp, np.int64))
+    dc_r = from_scan(dc_scan)
+    dc_t = _np_hadamard4(dc_r)
+    scale = int(FLAT_INV_SCALE_4x4[qp, 0, 0])
+    dc_s = rshift_rnd_sf((dc_t.astype(np.int64) * scale) << (qp // 6), 6)
+    blk = np.arange(16)
+    d[blk, 0, 0] = dc_s[blk // 4, blk % 4]
+    r = (_np_inv4(d) + 32) >> 6
+    return np.clip(pred_blocks + r, 0, 255).astype(np.uint8)
+
+
+def recon_chroma(pred_blocks, ac_scan, dc_lev, qp_c):
+    """Decode-mirror chroma recon for one component: pred_blocks (4,4,4),
+    ac_scan (4,16) with [*,0]==0, dc_lev (4,) raster DC levels."""
+    d = _np_dequant_4x4(from_scan(ac_scan), np.full((4,), qp_c, np.int64))
+    f = np_hadamard2x2(dc_lev.reshape(2, 2).astype(np.int64))
+    scale = int(FLAT_INV_SCALE_4x4[qp_c, 0, 0])
+    dc_s = ((f * scale) << (qp_c // 6)) >> 5
+    blk = np.arange(4)
+    d[blk, 0, 0] = dc_s[blk // 2, blk % 2]
+    r = (_np_inv4(d) + 32) >> 6
+    return np.clip(pred_blocks + r, 0, 255).astype(np.uint8)
