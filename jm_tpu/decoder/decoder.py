@@ -74,8 +74,6 @@ class H264Decoder:
         hdr, br = parse_slice_header(nal, self.sps_map, self.pps_map)
         pps = self.pps_map[hdr.pic_parameter_set_id]
         sps = self.sps_map[pps.seq_parameter_set_id]
-        if pps.entropy_coding_mode_flag:
-            raise NotImplementedError("CABAC slices: phase P3")
 
         if self.dpb is None or hdr.is_idr and hdr.first_mb_in_slice == 0:
             if self.dpb is None:
@@ -107,7 +105,11 @@ class H264Decoder:
         sid = cur["n_slices"]
         cur["n_slices"] += 1
         ctx = SliceContext(hdr, sps, pps, sid)
-        parser = MBParser(pic, ctx, br)
+        if pps.entropy_coding_mode_flag:
+            from .mb_parse_cabac import MBParserCABAC
+            parser = MBParserCABAC(pic, ctx, br)
+        else:
+            parser = MBParser(pic, ctx, br)
         parser.parse_slice_data()
         cur["headers"].append((hdr, lst))
 

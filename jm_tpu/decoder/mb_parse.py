@@ -82,6 +82,10 @@ class PictureData:
         # IPCM raw samples
         self.ipcm_luma = {}
         self.ipcm_chroma = {}
+        # CABAC context state: mvd per list per 4x4 (raster), JM-layout
+        # coded-block-flag bitmask (ldecod cabac.c s_cbp[0].bits)
+        self.mvd = np.zeros((n, 2, 16, 2), np.int32)
+        self.cbp_bits = np.zeros(n, np.int64)
 
     # -- neighbor helpers (same-slice availability) -------------------------
 

@@ -28,6 +28,7 @@ def _load_yuv(path, n_frames):
     ("ipp3.264", "ipp3_rec.yuv", 3),
     ("qp20.264", "qp20_rec.yuv", 3),
     ("qp36.264", "qp36_rec.yuv", 3),
+    ("cabac_pp.264", "cabac_pp_rec.yuv", 3),
 ])
 def test_bit_exact_vs_jm(golden_dir, stream, recon, n):
     frames = decode_file(str(golden_dir / stream))
