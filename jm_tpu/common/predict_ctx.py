@@ -115,9 +115,11 @@ class PredCtx:
 
     # ---- MV prediction (spec 8.4.1.3) -----------------------------------
 
-    def mv_neighbor(self, addr: int, bx: int, by: int, cur_blk: int = 0):
+    def mv_neighbor(self, addr: int, bx: int, by: int, cur_blk: int = 0,
+                    lst: int = 0):
         """(mv, ref) of the 4x4 block at block coords (bx, by) relative to
-        MB addr's origin; None if unavailable; intra -> (0, -1)."""
+        MB addr's origin; None if unavailable; intra or no-motion-in-list
+        -> (0, -1)."""
         pic = self.pic
         mbx, mby = addr % self.mb_w, addr // self.mb_w
         gx, gy = mbx * 4 + bx, mby * 4 + by
@@ -132,19 +134,21 @@ class PredCtx:
             if naddr > addr or not self.avail(naddr, addr):
                 return None
         q = (nblk // 8) * 2 + ((nblk % 4) // 2)
-        ref = int(pic.ref_idx[naddr, q])
+        ref_arr = pic.ref_idx if lst == 0 else pic.ref_idx_l1
+        mv_arr = pic.mv if lst == 0 else pic.mv_l1
+        ref = int(ref_arr[naddr, q])
         if ref < 0:
             return (np.zeros(2, np.int32), -1)
-        return (pic.mv[naddr, nblk].copy(), ref)
+        return (mv_arr[naddr, nblk].copy(), ref)
 
     def mv_pred(self, addr: int, bx: int, by: int, bw: int, bh: int,
-                ref: int) -> np.ndarray:
+                ref: int, lst: int = 0) -> np.ndarray:
         cur = by * 4 + bx
-        a = self.mv_neighbor(addr, bx - 1, by, cur)
-        b = self.mv_neighbor(addr, bx, by - 1, cur)
-        c = self.mv_neighbor(addr, bx + bw, by - 1, cur)
+        a = self.mv_neighbor(addr, bx - 1, by, cur, lst)
+        b = self.mv_neighbor(addr, bx, by - 1, cur, lst)
+        c = self.mv_neighbor(addr, bx + bw, by - 1, cur, lst)
         if c is None:
-            c = self.mv_neighbor(addr, bx - 1, by - 1, cur)
+            c = self.mv_neighbor(addr, bx - 1, by - 1, cur, lst)
 
         if bw == 4 and bh == 2:  # 16x8
             if by == 0 and b is not None and b[1] == ref:

@@ -91,7 +91,8 @@ class H264Decoder:
         cur = self._cur
         pic = cur["pic"]
 
-        # build list0 for this slice
+        # build reference lists for this slice
+        lst, lst1 = [], []
         if hdr.slice_type == SliceType.P:
             base = self.dpb.ref_list_p(hdr.frame_num)
             nact = hdr.num_ref_idx_l0_active_minus1 + 1
@@ -99,30 +100,43 @@ class H264Decoder:
                                         hdr.frame_num, nact)
             if len(lst) < nact:
                 raise ValueError("insufficient reference frames")
-        else:
-            lst = []
+        elif hdr.slice_type == SliceType.B:
+            from .b_slice import ColMotion, ref_lists_b
+            b0, b1 = ref_lists_b(self.dpb.frames, cur["poc"])
+            nact0 = hdr.num_ref_idx_l0_active_minus1 + 1
+            nact1 = hdr.num_ref_idx_l1_active_minus1 + 1
+            lst = self.dpb.reorder_list(b0, hdr.ref_pic_list_mod_l0,
+                                        hdr.frame_num, nact0)
+            lst1 = self.dpb.reorder_list(b1, hdr.ref_pic_list_mod_l1,
+                                         hdr.frame_num, nact1)
 
         sid = cur["n_slices"]
         cur["n_slices"] += 1
         ctx = SliceContext(hdr, sps, pps, sid)
+        if hdr.slice_type == SliceType.B:
+            col = lst1[0]
+            if col.motion is None:
+                raise ValueError("colocated picture has no stored motion")
+            ctx.b_col = ColMotion(*col.motion, pic.mb_w, col.is_long_term)
         if pps.entropy_coding_mode_flag:
             from .mb_parse_cabac import MBParserCABAC
             parser = MBParserCABAC(pic, ctx, br)
         else:
             parser = MBParser(pic, ctx, br)
         parser.parse_slice_data()
-        cur["headers"].append((hdr, lst))
+        cur["headers"].append((hdr, lst, lst1))
 
-        # record per-MB ref uid for deblock strength (after parse, the MBs of
-        # this slice have their ref_idx set)
-        if not hasattr(pic, "ref_pic_id"):
-            pic.ref_pic_id = np.full((pic.n_mbs, 4), -1, np.int64)
+        # record per-MB ref uids for deblock strength
         mask = pic.slice_id == sid
-        if lst:
-            uid = np.array([f.uid for f in lst], np.int64)
-            ridx = pic.ref_idx[mask]
-            pid = np.where(ridx >= 0, uid[np.clip(ridx, 0, len(lst) - 1)], -1)
-            pic.ref_pic_id[mask] = pid
+        for frames_l, ridx_arr, pid_arr in (
+                (lst, pic.ref_idx, pic.ref_pic_id),
+                (lst1, pic.ref_idx_l1, pic.ref_pic_id_l1)):
+            if frames_l:
+                uid = np.array([f.uid for f in frames_l], np.int64)
+                ridx = ridx_arr[mask]
+                pid = np.where(ridx >= 0,
+                               uid[np.clip(ridx, 0, len(frames_l) - 1)], -1)
+                pid_arr[mask] = pid
 
     # ------------------------------------------------------------------
 
@@ -131,9 +145,9 @@ class H264Decoder:
             return
         cur, self._cur = self._cur, None
         pic, sps, pps = cur["pic"], cur["sps"], cur["pps"]
-        hdr0, lst0 = cur["headers"][0]
+        hdr0, lst0, lst1 = cur["headers"][0]
 
-        rec = Reconstructor(pic, sps, pps, lst0)
+        rec = Reconstructor(pic, sps, pps, lst0, lst1)
         Y, U, V = rec.run()
 
         # deblock (per-MB slice params)
@@ -143,13 +157,11 @@ class H264Decoder:
         b_off = np.zeros(n, np.int32)
         cb_off = np.full(n, pps.cb_qp_offset, np.int32)
         cr_off = np.full(n, pps.cr_qp_offset, np.int32)
-        for sid, (hdr, _lst) in enumerate(cur["headers"]):
+        for sid, (hdr, _lst, _lst1) in enumerate(cur["headers"]):
             m = pic.slice_id == sid
             disable[m] = hdr.disable_deblocking_filter_idc
             a_off[m] = hdr.slice_alpha_c0_offset_div2
             b_off[m] = hdr.slice_beta_offset_div2
-        if not hasattr(pic, "ref_pic_id"):
-            pic.ref_pic_id = np.full((n, 4), -1, np.int64)
         deblock_picture(Y, U, V, pic, pic.mb_w, pic.mb_h, pic.qp, {
             "disable_idc": disable, "alpha_off": a_off, "beta_off": b_off,
             "cb_qp_off": cb_off, "cr_qp_off": cr_off,
@@ -158,6 +170,8 @@ class H264Decoder:
 
         frame = Frame(poc=cur["poc"], frame_num=hdr0.frame_num,
                       Y=Y, U=U, V=V, is_ref=hdr0.nal_ref_idc != 0)
+        frame.motion = (pic.mv.copy(), pic.ref_idx.copy(),
+                        pic.mv_l1.copy(), pic.ref_idx_l1.copy())
         self.dpb.store(frame,
                        mmco_ops=(hdr0.mmco_ops
                                  if hdr0.adaptive_ref_pic_marking_mode_flag

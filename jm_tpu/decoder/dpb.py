@@ -27,6 +27,8 @@ class Frame:
     is_long_term: bool = False
     long_term_frame_idx: int = -1
     uid: int = -1            # unique decode-order id (deblock ref comparison)
+    # (mv_l0, ref_idx_l0, mv_l1, ref_idx_l1) SoA for temporal/spatial direct
+    motion: tuple | None = None
     _luma_planes: tuple | None = None
     _chroma_pad: tuple | None = None
 

@@ -86,6 +86,16 @@ class PictureData:
         # coded-block-flag bitmask (ldecod cabac.c s_cbp[0].bits)
         self.mvd = np.zeros((n, 2, 16, 2), np.int32)
         self.cbp_bits = np.zeros(n, np.int64)
+        # B-slice motion: list-1 MVs/refs and per-8x8 prediction direction
+        # (0=list0, 1=list1, 2=bidirectional, -1=intra)
+        self.mv_l1 = np.zeros((n, 16, 2), np.int32)
+        self.ref_idx_l1 = np.full((n, 4), -1, np.int8)
+        self.pdir = np.full((n, 4), -1, np.int8)
+        self.b_direct = np.zeros(n, bool)
+        self.b8_direct = np.zeros((n, 4), bool)
+        # unique ids of referenced pictures per 8x8 per list (deblock bS)
+        self.ref_pic_id = np.full((n, 4), -1, np.int64)
+        self.ref_pic_id_l1 = np.full((n, 4), -1, np.int64)
 
     # -- neighbor helpers (same-slice availability) -------------------------
 

@@ -130,6 +130,86 @@ class MBParserCABAC:
             return 2 if eng.decision(ctx, 4) else 3
         return 1
 
+    def read_skip_flag_b(self, addr) -> bool:
+        pic = self.pic
+        la, ua = self._left_mb(addr), self._up_mb(addr)
+        a = 1 if (la >= 0 and not pic.skip[la]) else 0
+        b = 1 if (ua >= 0 and not pic.skip[ua]) else 0
+        return self.eng.decision(self.ctxs.mb_type[2], 7 + a + b) == 1
+
+    def read_mb_type_b(self, addr) -> int:
+        """Coded B mb_type: 0=direct, 1..21 partitions, 22=B8x8,
+        23=I4, 24..47=I16, 48=IPCM (readMB_typeInfo_CABAC_b_slice)."""
+        eng, pic = self.eng, self.pic
+        ctx = self.ctxs.mb_type[2]
+        la, ua = self._left_mb(addr), self._up_mb(addr)
+        # "mb_type != 0": non-direct, non-skip B neighbor
+        a = 1 if (la >= 0 and not (pic.skip[la] or pic.b_direct[la])) else 0
+        b = 1 if (ua >= 0 and not (pic.skip[ua] or pic.b_direct[ua])) else 0
+        if not eng.decision(ctx, a + b):
+            return 0
+        if not eng.decision(ctx, 4):
+            sym = 2 if eng.decision(ctx, 6) else 1
+        elif not eng.decision(ctx, 5):
+            sym = 3
+            sym += 4 * eng.decision(ctx, 6)
+            sym += 2 * eng.decision(ctx, 6)
+            sym += eng.decision(ctx, 6)
+        else:
+            sym = 12
+            sym += 8 * eng.decision(ctx, 6)
+            sym += 4 * eng.decision(ctx, 6)
+            sym += 2 * eng.decision(ctx, 6)
+            if sym == 24:
+                sym = 11
+            elif sym == 26:
+                sym = 22
+            else:
+                if sym == 22:
+                    sym = 23
+                sym += eng.decision(ctx, 6)
+        if sym <= 23:      # 0..22 inter, 23 = I4x4
+            return sym
+        # sym == 24: Intra16x16 / IPCM continuation
+        if eng.terminate():
+            return 48
+        ctx1 = self.ctxs.mb_type[1]
+        sym += eng.decision(ctx1, 8) * 12
+        if eng.decision(ctx1, 9):
+            sym += 4
+            if eng.decision(ctx1, 9):
+                sym += 4
+        sym += eng.decision(ctx1, 10) * 2
+        sym += eng.decision(ctx1, 10)
+        return sym
+
+    def read_sub_mb_type_b(self) -> int:
+        """Coded B sub_mb_type 0..12 (readB8_typeInfo_CABAC_b_slice)."""
+        eng, ctx = self.eng, self.ctxs.b8_type[1]
+        if not eng.decision(ctx, 0):
+            return 0
+        if eng.decision(ctx, 1):
+            if eng.decision(ctx, 2):
+                if eng.decision(ctx, 3):
+                    sym = 10
+                    if eng.decision(ctx, 3):
+                        sym += 1
+                else:
+                    sym = 6
+                    if eng.decision(ctx, 3):
+                        sym += 2
+                    if eng.decision(ctx, 3):
+                        sym += 1
+            else:
+                sym = 2
+                if eng.decision(ctx, 3):
+                    sym += 2
+                if eng.decision(ctx, 3):
+                    sym += 1
+        else:
+            sym = 1 if eng.decision(ctx, 3) else 0
+        return sym + 1
+
     def read_intra4_mode(self) -> int:
         """-1 = use predicted mode, else rem (0..7, LSB-first bins)."""
         eng, ctx = self.eng, self.ctxs.ipr
@@ -152,21 +232,24 @@ class MBParserCABAC:
             sym = self.eng.unary_max(self.ctxs.cipr, 3, 3, 1) + 1
         return sym
 
-    def read_ref_idx(self, addr, bx, by) -> int:
+    def read_ref_idx(self, addr, bx, by, lst=0) -> int:
         pic = self.pic
-        a = b = 0
-        na = self._blk_neighbor(addr, bx - 1, by)
-        nb = self._blk_neighbor(addr, bx, by - 1)
-        if nb is not None:
+        ref_arr = pic.ref_idx if lst == 0 else pic.ref_idx_l1
+
+        def term(nb):
+            if nb is None:
+                return 0
             naddr, nblk = nb
             q = (nblk // 8) * 2 + ((nblk % 4) // 2)
-            if pic.mb_class[naddr] != MB_IPCM and pic.ref_idx[naddr, q] > 0:
-                b = 2
-        if na is not None:
-            naddr, nblk = na
-            q = (nblk // 8) * 2 + ((nblk % 4) // 2)
-            if pic.mb_class[naddr] != MB_IPCM and pic.ref_idx[naddr, q] > 0:
-                a = 1
+            if pic.mb_class[naddr] == MB_IPCM:
+                return 0
+            # direct neighbors (whole-MB or per-8x8) contribute 0
+            if pic.skip[naddr] or pic.b_direct[naddr] or pic.b8_direct[naddr, q]:
+                return 0
+            return 1 if ref_arr[naddr, q] > 0 else 0
+
+        b = 2 * term(self._blk_neighbor(addr, bx, by - 1))
+        a = term(self._blk_neighbor(addr, bx - 1, by))
         sym = self.eng.decision(self.ctxs.ref_no[0], a + b)
         if sym:
             sym = self.eng.unary(self.ctxs.ref_no[0], 4, 5) + 1
@@ -487,6 +570,156 @@ class MBParserCABAC:
         pic.mv[addr] = self.pctx.skip_mv(addr)
         self.last_dquant = 0
 
+    # ---- B slices ---------------------------------------------------------
+
+    def _fill_direct_mb(self, addr):
+        from .b_slice import prepare_direct_params, spatial_direct_quadrant
+        l0, l1, pmv0, pmv1 = prepare_direct_params(self.pctx, addr)
+        for q in range(4):
+            spatial_direct_quadrant(self.pic, addr, q, l0, l1, pmv0, pmv1,
+                                    self.ctx.b_col)
+            self.pic.b8_direct[addr, q] = True
+
+    def _parse_b_skip(self, addr):
+        pic = self.pic
+        pic.mb_class[addr] = MB_INTER
+        pic.skip[addr] = True
+        pic.b_direct[addr] = True
+        pic.qp[addr] = self.qp
+        self._fill_direct_mb(addr)
+        self.last_dquant = 0
+
+    def _parse_b_mb(self, addr, coded):
+        from .b_slice import (B_MBTYPE, B_SUBTYPE, PD_BI, PD_DIRECT, PD_L0,
+                              PD_L1, prepare_direct_params,
+                              spatial_direct_quadrant)
+        pic = self.pic
+        h = self.ctx.header
+        nref0 = h.num_ref_idx_l0_active_minus1 + 1
+        nref1 = h.num_ref_idx_l1_active_minus1 + 1
+        pic.mb_class[addr] = MB_INTER
+
+        if coded == 0:   # B_Direct_16x16
+            pic.b_direct[addr] = True
+            self._fill_direct_mb(addr)
+            self._read_b_residual(addr)
+            return
+
+        if coded != 22:
+            shape, pdirs = B_MBTYPE[coded]
+            parts = {
+                "16x16": [(0, 0, 4, 4)],
+                "16x8": [(0, 0, 4, 2), (0, 2, 4, 2)],
+                "8x16": [(0, 0, 2, 4), (2, 0, 2, 4)],
+            }[shape]
+            refs0 = [0] * len(parts)
+            refs1 = [0] * len(parts)
+            # ref_idx_l0 for L0/BI partitions, stored progressively
+            for i, ((bx, by, bw, bh), pd) in enumerate(zip(parts, pdirs)):
+                if pd in (PD_L0, PD_BI):
+                    refs0[i] = self.read_ref_idx(addr, bx, by, 0) if nref0 > 1 else 0
+                    self._store_part_refs(addr, bx, by, bw, bh, 0, refs0[i], pd)
+                else:
+                    self._store_part_refs(addr, bx, by, bw, bh, 0, -1, pd)
+            for i, ((bx, by, bw, bh), pd) in enumerate(zip(parts, pdirs)):
+                if pd in (PD_L1, PD_BI):
+                    refs1[i] = self.read_ref_idx(addr, bx, by, 1) if nref1 > 1 else 0
+                    self._store_part_refs(addr, bx, by, bw, bh, 1, refs1[i], pd)
+                else:
+                    self._store_part_refs(addr, bx, by, bw, bh, 1, -1, pd)
+            for i, ((bx, by, bw, bh), pd) in enumerate(zip(parts, pdirs)):
+                if pd in (PD_L0, PD_BI):
+                    self._read_part_mvd(addr, bx, by, bw, bh, 0, refs0[i])
+            for i, ((bx, by, bw, bh), pd) in enumerate(zip(parts, pdirs)):
+                if pd in (PD_L1, PD_BI):
+                    self._read_part_mvd(addr, bx, by, bw, bh, 1, refs1[i])
+        else:            # B_8x8
+            subs = [self.read_sub_mb_type_b() for _ in range(4)]
+            sub_info = [B_SUBTYPE[s] for s in subs]
+            direct_params = None
+            refs0 = [0] * 4
+            refs1 = [0] * 4
+            # derive direct quadrants FIRST? JM assigns direct motion during
+            # the motion-info read loop; ref ctx of later quadrants sees it.
+            # Order: ref_l0 reads (with direct quadrants filled on the fly).
+            for q in range(4):
+                shape, pd = sub_info[q]
+                qx, qy = (q % 2) * 2, (q // 2) * 2
+                if pd == PD_DIRECT:
+                    if direct_params is None:
+                        direct_params = prepare_direct_params(self.pctx, addr)
+                    l0, l1, pmv0, pmv1 = direct_params
+                    spatial_direct_quadrant(pic, addr, q, l0, l1, pmv0, pmv1,
+                                            self.ctx.b_col)
+                    pic.b8_direct[addr, q] = True
+                    continue
+                if pd in (PD_L0, PD_BI):
+                    refs0[q] = self.read_ref_idx(addr, qx, qy, 0) if nref0 > 1 else 0
+                    pic.ref_idx[addr, q] = refs0[q]
+                else:
+                    pic.ref_idx[addr, q] = -1
+                pic.pdir[addr, q] = pd
+            for q in range(4):
+                shape, pd = sub_info[q]
+                qx, qy = (q % 2) * 2, (q // 2) * 2
+                if pd == PD_DIRECT:
+                    continue
+                if pd in (PD_L1, PD_BI):
+                    refs1[q] = self.read_ref_idx(addr, qx, qy, 1) if nref1 > 1 else 0
+                    pic.ref_idx_l1[addr, q] = refs1[q]
+                else:
+                    pic.ref_idx_l1[addr, q] = -1
+            for lst in (0, 1):
+                for q in range(4):
+                    shape, pd = sub_info[q]
+                    if pd == PD_DIRECT:
+                        continue
+                    if (lst == 0 and pd not in (PD_L0, PD_BI)) or \
+                       (lst == 1 and pd not in (PD_L1, PD_BI)):
+                        continue
+                    qx, qy = (q % 2) * 2, (q // 2) * 2
+                    sw, sh = shape
+                    ref = refs0[q] if lst == 0 else refs1[q]
+                    subparts = [(qx + sx, qy + sy)
+                                for sy in range(0, 2, sh)
+                                for sx in range(0, 2, sw)]
+                    for (bx, by) in subparts:
+                        self._read_part_mvd(addr, bx, by, sw, sh, lst, ref)
+        self._read_b_residual(addr)
+
+    def _store_part_refs(self, addr, bx, by, bw, bh, lst, ref, pd):
+        pic = self.pic
+        arr = pic.ref_idx if lst == 0 else pic.ref_idx_l1
+        for yy in range(by, by + bh):
+            for xx in range(bx, bx + bw):
+                q = (yy // 2) * 2 + (xx // 2)
+                arr[addr, q] = ref
+                pic.pdir[addr, q] = pd
+
+    def _read_part_mvd(self, addr, bx, by, bw, bh, lst, ref):
+        pic = self.pic
+        mvdx = self.read_mvd(addr, bx, by, 0, lst)
+        mvdy = self.read_mvd(addr, bx, by, 1, lst)
+        pred = self.pctx.mv_pred(addr, bx, by, bw, bh, ref, lst)
+        mv = pred + (mvdx, mvdy)
+        mv_arr = pic.mv if lst == 0 else pic.mv_l1
+        for yy in range(by, by + bh):
+            for xx in range(bx, bx + bw):
+                mv_arr[addr, yy * 4 + xx] = mv
+                pic.mvd[addr, lst, yy * 4 + xx] = (mvdx, mvdy)
+
+    def _read_b_residual(self, addr):
+        pic = self.pic
+        cbp = self.read_cbp(addr)
+        pic.cbp[addr] = cbp
+        if cbp:
+            self._apply_dquant(addr)
+        else:
+            self.last_dquant = 0
+            pic.qp[addr] = self.qp
+        self._read_luma_residual(addr, cbp & 15, is_i16=False)
+        self._read_chroma_residual(addr, cbp)
+
     # ---- slice loop -------------------------------------------------------
 
     def parse_slice_data(self):
@@ -511,8 +744,19 @@ class MBParserCABAC:
                         self._parse_intra_mb(addr, 25)
                     else:
                         self._parse_intra_mb(addr, t - 6)
+            elif stype == SliceType.B:
+                if self.read_skip_flag_b(addr):
+                    self._parse_b_skip(addr)
+                else:
+                    t = self.read_mb_type_b(addr)
+                    if t <= 22:
+                        self._parse_b_mb(addr, t)
+                    elif t == 48:
+                        self._parse_intra_mb(addr, 25)
+                    else:
+                        self._parse_intra_mb(addr, t - 23)
             else:
-                raise NotImplementedError("B slice CABAC: next phase")
+                raise NotImplementedError(f"slice type {stype} CABAC")
             addr += 1
             if self.eng.terminate() or addr >= n:
                 break

@@ -115,13 +115,14 @@ def decode_residuals(pic: PictureData, cb_qp_off: int, cr_qp_off: int):
 class Reconstructor:
     """Host-side reference reconstruction of one picture."""
 
-    def __init__(self, pic: PictureData, sps, pps, ref_frames):
+    def __init__(self, pic: PictureData, sps, pps, ref_frames, ref_frames_l1=()):
         """ref_frames: list (ref_idx order, list0) of DPB Frame objects with
         .luma_planes (INT,B,H,J) and .chroma_pad (U, V) padded planes."""
         self.pic = pic
         self.sps = sps
         self.pps = pps
         self.refs = ref_frames
+        self.refs1 = list(ref_frames_l1)
         self.mb_w = pic.mb_w
         self.mb_h = pic.mb_h
         self.w = self.mb_w * 16
@@ -241,6 +242,20 @@ class Reconstructor:
 
     # -- inter -------------------------------------------------------------
 
+    def _mc_4x4(self, ref, px, py, bx, by, mv):
+        """(luma 4x4, u 2x2, v 2x2) int32 prediction from one reference."""
+        mvx, mvy = int(mv[0]), int(mv[1])
+        x4 = (px + bx * 4) * 4 + mvx
+        y4 = (py + by * 4) * 4 + mvy
+        yb = P.mc_luma_block(ref.luma_planes, x4, y4, 4, 4, self.w, self.h)
+        cx8 = (px // 2 + bx * 2) * 8 + mvx
+        cy8 = (py // 2 + by * 2) * 8 + mvy
+        ub = P.mc_chroma_block(ref.chroma_pad[0], cx8, cy8, 2, 2,
+                               self.w // 2, self.h // 2)
+        vb = P.mc_chroma_block(ref.chroma_pad[1], cx8, cy8, 2, 2,
+                               self.w // 2, self.h // 2)
+        return yb, ub, vb
+
     def _recon_inter(self, addr, res_l, res_c):
         pic = self.pic
         mbx, mby = addr % self.mb_w, addr // self.mb_w
@@ -251,19 +266,27 @@ class Reconstructor:
         for blk in range(16):
             by, bx = divmod(blk, 4)
             q = (by // 2) * 2 + (bx // 2)
-            ref = self.refs[pic.ref_idx[addr, q]]
-            mvx, mvy = int(pic.mv[addr, blk, 0]), int(pic.mv[addr, blk, 1])
-            x4 = (px + bx * 4) * 4 + mvx
-            y4 = (py + by * 4) * 4 + mvy
-            pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = P.mc_luma_block(
-                ref.luma_planes, x4, y4, 4, 4, self.w, self.h)
-            # chroma: eighth-pel, block 2x2
-            cx8 = (px // 2 + bx * 2) * 8 + mvx
-            cy8 = (py // 2 + by * 2) * 8 + mvy
-            pred_u[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = P.mc_chroma_block(
-                ref.chroma_pad[0], cx8, cy8, 2, 2, self.w // 2, self.h // 2)
-            pred_v[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = P.mc_chroma_block(
-                ref.chroma_pad[1], cx8, cy8, 2, 2, self.w // 2, self.h // 2)
+            pd = int(pic.pdir[addr, q])
+            if pd < 0:
+                pd = 0  # P paths that don't set pdir
+            if pd in (0, 2):
+                ref = self.refs[pic.ref_idx[addr, q]]
+                y0, u0, v0 = self._mc_4x4(ref, px, py, bx, by, pic.mv[addr, blk])
+            if pd in (1, 2):
+                ref1 = self.refs1[pic.ref_idx_l1[addr, q]]
+                y1, u1, v1 = self._mc_4x4(ref1, px, py, bx, by,
+                                          pic.mv_l1[addr, blk])
+            if pd == 0:
+                yb, ub, vb = y0, u0, v0
+            elif pd == 1:
+                yb, ub, vb = y1, u1, v1
+            else:  # bidirectional average (spec 8.4.2.3.1, no WP)
+                yb = (y0 + y1 + 1) >> 1
+                ub = (u0 + u1 + 1) >> 1
+                vb = (v0 + v1 + 1) >> 1
+            pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = yb
+            pred_u[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = ub
+            pred_v[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = vb
         res = res_l[addr].reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
         self.Y[py:py + 16, px:px + 16] = np.clip(pred_y + res, 0, 255)
         for comp, plane, pr in ((0, self.U, pred_u), (1, self.V, pred_v)):

@@ -29,52 +29,65 @@ def compute_bs(pic, mb_w: int, mb_h: int):
     column x=0 entries refer to the picture edge and are unused.
     """
     H, W = 4 * mb_h, 4 * mb_w
-    # per-4x4-block fields in global block coords
-    intra = np.zeros((H, W), bool)
-    nnz = np.zeros((H, W), np.int32)
-    mv = np.zeros((H, W, 2), np.int32)
-    ref = np.zeros((H, W), np.int32)
-
     mc = pic.mb_class.reshape(mb_h, mb_w)
-    intra_mb = mc != 0
-    intra = np.repeat(np.repeat(intra_mb, 4, 0), 4, 1)
-
+    intra = np.repeat(np.repeat(mc != 0, 4, 0), 4, 1)
     nnz = pic.luma_nnz.reshape(mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3).reshape(H, W)
-    mv = pic.mv.reshape(mb_h, mb_w, 4, 4, 2).transpose(0, 2, 1, 3, 4).reshape(H, W, 2)
-    ref8 = pic.ref_pic_id if hasattr(pic, "ref_pic_id") else pic.ref_idx.astype(np.int32)
-    ref = np.repeat(np.repeat(
-        ref8.reshape(mb_h, mb_w, 2, 2).transpose(0, 2, 1, 3).reshape(2 * mb_h, 2 * mb_w),
-        2, 0), 2, 1)
+    mv0 = pic.mv.reshape(mb_h, mb_w, 4, 4, 2).transpose(0, 2, 1, 3, 4).reshape(H, W, 2)
+    mv1 = pic.mv_l1.reshape(mb_h, mb_w, 4, 4, 2).transpose(0, 2, 1, 3, 4).reshape(H, W, 2)
 
-    def edge_bs(p_sel, q_sel, is_mb_edge):
-        """p/q: tuples of sliced arrays (intra, nnz, mv, ref)."""
-        ip, nn_p, mv_p, rf_p = p_sel
-        iq, nn_q, mv_q, rf_q = q_sel
+    def expand_q(a8):  # (n, 4) per-8x8 -> (H, W) per-4x4
+        return np.repeat(np.repeat(
+            a8.reshape(mb_h, mb_w, 2, 2).transpose(0, 2, 1, 3)
+              .reshape(2 * mb_h, 2 * mb_w), 2, 0), 2, 1)
+
+    r0 = expand_q(pic.ref_pic_id.astype(np.int64))
+    r1 = expand_q(pic.ref_pic_id_l1.astype(np.int64))
+    # blocks predicted from one list only carry "no picture" (-1) in the
+    # other; JM's NULL ref_pic pointer compares equal across such blocks.
+
+    def cmp_mv(a, b):
+        return (np.abs(a - b) >= 4).any(axis=-1)
+
+    def edge_bs(sl_p, sl_q, is_mb_edge):
+        (ip, nn_p, m0p, m1p, r0p, r1p) = sl_p
+        (iq, nn_q, m0q, m1q, r0q, r1q) = sl_q
         bs = np.zeros(ip.shape, np.int8)
         either_intra = ip | iq
         bs[either_intra & is_mb_edge] = 4
         bs[either_intra & ~is_mb_edge] = 3
         coef = (nn_p > 0) | (nn_q > 0)
-        mvd = (np.abs(mv_p - mv_q) >= 4).any(axis=-1)
-        refd = rf_p != rf_q
         rest = ~either_intra
         bs[rest & coef] = 2
-        bs[rest & ~coef & (mvd | refd)] = 1
+        # motion-based strength (ldecod loop_filter_normal.c:158-196)
+        pair_straight = (r0p == r0q) & (r1p == r1q)
+        pair_cross = (r0p == r1q) & (r1p == r0q)
+        c00 = cmp_mv(m0p, m0q)
+        c11 = cmp_mv(m1p, m1q)
+        c01 = cmp_mv(m0p, m1q)
+        c10 = cmp_mv(m1p, m0q)
+        strv_same = (c00 | c11) & (c01 | c10)    # both lists same picture
+        strv = np.where(~(pair_straight | pair_cross), 1,
+                        np.where(r0p != r1p,
+                                 np.where(r0p == r0q, c00 | c11, c01 | c10),
+                                 strv_same)).astype(np.int8)
+        sel = rest & ~coef
+        bs[sel] = strv[sel]
         return bs
 
-    bs_v = np.zeros((H, W), np.int8)
-    sel_p = (intra[:, :-1], nnz[:, :-1], mv[:, :-1], ref[:, :-1])
-    sel_q = (intra[:, 1:], nnz[:, 1:], mv[:, 1:], ref[:, 1:])
-    is_mb_v = np.zeros((H, W - 1), bool)
-    is_mb_v[:, 3::4] = True  # edge left of block x where x%4==0
-    bs_v[:, 1:] = edge_bs(sel_p, sel_q, is_mb_v)
+    def sl(arrs, s):
+        return tuple(a[s] for a in arrs)
 
+    fields = (intra, nnz, mv0, mv1, r0, r1)
+    bs_v = np.zeros((H, W), np.int8)
+    is_mb_v = np.zeros((H, W - 1), bool)
+    is_mb_v[:, 3::4] = True
+    bs_v[:, 1:] = edge_bs(sl(fields, np.s_[:, :-1]), sl(fields, np.s_[:, 1:]),
+                          is_mb_v)
     bs_h = np.zeros((H, W), np.int8)
-    sel_p = (intra[:-1, :], nnz[:-1, :], mv[:-1, :], ref[:-1, :])
-    sel_q = (intra[1:, :], nnz[1:, :], mv[1:, :], ref[1:, :])
     is_mb_h = np.zeros((H - 1, W), bool)
     is_mb_h[3::4, :] = True
-    bs_h[1:, :] = edge_bs(sel_p, sel_q, is_mb_h)
+    bs_h[1:, :] = edge_bs(sl(fields, np.s_[:-1, :]), sl(fields, np.s_[1:, :]),
+                          is_mb_h)
     return bs_v, bs_h
 
 

@@ -29,9 +29,11 @@ def _load_yuv(path, n_frames):
     ("qp20.264", "qp20_rec.yuv", 3),
     ("qp36.264", "qp36_rec.yuv", 3),
     ("cabac_pp.264", "cabac_pp_rec.yuv", 3),
+    ("main3.264", "main3_rec.yuv", 3),
+    ("main9.264", "main9_rec.yuv", 9),
 ])
 def test_bit_exact_vs_jm(golden_dir, stream, recon, n):
-    frames = decode_file(str(golden_dir / stream))
+    frames = sorted(decode_file(str(golden_dir / stream)), key=lambda f: f.poc)
     assert len(frames) == n
     refs = _load_yuv(golden_dir / recon, n)
     for i, (f, (Yr, Ur, Vr)) in enumerate(zip(frames, refs)):
