@@ -49,10 +49,12 @@ def rsd(x: int) -> int:
 class ColMotion:
     """Colocated motion of the list1[0] picture, for direct modes."""
 
-    def __init__(self, mv0, ref0_q, mv1, ref1_q, mb_w, is_long_term):
-        # per-4x4 mv (n,16,2); per-8x8 refs (n,4)
+    def __init__(self, mv0, ref0_q, mv1, ref1_q, mb_w, is_long_term,
+                 refpic0_q=None, refpic1_q=None):
+        # per-4x4 mv (n,16,2); per-8x8 refs (n,4); per-8x8 ref pic uids
         self.mv0, self.ref0_q = mv0, ref0_q
         self.mv1, self.ref1_q = mv1, ref1_q
+        self.refpic0_q, self.refpic1_q = refpic0_q, refpic1_q
         self.mb_w = mb_w
         self.is_long_term = is_long_term
 
@@ -63,6 +65,17 @@ class ColMotion:
         q = (blk // 8) * 2 + ((blk % 4) // 2)
         return (int(self.ref0_q[addr, q]), self.mv0[addr, blk],
                 int(self.ref1_q[addr, q]), self.mv1[addr, blk])
+
+    def at_full(self, gx: int, gy: int):
+        """(refList, col_ref_idx, col_ref_uid, mvCol) for temporal direct."""
+        addr = (gy // 4) * self.mb_w + (gx // 4)
+        blk = (gy % 4) * 4 + (gx % 4)
+        q = (blk // 8) * 2 + ((blk % 4) // 2)
+        if int(self.ref0_q[addr, q]) != -1:
+            return (0, int(self.ref0_q[addr, q]),
+                    int(self.refpic0_q[addr, q]), self.mv0[addr, blk])
+        return (1, int(self.ref1_q[addr, q]),
+                int(self.refpic1_q[addr, q]), self.mv1[addr, blk])
 
     def col_zero(self, gx: int, gy: int) -> bool:
         """'is_not_moving' (ldecod mc_direct.c get_colocated_info_8x8)."""
@@ -148,6 +161,90 @@ def spatial_direct_quadrant(pic, addr: int, q: int, l0: int, l1: int,
             blk = yy * 4 + xx
             pic.mv[addr, blk] = mv0 if r0 >= 0 else 0
             pic.mv_l1[addr, blk] = mv1 if r1 >= 0 else 0
+
+
+def _c_div(a: int, b: int) -> int:
+    """C integer division (truncate toward zero)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def compute_mvscale(cur_poc: int, list0, list1_0_poc: int) -> list[int]:
+    """Per-list0-index temporal scaling factors (ldecod mbuffer.c
+    compute_colocated:2775); 9999 = copy unscaled."""
+    out = []
+    for f in list0:
+        trb = max(-128, min(127, cur_poc - f.poc))
+        trp = max(-128, min(127, list1_0_poc - f.poc))
+        if trp != 0:
+            prescale = _c_div(16384 + abs(_c_div(trp, 2)), trp)
+            out.append(max(-1024, min(1023, (trb * prescale + 32) >> 6)))
+        else:
+            out.append(9999)
+    return out
+
+
+def temporal_direct_quadrant(pic, addr: int, q: int, col: ColMotion,
+                             list0_uid_to_idx: dict, list0_lt, mvscale) -> None:
+    """Temporal direct for one 8x8 quadrant (8x8 inference, frame coding).
+
+    list0_uid_to_idx: map of frame uid -> index in current list0.
+    list0_lt: per-index long-term flags. mvscale: from compute_mvscale.
+    """
+    mb_w = pic.mb_w
+    mbx, mby = addr % mb_w, addr // mb_w
+    qx, qy = (q % 2) * 2, (q // 2) * 2
+    gx, gy = mbx * 4 + qx, mby * 4 + qy
+    ref_list, col_ref, col_uid, mv_col = col.at_full(rsd(gx), rsd(gy))
+
+    pic.pdir[addr, q] = PD_BI
+    if col_ref == -1:      # colocated intra
+        pic.ref_idx[addr, q] = 0
+        pic.ref_idx_l1[addr, q] = 0
+        for yy in range(qy, qy + 2):
+            for xx in range(qx, qx + 2):
+                pic.mv[addr, yy * 4 + xx] = 0
+                pic.mv_l1[addr, yy * 4 + xx] = 0
+        return
+    mapped = list0_uid_to_idx.get(col_uid)
+    if mapped is None:
+        raise ValueError("temporal direct: colocated reference unavailable")
+    scale = mvscale[mapped]
+    mvx, mvy = int(mv_col[0]), int(mv_col[1])
+    if scale == 9999 or list0_lt[mapped]:
+        m0 = np.array([mvx, mvy], np.int32)
+        m1 = np.zeros(2, np.int32)
+    else:
+        m0 = np.array([(scale * mvx + 128) >> 8,
+                       (scale * mvy + 128) >> 8], np.int32)
+        m1 = m0 - (mvx, mvy)
+    pic.ref_idx[addr, q] = mapped
+    pic.ref_idx_l1[addr, q] = 0
+    for yy in range(qy, qy + 2):
+        for xx in range(qx, qx + 2):
+            pic.mv[addr, yy * 4 + xx] = m0
+            pic.mv_l1[addr, yy * 4 + xx] = m1
+
+
+def direct_quadrant(parser, addr: int, q: int, direct_params=None) -> None:
+    """Fill one quadrant with direct motion (spatial or temporal), shared
+    by the CAVLC and CABAC parsers (parser: has pic/pctx/ctx)."""
+    if parser.ctx.header.direct_spatial_mv_pred_flag:
+        l0, l1, pmv0, pmv1 = direct_params
+        spatial_direct_quadrant(parser.pic, addr, q, l0, l1, pmv0, pmv1,
+                                parser.ctx.b_col)
+    else:
+        uid_to_idx, lt_flags, mvscale = parser.ctx.b_tdirect
+        temporal_direct_quadrant(parser.pic, addr, q, parser.ctx.b_col,
+                                 uid_to_idx, lt_flags, mvscale)
+    parser.pic.b8_direct[addr, q] = True
+
+
+def fill_direct_mb(parser, addr: int) -> None:
+    dp = (prepare_direct_params(parser.pctx, addr)
+          if parser.ctx.header.direct_spatial_mv_pred_flag else None)
+    for q in range(4):
+        direct_quadrant(parser, addr, q, dp)
 
 
 def ref_lists_b(frames, cur_poc: int):

@@ -114,10 +114,16 @@ class H264Decoder:
         cur["n_slices"] += 1
         ctx = SliceContext(hdr, sps, pps, sid)
         if hdr.slice_type == SliceType.B:
+            from .b_slice import compute_mvscale
             col = lst1[0]
             if col.motion is None:
                 raise ValueError("colocated picture has no stored motion")
-            ctx.b_col = ColMotion(*col.motion, pic.mb_w, col.is_long_term)
+            mv0, r0, mv1, r1, rp0, rp1 = col.motion
+            ctx.b_col = ColMotion(mv0, r0, mv1, r1, pic.mb_w,
+                                  col.is_long_term, rp0, rp1)
+            ctx.b_tdirect = ({f.uid: i for i, f in enumerate(lst)},
+                             [f.is_long_term for f in lst],
+                             compute_mvscale(cur["poc"], lst, col.poc))
         if pps.entropy_coding_mode_flag:
             from .mb_parse_cabac import MBParserCABAC
             parser = MBParserCABAC(pic, ctx, br)
@@ -147,7 +153,9 @@ class H264Decoder:
         pic, sps, pps = cur["pic"], cur["sps"], cur["pps"]
         hdr0, lst0, lst1 = cur["headers"][0]
 
-        rec = Reconstructor(pic, sps, pps, lst0, lst1)
+        from .wp import WPParams
+        wp = WPParams(hdr0, pps, lst0, lst1, cur["poc"])
+        rec = Reconstructor(pic, sps, pps, lst0, lst1, wp)
         Y, U, V = rec.run()
 
         # deblock (per-MB slice params)
@@ -171,7 +179,8 @@ class H264Decoder:
         frame = Frame(poc=cur["poc"], frame_num=hdr0.frame_num,
                       Y=Y, U=U, V=V, is_ref=hdr0.nal_ref_idc != 0)
         frame.motion = (pic.mv.copy(), pic.ref_idx.copy(),
-                        pic.mv_l1.copy(), pic.ref_idx_l1.copy())
+                        pic.mv_l1.copy(), pic.ref_idx_l1.copy(),
+                        pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())
         self.dpb.store(frame,
                        mmco_ops=(hdr0.mmco_ops
                                  if hdr0.adaptive_ref_pic_marking_mode_flag

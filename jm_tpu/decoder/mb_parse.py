@@ -341,6 +341,131 @@ class MBParser:
         pic.qp[addr] = self.qp
         pic.mv[addr] = self.pctx.skip_mv(addr)
 
+    # ---- B slices (CAVLC) -------------------------------------------------
+
+    def _parse_b_skip(self, addr: int) -> None:
+        from .b_slice import fill_direct_mb
+        pic = self.pic
+        pic.mb_class[addr] = MB_INTER
+        pic.skip[addr] = True
+        pic.b_direct[addr] = True
+        pic.qp[addr] = self.qp
+        fill_direct_mb(self, addr)
+
+    def _parse_b_mb(self, addr: int, coded: int) -> None:
+        from .b_slice import (B_MBTYPE, B_SUBTYPE, PD_BI, PD_DIRECT, PD_L0,
+                              PD_L1, direct_quadrant, fill_direct_mb,
+                              prepare_direct_params)
+        pic, br = self.pic, self.br
+        h = self.ctx.header
+        nref0 = h.num_ref_idx_l0_active_minus1 + 1
+        nref1 = h.num_ref_idx_l1_active_minus1 + 1
+        pic.mb_class[addr] = MB_INTER
+
+        def store_refs(bx, by, bw, bh, lst, ref, pd):
+            arr = pic.ref_idx if lst == 0 else pic.ref_idx_l1
+            for yy in range(by, by + bh):
+                for xx in range(bx, bx + bw):
+                    q = (yy // 2) * 2 + (xx // 2)
+                    arr[addr, q] = ref
+                    pic.pdir[addr, q] = pd
+
+        def read_part_mvd(bx, by, bw, bh, lst, ref):
+            mvdx, mvdy = br.se(), br.se()
+            pred = self.pctx.mv_pred(addr, bx, by, bw, bh, ref, lst)
+            mv = pred + (mvdx, mvdy)
+            mv_arr = pic.mv if lst == 0 else pic.mv_l1
+            for yy in range(by, by + bh):
+                for xx in range(bx, bx + bw):
+                    mv_arr[addr, yy * 4 + xx] = mv
+                    pic.mvd[addr, lst, yy * 4 + xx] = (mvdx, mvdy)
+
+        if coded == 0:
+            pic.b_direct[addr] = True
+            fill_direct_mb(self, addr)
+        elif coded != 22:
+            shape, pdirs = B_MBTYPE[coded]
+            parts = {"16x16": [(0, 0, 4, 4)],
+                     "16x8": [(0, 0, 4, 2), (0, 2, 4, 2)],
+                     "8x16": [(0, 0, 2, 4), (2, 0, 2, 4)]}[shape]
+            refs0 = [0] * len(parts)
+            refs1 = [0] * len(parts)
+            for i, ((bx, by, bw, bh), pd) in enumerate(zip(parts, pdirs)):
+                if pd in (PD_L0, PD_BI):
+                    refs0[i] = br.te(nref0 - 1) if nref0 > 1 else 0
+                    store_refs(bx, by, bw, bh, 0, refs0[i], pd)
+                else:
+                    store_refs(bx, by, bw, bh, 0, -1, pd)
+            for i, ((bx, by, bw, bh), pd) in enumerate(zip(parts, pdirs)):
+                if pd in (PD_L1, PD_BI):
+                    refs1[i] = br.te(nref1 - 1) if nref1 > 1 else 0
+                    store_refs(bx, by, bw, bh, 1, refs1[i], pd)
+                else:
+                    store_refs(bx, by, bw, bh, 1, -1, pd)
+            for i, ((bx, by, bw, bh), pd) in enumerate(zip(parts, pdirs)):
+                if pd in (PD_L0, PD_BI):
+                    read_part_mvd(bx, by, bw, bh, 0, refs0[i])
+            for i, ((bx, by, bw, bh), pd) in enumerate(zip(parts, pdirs)):
+                if pd in (PD_L1, PD_BI):
+                    read_part_mvd(bx, by, bw, bh, 1, refs1[i])
+        else:
+            subs = [br.ue() for _ in range(4)]
+            if any(s > 12 for s in subs):
+                raise ValueError("invalid B sub_mb_type")
+            sub_info = [B_SUBTYPE[s] for s in subs]
+            dp = None
+            refs0 = [0] * 4
+            refs1 = [0] * 4
+            for q in range(4):
+                shp, pd = sub_info[q]
+                qx, qy = (q % 2) * 2, (q // 2) * 2
+                if pd == PD_DIRECT:
+                    if dp is None and h.direct_spatial_mv_pred_flag:
+                        dp = prepare_direct_params(self.pctx, addr)
+                    direct_quadrant(self, addr, q, dp)
+                    continue
+                if pd in (PD_L0, PD_BI):
+                    refs0[q] = br.te(nref0 - 1) if nref0 > 1 else 0
+                    pic.ref_idx[addr, q] = refs0[q]
+                else:
+                    pic.ref_idx[addr, q] = -1
+                pic.pdir[addr, q] = pd
+            for q in range(4):
+                shp, pd = sub_info[q]
+                if pd == PD_DIRECT:
+                    continue
+                if pd in (PD_L1, PD_BI):
+                    refs1[q] = br.te(nref1 - 1) if nref1 > 1 else 0
+                    pic.ref_idx_l1[addr, q] = refs1[q]
+                else:
+                    pic.ref_idx_l1[addr, q] = -1
+            for lst in (0, 1):
+                for q in range(4):
+                    shp, pd = sub_info[q]
+                    if pd == PD_DIRECT:
+                        continue
+                    if (lst == 0 and pd not in (PD_L0, PD_BI)) or \
+                       (lst == 1 and pd not in (PD_L1, PD_BI)):
+                        continue
+                    qx, qy = (q % 2) * 2, (q // 2) * 2
+                    sw, sh = shp
+                    ref = refs0[q] if lst == 0 else refs1[q]
+                    for sy in range(0, 2, sh):
+                        for sx in range(0, 2, sw):
+                            read_part_mvd(qx + sx, qy + sy, sw, sh, lst, ref)
+
+        cbp_code = br.ue()
+        cbp = int(CBP_MAP_CHROMA[cbp_code][1]
+                  if self.ctx.sps.chroma_format_idc in (1, 2)
+                  else CBP_MAP_MONO[cbp_code][1])
+        pic.cbp[addr] = cbp
+        if cbp:
+            self._read_qp_delta(addr)
+        else:
+            pic.qp[addr] = self.qp
+        self._read_luma_residual(addr, cbp & 15, is_i16=False)
+        self._read_chroma_residual(addr, cbp, intra=False)
+
     # ---- slice loop -------------------------------------------------------
 
     def parse_slice_data(self) -> None:
@@ -358,20 +483,31 @@ class MBParser:
                 addr += 1
                 if addr >= n or not br.more_rbsp_data():
                     break
-        elif stype == SliceType.P:
+        elif stype in (SliceType.P, SliceType.B):
+            is_b = stype == SliceType.B
             while addr < n:
                 skip_run = br.ue()
                 for _ in range(skip_run):
                     if addr >= n:
                         raise ValueError("mb_skip_run past end of picture")
                     pic.slice_id[addr] = self.ctx.slice_id
-                    self._parse_p_skip(addr)
+                    if is_b:
+                        self._parse_b_skip(addr)
+                    else:
+                        self._parse_p_skip(addr)
                     addr += 1
                 if addr >= n or not br.more_rbsp_data():
                     break
                 pic.slice_id[addr] = self.ctx.slice_id
                 mb_type = br.ue()
-                self._parse_p_mb(addr, mb_type)
+                if is_b:
+                    if mb_type >= 23:
+                        pic.mb_class[addr] = MB_INTER  # placeholder; intra path sets
+                        self._parse_intra_mb(addr, mb_type - 23)
+                    else:
+                        self._parse_b_mb(addr, mb_type)
+                else:
+                    self._parse_p_mb(addr, mb_type)
                 addr += 1
                 if not br.more_rbsp_data():
                     break

@@ -572,13 +572,13 @@ class MBParserCABAC:
 
     # ---- B slices ---------------------------------------------------------
 
+    def _direct_quadrant(self, addr, q, direct_params=None):
+        from .b_slice import direct_quadrant
+        direct_quadrant(self, addr, q, direct_params)
+
     def _fill_direct_mb(self, addr):
-        from .b_slice import prepare_direct_params, spatial_direct_quadrant
-        l0, l1, pmv0, pmv1 = prepare_direct_params(self.pctx, addr)
-        for q in range(4):
-            spatial_direct_quadrant(self.pic, addr, q, l0, l1, pmv0, pmv1,
-                                    self.ctx.b_col)
-            self.pic.b8_direct[addr, q] = True
+        from .b_slice import fill_direct_mb
+        fill_direct_mb(self, addr)
 
     def _parse_b_skip(self, addr):
         pic = self.pic
@@ -646,12 +646,10 @@ class MBParserCABAC:
                 shape, pd = sub_info[q]
                 qx, qy = (q % 2) * 2, (q // 2) * 2
                 if pd == PD_DIRECT:
-                    if direct_params is None:
+                    if (direct_params is None
+                            and self.ctx.header.direct_spatial_mv_pred_flag):
                         direct_params = prepare_direct_params(self.pctx, addr)
-                    l0, l1, pmv0, pmv1 = direct_params
-                    spatial_direct_quadrant(pic, addr, q, l0, l1, pmv0, pmv1,
-                                            self.ctx.b_col)
-                    pic.b8_direct[addr, q] = True
+                    self._direct_quadrant(addr, q, direct_params)
                     continue
                 if pd in (PD_L0, PD_BI):
                     refs0[q] = self.read_ref_idx(addr, qx, qy, 0) if nref0 > 1 else 0

@@ -115,14 +115,17 @@ def decode_residuals(pic: PictureData, cb_qp_off: int, cr_qp_off: int):
 class Reconstructor:
     """Host-side reference reconstruction of one picture."""
 
-    def __init__(self, pic: PictureData, sps, pps, ref_frames, ref_frames_l1=()):
+    def __init__(self, pic: PictureData, sps, pps, ref_frames, ref_frames_l1=(),
+                 wp=None):
         """ref_frames: list (ref_idx order, list0) of DPB Frame objects with
-        .luma_planes (INT,B,H,J) and .chroma_pad (U, V) padded planes."""
+        .luma_planes (INT,B,H,J) and .chroma_pad (U, V) padded planes.
+        wp: WPParams or None."""
         self.pic = pic
         self.sps = sps
         self.pps = pps
         self.refs = ref_frames
         self.refs1 = list(ref_frames_l1)
+        self.wp = wp if (wp is not None and wp.mode) else None
         self.mb_w = pic.mb_w
         self.mb_h = pic.mb_h
         self.w = self.mb_w * 16
@@ -276,11 +279,28 @@ class Reconstructor:
                 ref1 = self.refs1[pic.ref_idx_l1[addr, q]]
                 y1, u1, v1 = self._mc_4x4(ref1, px, py, bx, by,
                                           pic.mv_l1[addr, blk])
+            wp = self.wp
             if pd == 0:
                 yb, ub, vb = y0, u0, v0
+                if wp is not None:
+                    r = int(pic.ref_idx[addr, q])
+                    yb = wp.uni(yb, 0, r, 0)
+                    ub = wp.uni(ub, 0, r, 1)
+                    vb = wp.uni(vb, 0, r, 2)
             elif pd == 1:
                 yb, ub, vb = y1, u1, v1
-            else:  # bidirectional average (spec 8.4.2.3.1, no WP)
+                if wp is not None:
+                    r = int(pic.ref_idx_l1[addr, q])
+                    yb = wp.uni(yb, 1, r, 0)
+                    ub = wp.uni(ub, 1, r, 1)
+                    vb = wp.uni(vb, 1, r, 2)
+            elif wp is not None:   # weighted bidirectional (spec 8.4.2.3.2)
+                r0 = int(pic.ref_idx[addr, q])
+                r1 = int(pic.ref_idx_l1[addr, q])
+                yb = wp.bi(y0, y1, r0, r1, 0)
+                ub = wp.bi(u0, u1, r0, r1, 1)
+                vb = wp.bi(v0, v1, r0, r1, 2)
+            else:  # plain bidirectional average (spec 8.4.2.3.1)
                 yb = (y0 + y1 + 1) >> 1
                 ub = (u0 + u1 + 1) >> 1
                 vb = (v0 + v1 + 1) >> 1

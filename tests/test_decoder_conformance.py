@@ -31,6 +31,11 @@ def _load_yuv(path, n_frames):
     ("cabac_pp.264", "cabac_pp_rec.yuv", 3),
     ("main3.264", "main3_rec.yuv", 3),
     ("main9.264", "main9_rec.yuv", 9),
+    ("main9t.264", "main9t_rec.yuv", 9),
+    ("wp_p.264", "wp_p_rec.yuv", 9),
+    ("wp_bi.264", "wp_bi_rec.yuv", 9),
+    ("wp_both.264", "wp_both_rec.yuv", 9),
+    ("cavlc_b.264", "cavlc_b_rec.yuv", 9),
 ])
 def test_bit_exact_vs_jm(golden_dir, stream, recon, n):
     frames = sorted(decode_file(str(golden_dir / stream)), key=lambda f: f.poc)
