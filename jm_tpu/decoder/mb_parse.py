@@ -143,6 +143,46 @@ class MBParser:
     def _mv_pred(self, addr, bx, by, bw, bh, ref):
         return self.pctx.mv_pred(addr, bx, by, bw, bh, ref)
 
+    # ---- 8x8 transform helpers (High profile) -----------------------------
+
+    def _read_i8_modes(self, addr: int) -> None:
+        pic, br = self.pic, self.br
+        for q in range(4):
+            blk_tl = (q // 2) * 8 + (q % 2) * 2
+            pred = self._pred_intra4_mode(addr, blk_tl)
+            if br.flag():
+                mode = pred
+            else:
+                rem = br.u(3)
+                mode = rem if rem < pred else rem + 1
+            for dy in range(2):
+                for dx in range(2):
+                    pic.i4_modes[addr, blk_tl + dy * 4 + dx] = mode
+
+    def _read_luma_residual_8x8(self, addr: int, cbp: int) -> None:
+        """CAVLC 8x8: each 8x8 read as 4 interleaved 4x4 CAVLC blocks
+        (ldecod read_comp_cavlc.c read_comp_coeff_8x8_CAVLC:856)."""
+        pic, br = self.pic, self.br
+        for blk8 in range(4):
+            if not (cbp & (1 << blk8)):
+                continue
+            by0, bx0 = (blk8 // 2) * 2, (blk8 % 2) * 2
+            for dy in range(2):
+                for dx in range(2):
+                    blk = (by0 + dy) * 4 + bx0 + dx
+                    sub = 2 * dy + dx
+                    nc = self._nc_luma(addr, blk)
+                    coeffs, tc = residual_block_cavlc(br, nc, 16)
+                    pic.luma_nnz[addr, blk] = tc
+                    nz = np.flatnonzero(coeffs)
+                    pic.luma_coef8[addr, blk8, nz * 4 + sub] = coeffs[nz]
+
+    def _maybe_read_inter_transform8x8(self, addr: int, cbp: int,
+                                       allow: bool) -> None:
+        pic, br = self.pic, self.br
+        if (self.ctx.pps.transform_8x8_mode_flag and (cbp & 15) and allow):
+            pic.transform8x8[addr] = bool(br.flag())
+
     # ---- residual reading -------------------------------------------------
 
     def _read_luma_residual(self, addr: int, cbp: int, is_i16: bool) -> None:
@@ -197,17 +237,18 @@ class MBParser:
             pic.mb_class[addr] = MB_I4
             if pps.transform_8x8_mode_flag:
                 pic.transform8x8[addr] = bool(br.flag())
-                if pic.transform8x8[addr]:
-                    raise NotImplementedError("I_8x8 parse TODO")
-            for code_idx in range(16):
-                blk = int(CODE2RASTER[code_idx])
-                pred = self._pred_intra4_mode(addr, blk)
-                if br.flag():  # prev_intra4x4_pred_mode_flag
-                    mode = pred
-                else:
-                    rem = br.u(3)
-                    mode = rem if rem < pred else rem + 1
-                pic.i4_modes[addr, blk] = mode
+            if pic.transform8x8[addr]:
+                self._read_i8_modes(addr)
+            else:
+                for code_idx in range(16):
+                    blk = int(CODE2RASTER[code_idx])
+                    pred = self._pred_intra4_mode(addr, blk)
+                    if br.flag():  # prev_intra4x4_pred_mode_flag
+                        mode = pred
+                    else:
+                        rem = br.u(3)
+                        mode = rem if rem < pred else rem + 1
+                    pic.i4_modes[addr, blk] = mode
             if self.ctx.sps.chroma_format_idc in (1, 2):
                 pic.chroma_mode[addr] = br.ue()
             cbp_code = br.ue()
@@ -219,7 +260,10 @@ class MBParser:
                 self._read_qp_delta(addr)
             else:
                 pic.qp[addr] = self.qp
-            self._read_luma_residual(addr, cbp, is_i16=False)
+            if pic.transform8x8[addr]:
+                self._read_luma_residual_8x8(addr, cbp & 15)
+            else:
+                self._read_luma_residual(addr, cbp, is_i16=False)
             self._read_chroma_residual(addr, cbp, intra=True)
         else:
             pic.mb_class[addr] = MB_I16
@@ -269,6 +313,7 @@ class MBParser:
         nref = h.num_ref_idx_l0_active_minus1 + 1
         pic.mb_class[addr] = MB_INTER
 
+        sub_types = []
         if mb_type in (0, 1, 2):
             parts = {
                 0: [(0, 0, 4, 4)],
@@ -325,11 +370,17 @@ class MBParser:
                    else CBP_MAP_MONO)
         cbp = int(cbp_tab[cbp_code][1])
         pic.cbp[addr] = cbp
+        allow8 = mb_type in (0, 1, 2) or (mb_type in (3, 4)
+                                          and all(t == 0 for t in sub_types))
+        self._maybe_read_inter_transform8x8(addr, cbp, allow8)
         if cbp:
             self._read_qp_delta(addr)
         else:
             pic.qp[addr] = self.qp
-        self._read_luma_residual(addr, cbp & 15, is_i16=False)
+        if pic.transform8x8[addr]:
+            self._read_luma_residual_8x8(addr, cbp & 15)
+        else:
+            self._read_luma_residual(addr, cbp & 15, is_i16=False)
         self._read_chroma_residual(addr, cbp, intra=False)
 
     def _parse_p_skip(self, addr: int) -> None:
@@ -380,6 +431,7 @@ class MBParser:
                     mv_arr[addr, yy * 4 + xx] = mv
                     pic.mvd[addr, lst, yy * 4 + xx] = (mvdx, mvdy)
 
+        subs = []
         if coded == 0:
             pic.b_direct[addr] = True
             fill_direct_mb(self, addr)
@@ -459,11 +511,22 @@ class MBParser:
                   if self.ctx.sps.chroma_format_idc in (1, 2)
                   else CBP_MAP_MONO[cbp_code][1])
         pic.cbp[addr] = cbp
+        if coded == 0:
+            allow8 = bool(self.ctx.sps.direct_8x8_inference_flag)
+        elif coded != 22:
+            allow8 = True
+        else:
+            allow8 = all(s_ <= 3 for s_ in subs) and (
+                self.ctx.sps.direct_8x8_inference_flag or all(s_ != 0 for s_ in subs))
+        self._maybe_read_inter_transform8x8(addr, cbp, allow8)
         if cbp:
             self._read_qp_delta(addr)
         else:
             pic.qp[addr] = self.qp
-        self._read_luma_residual(addr, cbp & 15, is_i16=False)
+        if pic.transform8x8[addr]:
+            self._read_luma_residual_8x8(addr, cbp & 15)
+        else:
+            self._read_luma_residual(addr, cbp & 15, is_i16=False)
         self._read_chroma_residual(addr, cbp, intra=False)
 
     # ---- slice loop -------------------------------------------------------

@@ -210,6 +210,13 @@ class MBParserCABAC:
             sym = 1 if eng.decision(ctx, 3) else 0
         return sym + 1
 
+    def read_transform_size(self, addr) -> int:
+        pic = self.pic
+        la, ua = self._left_mb(addr), self._up_mb(addr)
+        a = 1 if (la >= 0 and pic.transform8x8[la]) else 0
+        b = 1 if (ua >= 0 and pic.transform8x8[ua]) else 0
+        return self.eng.decision(self.ctxs.transform_size, a + b)
+
     def read_intra4_mode(self) -> int:
         """-1 = use predicted mode, else rem (0..7, LSB-first bins)."""
         eng, ctx = self.eng, self.ctxs.ipr
@@ -406,6 +413,27 @@ class MBParserCABAC:
             return None
         return read_significance_and_levels(self.eng, self.ctxs, block_type)
 
+    def _read_luma_residual_8x8(self, addr, cbp):
+        """CABAC 8x8 residual: LUMA_8x8 category, no coded_block_flag
+        (always present when the cbp bit is set)."""
+        from .cabac import LUMA_8x8
+        pic = self.pic
+        for blk8 in range(4):
+            if not (cbp & (1 << blk8)):
+                continue
+            c = read_significance_and_levels(self.eng, self.ctxs, LUMA_8x8)
+            pic.luma_coef8[addr, blk8] = c
+            cnt = int((c != 0).sum())
+            by0, bx0 = (blk8 // 2) * 2, (blk8 % 2) * 2
+            if cnt:
+                # mark quadrant bits in the JM cbf mask (0x33 pattern) and
+                # nnz for deblock strength
+                bit = 1 + by0 * 4 + bx0
+                pic.cbp_bits[addr] |= np.int64(0x33) << bit
+                for dy in range(2):
+                    for dx in range(2):
+                        pic.luma_nnz[addr, (by0 + dy) * 4 + bx0 + dx] = cnt
+
     def _read_luma_residual(self, addr, cbp, is_i16):
         pic = self.pic
         if is_i16:
@@ -455,16 +483,26 @@ class MBParserCABAC:
         if imb_type == 0:
             pic.mb_class[addr] = MB_I4
             if self.ctx.pps.transform_8x8_mode_flag:
-                raise NotImplementedError("8x8 transform: later phase")
-            for code_idx in range(16):
-                blk = int(CODE2RASTER[code_idx])
-                pred = self.pctx.pred_intra4_mode(addr, blk)
-                rem = self.read_intra4_mode()
-                if rem < 0:
-                    mode = pred
-                else:
-                    mode = rem if rem < pred else rem + 1
-                pic.i4_modes[addr, blk] = mode
+                pic.transform8x8[addr] = bool(self.read_transform_size(addr))
+            if pic.transform8x8[addr]:
+                for q in range(4):
+                    blk_tl = (q // 2) * 8 + (q % 2) * 2
+                    pred = self.pctx.pred_intra4_mode(addr, blk_tl)
+                    rem = self.read_intra4_mode()
+                    mode = pred if rem < 0 else (rem if rem < pred else rem + 1)
+                    for dy in range(2):
+                        for dx in range(2):
+                            pic.i4_modes[addr, blk_tl + dy * 4 + dx] = mode
+            else:
+                for code_idx in range(16):
+                    blk = int(CODE2RASTER[code_idx])
+                    pred = self.pctx.pred_intra4_mode(addr, blk)
+                    rem = self.read_intra4_mode()
+                    if rem < 0:
+                        mode = pred
+                    else:
+                        mode = rem if rem < pred else rem + 1
+                    pic.i4_modes[addr, blk] = mode
             pic.chroma_mode[addr] = self.read_chroma_pred_mode(addr)
             cbp = self.read_cbp(addr)
             pic.cbp[addr] = cbp
@@ -473,7 +511,10 @@ class MBParserCABAC:
             else:
                 self.last_dquant = 0
                 pic.qp[addr] = self.qp
-            self._read_luma_residual(addr, cbp & 15, is_i16=False)
+            if pic.transform8x8[addr]:
+                self._read_luma_residual_8x8(addr, cbp & 15)
+            else:
+                self._read_luma_residual(addr, cbp & 15, is_i16=False)
             self._read_chroma_residual(addr, cbp)
         else:
             pic.mb_class[addr] = MB_I16
@@ -500,6 +541,7 @@ class MBParserCABAC:
         nref = h.num_ref_idx_l0_active_minus1 + 1
         pic.mb_class[addr] = MB_INTER
 
+        sub_types = []
         if internal_type in (1, 2, 3):
             parts = {
                 1: [(0, 0, 4, 4)],
@@ -553,12 +595,19 @@ class MBParserCABAC:
 
         cbp = self.read_cbp(addr)
         pic.cbp[addr] = cbp
+        allow8 = internal_type in (1, 2, 3) or (
+            internal_type == 4 and all(t == 0 for t in sub_types))
+        if (self.ctx.pps.transform_8x8_mode_flag and (cbp & 15) and allow8):
+            pic.transform8x8[addr] = bool(self.read_transform_size(addr))
         if cbp:
             self._apply_dquant(addr)
         else:
             self.last_dquant = 0
             pic.qp[addr] = self.qp
-        self._read_luma_residual(addr, cbp & 15, is_i16=False)
+        if pic.transform8x8[addr]:
+            self._read_luma_residual_8x8(addr, cbp & 15)
+        else:
+            self._read_luma_residual(addr, cbp & 15, is_i16=False)
         self._read_chroma_residual(addr, cbp)
 
     def _parse_p_skip(self, addr):
@@ -602,7 +651,8 @@ class MBParserCABAC:
         if coded == 0:   # B_Direct_16x16
             pic.b_direct[addr] = True
             self._fill_direct_mb(addr)
-            self._read_b_residual(addr)
+            self._read_b_residual(
+                addr, bool(self.ctx.sps.direct_8x8_inference_flag))
             return
 
         if coded != 22:
@@ -683,7 +733,13 @@ class MBParserCABAC:
                                 for sx in range(0, 2, sw)]
                     for (bx, by) in subparts:
                         self._read_part_mvd(addr, bx, by, sw, sh, lst, ref)
-        self._read_b_residual(addr)
+        if coded != 22:
+            allow8 = True
+        else:
+            allow8 = all(s_ <= 3 for s_ in subs) and (
+                self.ctx.sps.direct_8x8_inference_flag
+                or all(s_ != 0 for s_ in subs))
+        self._read_b_residual(addr, allow8)
 
     def _store_part_refs(self, addr, bx, by, bw, bh, lst, ref, pd):
         pic = self.pic
@@ -706,16 +762,21 @@ class MBParserCABAC:
                 mv_arr[addr, yy * 4 + xx] = mv
                 pic.mvd[addr, lst, yy * 4 + xx] = (mvdx, mvdy)
 
-    def _read_b_residual(self, addr):
+    def _read_b_residual(self, addr, allow8=False):
         pic = self.pic
         cbp = self.read_cbp(addr)
         pic.cbp[addr] = cbp
+        if (self.ctx.pps.transform_8x8_mode_flag and (cbp & 15) and allow8):
+            pic.transform8x8[addr] = bool(self.read_transform_size(addr))
         if cbp:
             self._apply_dquant(addr)
         else:
             self.last_dquant = 0
             pic.qp[addr] = self.qp
-        self._read_luma_residual(addr, cbp & 15, is_i16=False)
+        if pic.transform8x8[addr]:
+            self._read_luma_residual_8x8(addr, cbp & 15)
+        else:
+            self._read_luma_residual(addr, cbp & 15, is_i16=False)
         self._read_chroma_residual(addr, cbp)
 
     # ---- slice loop -------------------------------------------------------

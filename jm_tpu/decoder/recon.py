@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..common.predict_ctx import RASTER2CODE
 from ..common.tables import ZIGZAG_4x4, chroma_qp
 from ..ops import intra as I
 from ..ops import interp as P
@@ -65,24 +66,105 @@ def _np_hadamard4(d):
     return np.stack([b0 + b3, b1 + b2, b1 - b2, b0 - b3], axis=-2)
 
 
-def decode_residuals(pic: PictureData, cb_qp_off: int, cr_qp_off: int):
+_ZZ8 = None
+
+
+def _get_zz8():
+    global _ZZ8
+    if _ZZ8 is None:
+        from ..common.tables import ZIGZAG_8x8
+        _ZZ8 = np.asarray(ZIGZAG_8x8)
+    return _ZZ8
+
+
+def _ws_raster_4(flat_list):
+    """Scaling list (zig-zag transmission order) -> raster 4x4 weights."""
+    ws = np.zeros(16, np.int64)
+    ws[_ZZ] = np.asarray(flat_list, np.int64)
+    return ws.reshape(4, 4)
+
+
+def _ws_raster_8(flat_list):
+    ws = np.zeros(64, np.int64)
+    ws[_get_zz8()] = np.asarray(flat_list, np.int64)
+    return ws.reshape(8, 8)
+
+
+def build_inv_scale(pps):
+    """(tab4 (6,52,4,4), tab8 (2..6,52,8,8)) InvLevelScale = V * weightScale.
+
+    4x4 list order: 0 intraY, 1 intraCb, 2 intraCr, 3 interY, 4 interCb,
+    5 interCr; 8x8: 0 intraY, 1 interY (4:2:0).
+    """
+    from ..common.tables import DEQUANT_SCALE_4x4, DEQUANT_SCALE_8x8
+    tab4 = np.zeros((6, 52, 4, 4), np.int32)
+    for i in range(6):
+        ws = _ws_raster_4(pps.scaling_list_4x4[i])
+        for qp in range(52):
+            tab4[i, qp] = DEQUANT_SCALE_4x4[qp % 6] * ws
+    n8 = min(len(pps.scaling_list_8x8), 6)
+    tab8 = np.zeros((max(n8, 2), 52, 8, 8), np.int32)
+    for i in range(max(n8, 2)):
+        lst = (pps.scaling_list_8x8[i] if i < n8 else [16] * 64)
+        ws = _ws_raster_8(lst)
+        for qp in range(52):
+            tab8[i, qp] = DEQUANT_SCALE_8x8[qp % 6] * ws
+    return tab4, tab8
+
+
+def _np_inv8(d):
+    """Batched spec inverse 8x8 (no rounding); (..., 8, 8) int."""
+    d = d.astype(np.int64)
+
+    def stage(cols):
+        d0, d1, d2, d3, d4, d5, d6, d7 = cols
+        a0 = d0 + d4
+        a4 = d0 - d4
+        a2 = (d2 >> 1) - d6
+        a6 = d2 + (d6 >> 1)
+        b0 = a0 + a6
+        b2 = a4 + a2
+        b4 = a4 - a2
+        b6 = a0 - a6
+        a1 = -d3 + d5 - d7 - (d7 >> 1)
+        a3 = d1 + d7 - d3 - (d3 >> 1)
+        a5 = -d1 + d7 + d5 + (d5 >> 1)
+        a7 = d3 + d5 + d1 + (d1 >> 1)
+        b1 = a1 + (a7 >> 2)
+        b7 = a7 - (a1 >> 2)
+        b3 = a3 + (a5 >> 2)
+        b5 = (a3 >> 2) - a5
+        return (b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+                b6 - b1, b4 - b3, b2 - b5, b0 - b7)
+
+    h = stage(tuple(d[..., :, i] for i in range(8)))
+    t = np.stack(h, axis=-1)
+    v = stage(tuple(t[..., j, :] for j in range(8)))
+    return np.stack(v, axis=-2)
+
+
+def decode_residuals(pic: PictureData, pps):
     """Returns (res_luma (n,16,4,4), res_chroma (n,2,4,4,4)) int32 spatial
     residuals, ready to add to prediction."""
     n = pic.n_mbs
     qp = pic.qp.astype(np.int64)
+    tab4, tab8 = build_inv_scale(pps)
+    intra = (pic.mb_class != 0).astype(np.int64)       # (n,)
+    per = (qp // 6)
 
     # ---- luma AC / 4x4 ----
     raster = _inv_scan_4x4(pic.luma_coef)          # (n, 16, 4, 4)
-    deq = _np_dequant_4x4(raster, qp[:, None])
+    # per-MB scale table: intra -> list 0, inter -> list 3
+    scale_y = tab4[np.where(intra == 1, 0, 3), qp].astype(np.int64)  # (n,4,4)
+    deq = rshift_rnd_sf((raster.astype(np.int64) * scale_y[:, None]) <<
+                        per[:, None, None, None], 4).astype(np.int32)
     # Intra16x16: DC path
     i16 = pic.mb_class == MB_I16
     if i16.any():
         dc_r = _inv_scan_4x4(pic.luma_dc)          # (n, 4, 4)
         dc_t = _np_hadamard4(dc_r)
-        scale = FLAT_INV_SCALE_4x4[qp, 0, 0][:, None, None].astype(np.int64)
-        per = (qp // 6)[:, None, None]
-        dc_s = rshift_rnd_sf((dc_t * scale) << per, 6).astype(np.int32)
-        # scatter into per-block [0, 0]
+        scale = scale_y[:, 0, 0][:, None, None]
+        dc_s = rshift_rnd_sf((dc_t * scale) << per[:, None, None], 6).astype(np.int32)
         blk = np.arange(16)
         by, bx = blk // 4, blk % 4
         deq_dc = deq.copy()
@@ -90,12 +172,38 @@ def decode_residuals(pic: PictureData, cb_qp_off: int, cr_qp_off: int):
         deq = np.where(i16[:, None, None, None], deq_dc, deq)
     res_luma = ((_np_inv4(deq) + 32) >> 6).astype(np.int32)
 
+    # ---- luma 8x8 transform MBs ----
+    t8 = np.asarray(pic.transform8x8)
+    if t8.any():
+        r8 = np.zeros((n, 4, 8, 8), np.int64)
+        r8.reshape(n, 4, 64)[:, :, _get_zz8()] = pic.luma_coef8
+        scale8 = tab8[np.where(intra == 1, 0, 1), qp].astype(np.int64)
+        deq8 = rshift_rnd_sf((r8 * scale8[:, None]) <<
+                             per[:, None, None, None], 6)
+        sp8 = (_np_inv8(deq8) + 32) >> 6               # (n, 4, 8, 8)
+        # split each 8x8 quadrant into its 4 raster 4x4 blocks
+        res8 = np.zeros((n, 16, 4, 4), np.int32)
+        for q in range(4):
+            qy, qx = q // 2, q % 2
+            for dy in range(2):
+                for dx in range(2):
+                    blk = (2 * qy + dy) * 4 + 2 * qx + dx
+                    res8[:, blk] = sp8[:, q, 4 * dy:4 * dy + 4, 4 * dx:4 * dx + 4]
+        res_luma = np.where(t8[:, None, None, None], res8, res_luma)
+
     # ---- chroma ----
-    qpc_cb = np.array([chroma_qp(int(q), cb_qp_off) for q in pic.qp], np.int64)
-    qpc_cr = np.array([chroma_qp(int(q), cr_qp_off) for q in pic.qp], np.int64)
+    qpc_cb = np.array([chroma_qp(int(q), pps.cb_qp_offset) for q in pic.qp], np.int64)
+    qpc_cr = np.array([chroma_qp(int(q), pps.cr_qp_offset) for q in pic.qp], np.int64)
     qpc = np.stack([qpc_cb, qpc_cr], axis=1)       # (n, 2)
-    c_raster = _inv_scan_4x4(pic.chroma_coef)      # (n, 2, 4, 4, 4)
-    c_deq = _np_dequant_4x4(c_raster, qpc[:, :, None])
+    c_raster = _inv_scan_4x4(pic.chroma_coef).astype(np.int64)  # (n,2,4,4,4)
+    # list 1/2 intra Cb/Cr, 4/5 inter
+    list_u = np.where(intra == 1, 1, 4)
+    list_v = np.where(intra == 1, 2, 5)
+    scale_c = np.stack([tab4[list_u, qpc[:, 0]],
+                        tab4[list_v, qpc[:, 1]]], axis=1).astype(np.int64)  # (n,2,4,4)
+    perc = (qpc // 6)
+    c_deq = rshift_rnd_sf((c_raster * scale_c[:, :, None]) <<
+                          perc[:, :, None, None, None], 4).astype(np.int32)
     # chroma DC: 2x2 hadamard + scale
     dc = pic.chroma_dc.reshape(n, 2, 2, 2).astype(np.int64)
     a, b = dc[..., 0, 0], dc[..., 0, 1]
@@ -103,9 +211,8 @@ def decode_residuals(pic: PictureData, cb_qp_off: int, cr_qp_off: int):
     f = np.stack([
         np.stack([a + b + c + d, a - b + c - d], axis=-1),
         np.stack([a + b - c - d, a - b - c + d], axis=-1)], axis=-2)
-    scale = FLAT_INV_SCALE_4x4[qpc, 0, 0][..., None, None].astype(np.int64)
-    per = (qpc // 6)[..., None, None]
-    dc_s = (((f * scale) << per) >> 5).astype(np.int32)
+    scale = scale_c[:, :, 0, 0][..., None, None]
+    dc_s = (((f * scale) << perc[..., None, None]) >> 5).astype(np.int32)
     blk = np.arange(4)
     c_deq[:, :, blk, 0, 0] = dc_s[:, :, blk // 2, blk % 2]
     res_chroma = ((_np_inv4(c_deq) + 32) >> 6).astype(np.int32)
@@ -161,8 +268,7 @@ class Reconstructor:
 
     def run(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         pic = self.pic
-        res_l, res_c = decode_residuals(
-            pic, self.pps.cb_qp_offset, self.pps.cr_qp_offset)
+        res_l, res_c = decode_residuals(pic, self.pps)
         from .mb_parse import CODE2RASTER
         for addr in range(pic.n_mbs):
             cls = pic.mb_class[addr]
@@ -171,7 +277,10 @@ class Reconstructor:
             elif cls == MB_I16:
                 self._recon_i16(addr, res_l, res_c)
             elif cls == MB_I4:
-                self._recon_i4(addr, res_l, res_c, CODE2RASTER)
+                if pic.transform8x8[addr]:
+                    self._recon_i8(addr, res_l, res_c)
+                else:
+                    self._recon_i4(addr, res_l, res_c, CODE2RASTER)
             elif cls == MB_IPCM:
                 self._recon_ipcm(addr)
         return self.Y, self.U, self.V
@@ -208,6 +317,46 @@ class Reconstructor:
             pred = I.predict_i4(int(pic.i4_modes[addr, blk]), top, left,
                                 corner, avail_t, avail_l)
             Y[y:y + 4, x:x + 4] = np.clip(pred + res_l[addr, blk], 0, 255)
+        self._recon_chroma_intra(addr, res_c)
+
+    def _recon_i8(self, addr, res_l, res_c):
+        """Intra 8x8 (High profile) reconstruction: 4 quadrants, filtered
+        reference samples (ops.intra.predict_i8)."""
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        Y = self.Y
+        for q in range(4):
+            qy, qx = q // 2, q % 2
+            bx, by = qx * 2, qy * 2            # top-left 4x4 of quadrant
+            gx, gy = mbx * 4 + bx, mby * 4 + by
+            x, y = gx * 4, gy * 4
+            code = int(RASTER2CODE[by * 4 + bx])
+            avail_l = self._block_avail(addr, gx - 1, gy, code)
+            avail_t = self._block_avail(addr, gx, gy - 1, code)
+            avail_tl = self._block_avail(addr, gx - 1, gy - 1, code)
+            avail_tr = self._block_avail(addr, gx + 2, gy - 1, code)
+            top = np.zeros(16, np.int32)
+            left = np.zeros(8, np.int32)
+            corner = 0
+            if avail_t:
+                top[0:8] = Y[y - 1, x:x + 8]
+                if avail_tr:
+                    top[8:16] = Y[y - 1, x + 8:x + 16]
+                else:
+                    top[8:16] = Y[y - 1, x + 7]
+            if avail_l:
+                left[:] = Y[y:y + 8, x - 1]
+            if avail_tl:
+                corner = int(Y[y - 1, x - 1])
+            mode = int(pic.i4_modes[addr, by * 4 + bx])
+            pred = I.predict_i8(mode, top, left, corner, avail_t, avail_l,
+                                avail_tl)
+            res = np.zeros((8, 8), np.int64)
+            for dy in range(2):
+                for dx in range(2):
+                    blk = (by + dy) * 4 + bx + dx
+                    res[dy * 4:dy * 4 + 4, dx * 4:dx * 4 + 4] = res_l[addr, blk]
+            Y[y:y + 8, x:x + 8] = np.clip(pred + res, 0, 255)
         self._recon_chroma_intra(addr, res_c)
 
     def _recon_i16(self, addr, res_l, res_c):

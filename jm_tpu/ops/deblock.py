@@ -31,7 +31,16 @@ def compute_bs(pic, mb_w: int, mb_h: int):
     H, W = 4 * mb_h, 4 * mb_w
     mc = pic.mb_class.reshape(mb_h, mb_w)
     intra = np.repeat(np.repeat(mc != 0, 4, 0), 4, 1)
-    nnz = pic.luma_nnz.reshape(mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3).reshape(H, W)
+    nnz_mb = pic.luma_nnz.copy()
+    # 8x8-transform MBs: any coefficient in an 8x8 marks all four of its
+    # 4x4 blocks (ldecod s_cbp.blk semantics, read_comp_cavlc.c:916)
+    t8 = np.asarray(pic.transform8x8)
+    if t8.any():
+        q = nnz_mb.reshape(-1, 2, 2, 2, 2)           # (n, qy, y, qx, x)
+        qa = q.sum(axis=(2, 4), keepdims=True)
+        nnz_mb = np.where(t8[:, None, None, None, None], qa,
+                          q).reshape(-1, 16)
+    nnz = nnz_mb.reshape(mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3).reshape(H, W)
     mv0 = pic.mv.reshape(mb_h, mb_w, 4, 4, 2).transpose(0, 2, 1, 3, 4).reshape(H, W, 2)
     mv1 = pic.mv_l1.reshape(mb_h, mb_w, 4, 4, 2).transpose(0, 2, 1, 3, 4).reshape(H, W, 2)
 
@@ -179,7 +188,10 @@ def deblock_picture(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params):
                 return qp_arr[n_addr], qp_arr[addr]
 
             # ---- vertical edges (filter left to right) ----
+            t8 = bool(pic.transform8x8[addr])
             for ex in range(4):
+                if t8 and ex in (1, 3):
+                    continue   # 8x8 transform: no 4-pel internal edges
                 x = px + ex * 4
                 if ex == 0:
                     if mbx == 0:
@@ -228,6 +240,8 @@ def deblock_picture(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params):
 
             # ---- horizontal edges (top to bottom) ----
             for ey in range(4):
+                if t8 and ey in (1, 3):
+                    continue
                 y = py + ey * 4
                 if ey == 0:
                     if mby == 0:

@@ -36,6 +36,9 @@ def _load_yuv(path, n_frames):
     ("wp_bi.264", "wp_bi_rec.yuv", 9),
     ("wp_both.264", "wp_both_rec.yuv", 9),
     ("cavlc_b.264", "cavlc_b_rec.yuv", 9),
+    ("high8x8.264", "high8x8_rec.yuv", 9),
+    ("high8x8sm.264", "high8x8sm_rec.yuv", 9),
+    ("high8x8c.264", "high8x8c_rec.yuv", 9),
 ])
 def test_bit_exact_vs_jm(golden_dir, stream, recon, n):
     frames = sorted(decode_file(str(golden_dir / stream)), key=lambda f: f.poc)
