@@ -53,6 +53,7 @@ class EncoderConfig:
     num_ref: int = 1             # list0 size (P2: single reference)
     level_idc: int = 30
     deblock: bool = True
+    entropy: str = "cavlc"       # "cavlc" | "cabac" (cabac => Main profile)
 
 
 class Encoder:
@@ -67,14 +68,16 @@ class Encoder:
         self.mb_w = cfg.width // 16
         self.mb_h = cfg.height // 16
         self.sps = SPS(
-            profile_idc=66, level_idc=cfg.level_idc,
+            profile_idc=77 if cfg.entropy == "cabac" else 66,
+            level_idc=cfg.level_idc,
             log2_max_frame_num_minus4=4,
             pic_order_cnt_type=2,
             max_num_ref_frames=cfg.num_ref,
             pic_width_in_mbs_minus1=self.mb_w - 1,
             pic_height_in_map_units_minus1=self.mb_h - 1,
             frame_mbs_only_flag=1, direct_8x8_inference_flag=1)
-        self.pps = PPS(num_ref_idx_l0_default_active_minus1=cfg.num_ref - 1)
+        self.pps = PPS(num_ref_idx_l0_default_active_minus1=cfg.num_ref - 1,
+                       entropy_coding_mode_flag=1 if cfg.entropy == "cabac" else 0)
         self.frame_idx = 0
         self.frame_num = 0
         self.idr_pic_id = 0
@@ -122,10 +125,17 @@ class Encoder:
         if is_idr:
             payload += annexb_bytes(3, NalUnitType.SPS, write_sps(self.sps))
             payload += annexb_bytes(3, NalUnitType.PPS, write_pps(self.pps))
-        rbsp = serialize_slice(
-            pic, self.sps, self.pps, slice_type=stype,
-            frame_num=self.frame_num, idr=is_idr, qp=cfg.qp,
-            idr_pic_id=self.idr_pic_id, num_ref_idx_l0=cfg.num_ref)
+        if cfg.entropy == "cabac":
+            from .syntax_cabac import serialize_slice_cabac
+            rbsp = serialize_slice_cabac(
+                pic, self.sps, self.pps, slice_type=stype,
+                frame_num=self.frame_num, idr=is_idr, qp=cfg.qp,
+                idr_pic_id=self.idr_pic_id, num_ref_idx_l0=cfg.num_ref)
+        else:
+            rbsp = serialize_slice(
+                pic, self.sps, self.pps, slice_type=stype,
+                frame_num=self.frame_num, idr=is_idr, qp=cfg.qp,
+                idr_pic_id=self.idr_pic_id, num_ref_idx_l0=cfg.num_ref)
         nal_type = NalUnitType.IDR if is_idr else NalUnitType.SLICE
         payload += annexb_bytes(3, nal_type, rbsp)
 

@@ -92,7 +92,7 @@ def write_pps(pps) -> bytes:
 def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
                        frame_num: int, idr: bool, idr_pic_id: int = 0,
                        qp: int, first_mb: int = 0, poc_lsb: int = 0,
-                       num_ref_idx_l0: int = 1) -> None:
+                       num_ref_idx_l0: int = 1, cabac_init_idc: int = 0) -> None:
     bw.ue(first_mb)
     bw.ue(int(slice_type) + 5)      # all slices in picture share the type
     bw.ue(pps.pic_parameter_set_id)
@@ -113,6 +113,8 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
         bw.flag(0)  # long_term_reference_flag
     else:
         bw.flag(0)  # adaptive_ref_pic_marking_mode_flag (sliding window)
+    if pps.entropy_coding_mode_flag and slice_type not in (SliceType.I, SliceType.SI):
+        bw.ue(cabac_init_idc)
     bw.se(qp - 26 - pps.pic_init_qp_minus26)
     if pps.deblocking_filter_control_present_flag:
         bw.ue(0)

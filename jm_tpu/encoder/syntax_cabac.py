@@ -1,0 +1,474 @@
+"""CABAC macroblock-layer serialization (spec 7.3.5 + 9.3).
+
+The exact inverse of jm_tpu.decoder.mb_parse_cabac for the encoder's
+current mode set (I: I4x4/I16x16; P: Skip/16x16 + intra). Neighbor
+context derivations mirror the reader's; correctness is enforced by
+decode-back tests and ldecod conformance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.bitwriter import BitWriter
+from ..common.predict_ctx import CODE2RASTER, PredCtx
+from ..common.types import SliceType
+from ..decoder.cabac import (CHROMA_AC, CHROMA_DC, LUMA_4x4, LUMA_16AC,
+                             LUMA_16DC, C1ISDC, MAX_C2, MAXPOS,
+                             TYPE2CTX_ABS, TYPE2CTX_BCBP, TYPE2CTX_LAST,
+                             TYPE2CTX_MAP, TYPE2CTX_ONE, CabacContexts,
+                             pos2ctx_last, pos2ctx_map)
+from ..decoder.mb_parse import MB_I4, MB_I16, MB_INTER, MB_IPCM
+from .cabac_write import CabacEncoder
+
+
+def _get_bit(v, b):
+    return (int(v) >> b) & 1
+
+
+class MBWriterCABAC:
+    def __init__(self, bw: BitWriter, pic, sps, pps, slice_type: SliceType,
+                 slice_qp: int, cabac_init_idc: int = 0):
+        self.pic = pic
+        self.sps = sps
+        self.pps = pps
+        self.stype = slice_type
+        self.pctx = PredCtx(pic)
+        self.mb_w = pic.mb_w
+        self.qp = slice_qp
+        self.eng = CabacEncoder(bw)
+        is_intra = slice_type in (SliceType.I, SliceType.SI)
+        self.ctxs = CabacContexts(is_intra, cabac_init_idc, slice_qp)
+        self.last_dquant = 0
+
+    # ---- neighbor helpers (mirror of MBParserCABAC) ----------------------
+
+    def _left_mb(self, addr):
+        naddr = addr - 1 if addr % self.mb_w else -1
+        return naddr if naddr >= 0 and self.pctx.avail(naddr, addr) else -1
+
+    def _up_mb(self, addr):
+        naddr = addr - self.mb_w
+        return naddr if naddr >= 0 and self.pctx.avail(naddr, addr) else -1
+
+    def _blk_neighbor(self, addr, bx, by):
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        gx, gy = mbx * 4 + bx, mby * 4 + by
+        if gx < 0 or gy < 0 or gx >= self.mb_w * 4:
+            return None
+        naddr = (gy // 4) * self.mb_w + (gx // 4)
+        if naddr != addr and (naddr > addr or not self.pctx.avail(naddr, addr)):
+            return None
+        return naddr, (gy % 4) * 4 + (gx % 4)
+
+    def _cblk_neighbor(self, addr, cx, cy):
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        gx, gy = mbx * 2 + cx, mby * 2 + cy
+        if gx < 0 or gy < 0 or gx >= self.mb_w * 2:
+            return None
+        naddr = (gy // 2) * self.mb_w + (gx // 2)
+        if naddr != addr and (naddr > addr or not self.pctx.avail(naddr, addr)):
+            return None
+        return naddr, (gy % 2) * 2 + (gx % 2)
+
+    # ---- element writers --------------------------------------------------
+
+    def write_skip_flag_p(self, addr, skipped: bool):
+        pic = self.pic
+        la, ua = self._left_mb(addr), self._up_mb(addr)
+        a = 1 if (la >= 0 and not pic.skip[la]) else 0
+        b = 1 if (ua >= 0 and not pic.skip[ua]) else 0
+        self.eng.decision(self.ctxs.mb_type[1], a + b, 1 if skipped else 0)
+
+    def write_mb_type_i(self, addr, imb: int):
+        eng, ctx = self.eng, self.ctxs.mb_type[0]
+        pic = self.pic
+        la, ua = self._left_mb(addr), self._up_mb(addr)
+        a = 1 if (la >= 0 and pic.mb_class[la] != MB_I4) else 0
+        b = 1 if (ua >= 0 and pic.mb_class[ua] != MB_I4) else 0
+        if imb == 0:
+            eng.decision(ctx, a + b, 0)
+            return
+        eng.decision(ctx, a + b, 1)
+        eng.terminate(0)       # not IPCM
+        k = imb - 1
+        eng.decision(ctx, 4, 1 if k >= 12 else 0)
+        cc = (k // 4) % 3
+        eng.decision(ctx, 5, 1 if cc else 0)
+        if cc:
+            eng.decision(ctx, 6, 1 if cc == 2 else 0)
+        eng.decision(ctx, 7, (k % 4) >> 1)
+        eng.decision(ctx, 8, (k % 4) & 1)
+
+    def write_mb_type_p(self, internal: int):
+        """internal: 1..4 inter, 6 = I4, 7..30 = I16."""
+        eng, ctx = self.eng, self.ctxs.mb_type[1]
+        if internal == 1:
+            eng.decision(ctx, 4, 0)
+            eng.decision(ctx, 5, 0)
+            eng.decision(ctx, 6, 0)
+        elif internal == 2:
+            eng.decision(ctx, 4, 0)
+            eng.decision(ctx, 5, 1)
+            eng.decision(ctx, 7, 1)
+        elif internal == 3:
+            eng.decision(ctx, 4, 0)
+            eng.decision(ctx, 5, 1)
+            eng.decision(ctx, 7, 0)
+        elif internal == 4:
+            eng.decision(ctx, 4, 0)
+            eng.decision(ctx, 5, 0)
+            eng.decision(ctx, 6, 1)
+        elif internal == 6:
+            eng.decision(ctx, 4, 1)
+            eng.decision(ctx, 7, 0)
+        else:
+            eng.decision(ctx, 4, 1)
+            eng.decision(ctx, 7, 1)
+            eng.terminate(0)
+            j = internal - 7
+            eng.decision(ctx, 8, 1 if j >= 12 else 0)
+            cc = (j // 4) % 3
+            eng.decision(ctx, 9, 1 if cc else 0)
+            if cc:
+                eng.decision(ctx, 9, 1 if cc == 2 else 0)
+            eng.decision(ctx, 10, (j % 4) >> 1)
+            eng.decision(ctx, 10, (j % 4) & 1)
+
+    def write_intra4_mode(self, mode: int, pred: int):
+        eng, ctx = self.eng, self.ctxs.ipr
+        if mode == pred:
+            eng.decision(ctx, 0, 1)
+            return
+        eng.decision(ctx, 0, 0)
+        rem = mode if mode < pred else mode - 1
+        eng.decision(ctx, 1, rem & 1)
+        eng.decision(ctx, 1, (rem >> 1) & 1)
+        eng.decision(ctx, 1, (rem >> 2) & 1)
+
+    def write_chroma_pred_mode(self, addr, mode: int):
+        pic = self.pic
+        la, ua = self._left_mb(addr), self._up_mb(addr)
+        a = 1 if (la >= 0 and pic.chroma_mode[la] != 0
+                  and pic.mb_class[la] != MB_IPCM) else 0
+        b = 1 if (ua >= 0 and pic.chroma_mode[ua] != 0
+                  and pic.mb_class[ua] != MB_IPCM) else 0
+        if mode == 0:
+            self.eng.decision(self.ctxs.cipr, a + b, 0)
+            return
+        self.eng.decision(self.ctxs.cipr, a + b, 1)
+        self.eng.unary_max(self.ctxs.cipr, 3, 3, mode - 1, 1)
+
+    def write_mvd(self, addr, bx, by, comp, value: int, lst=0):
+        pic = self.pic
+        a = 0
+        na = self._blk_neighbor(addr, bx - 1, by)
+        nb = self._blk_neighbor(addr, bx, by - 1)
+        if na is not None:
+            a += abs(int(pic.mvd[na[0], lst, na[1], comp]))
+        if nb is not None:
+            a += abs(int(pic.mvd[nb[0], lst, nb[1], comp]))
+        if a < 3:
+            cidx = 5 * comp
+        elif a > 32:
+            cidx = 5 * comp + 3
+        else:
+            cidx = 5 * comp + 2
+        if value == 0:
+            self.eng.decision(self.ctxs.mv_res[0], cidx, 0)
+            return
+        self.eng.decision(self.ctxs.mv_res[0], cidx, 1)
+        self.eng.ueg3_mv(self.ctxs.mv_res[1], 5 * comp, abs(value) - 1)
+        self.eng.bypass(1 if value < 0 else 0)
+
+    def write_dquant(self, dq: int):
+        cidx = 1 if self.last_dquant != 0 else 0
+        if dq == 0:
+            self.eng.decision(self.ctxs.delta_qp, cidx, 0)
+        else:
+            self.eng.decision(self.ctxs.delta_qp, cidx, 1)
+            act = 2 * abs(dq) - (1 if dq > 0 else 0)
+            self.eng.unary(self.ctxs.delta_qp, 2, 3, act - 1)
+        self.last_dquant = dq
+
+    def write_cbp(self, addr, cbp: int):
+        eng, pic = self.eng, self.pic
+        ua = self._up_mb(addr)
+        la = self._left_mb(addr)
+        part = 0
+        for mb_y in (0, 2):
+            for mb_x in (0, 2):
+                if mb_y == 0:
+                    b = 0
+                    if ua >= 0 and pic.mb_class[ua] != MB_IPCM:
+                        b = 2 if (int(pic.cbp[ua]) & (1 << (2 + (mb_x >> 1)))) == 0 else 0
+                else:
+                    b = 2 if (part & (1 << (mb_x >> 1))) == 0 else 0
+                if mb_x == 0:
+                    nb = self._blk_neighbor(addr, -1, mb_y)
+                    if nb is not None:
+                        naddr, nblk = nb
+                        if pic.mb_class[naddr] == MB_IPCM:
+                            a = 0
+                        else:
+                            ny = nblk // 4
+                            a = 1 if (int(pic.cbp[naddr]) & (1 << (2 * (ny // 2) + 1))) == 0 else 0
+                    else:
+                        a = 0
+                else:
+                    a = 1 if (part & (1 << mb_y)) == 0 else 0
+                mask = 1 << (mb_y + (mb_x >> 1))
+                bit = 1 if (cbp & mask) else 0
+                eng.decision(self.ctxs.cbp[0], a + b, bit)
+                if bit:
+                    part += mask
+        b = 2 if (ua >= 0 and (pic.mb_class[ua] == MB_IPCM or pic.cbp[ua] > 15)) else 0
+        a = 1 if (la >= 0 and (pic.mb_class[la] == MB_IPCM or pic.cbp[la] > 15)) else 0
+        cc = cbp >> 4
+        eng.decision(self.ctxs.cbp[1], a + b, 1 if cc else 0)
+        if cc:
+            b = 2 if (ua >= 0 and (pic.mb_class[ua] == MB_IPCM
+                                   or (int(pic.cbp[ua]) >> 4) == 2)) else 0
+            a = 1 if (la >= 0 and (pic.mb_class[la] == MB_IPCM
+                                   or (int(pic.cbp[la]) >> 4) == 2)) else 0
+            eng.decision(self.ctxs.cbp[2], a + b, 1 if cc == 2 else 0)
+
+    # ---- residual ---------------------------------------------------------
+
+    def _cbf(self, addr, block_type, coeff_present, bx=0, by=0, comp=0):
+        """Write coded_block_flag; mirror of MBParserCABAC._cbf."""
+        pic, eng = self.pic, self.eng
+        is_intra = pic.mb_class[addr] != MB_INTER
+        if block_type == LUMA_16DC:
+            ub = lb = 1
+            la, ua = self._left_mb(addr), self._up_mb(addr)
+            if ua >= 0:
+                ub = 1 if pic.mb_class[ua] == MB_IPCM else _get_bit(pic.cbp_bits[ua], 0)
+            if la >= 0:
+                lb = 1 if pic.mb_class[la] == MB_IPCM else _get_bit(pic.cbp_bits[la], 0)
+            ctx = 2 * ub + lb
+            bit0 = 0
+        elif block_type in (LUMA_16AC, LUMA_4x4):
+            default = 1 if is_intra else 0
+            ub = lb = default
+            nb = self._blk_neighbor(addr, bx, by - 1)
+            na = self._blk_neighbor(addr, bx - 1, by)
+            if nb is not None:
+                naddr, nblk = nb
+                ub = 1 if pic.mb_class[naddr] == MB_IPCM else \
+                    _get_bit(pic.cbp_bits[naddr], 1 + nblk)
+            if na is not None:
+                naddr, nblk = na
+                lb = 1 if pic.mb_class[naddr] == MB_IPCM else \
+                    _get_bit(pic.cbp_bits[naddr], 1 + nblk)
+            ctx = 2 * ub + lb
+            bit0 = 1 + by * 4 + bx
+        elif block_type == CHROMA_DC:
+            default = 1 if is_intra else 0
+            ub = lb = default
+            bit = 17 if comp == 0 else 18
+            la, ua = self._left_mb(addr), self._up_mb(addr)
+            if ua >= 0:
+                ub = 1 if pic.mb_class[ua] == MB_IPCM else _get_bit(pic.cbp_bits[ua], bit)
+            if la >= 0:
+                lb = 1 if pic.mb_class[la] == MB_IPCM else _get_bit(pic.cbp_bits[la], bit)
+            ctx = 2 * ub + lb
+            bit0 = bit
+        elif block_type == CHROMA_AC:
+            default = 1 if is_intra else 0
+            ub = lb = default
+            base = 19 if comp == 0 else 35
+            nb = self._cblk_neighbor(addr, bx, by - 1)
+            na = self._cblk_neighbor(addr, bx - 1, by)
+            if nb is not None:
+                naddr, nblk = nb
+                ny, nx = nblk // 2, nblk % 2
+                ub = 1 if pic.mb_class[naddr] == MB_IPCM else \
+                    _get_bit(pic.cbp_bits[naddr], base + 4 * ny + nx)
+            if na is not None:
+                naddr, nblk = na
+                ny, nx = nblk // 2, nblk % 2
+                lb = 1 if pic.mb_class[naddr] == MB_IPCM else \
+                    _get_bit(pic.cbp_bits[naddr], base + 4 * ny + nx)
+            ctx = 2 * ub + lb
+            bit0 = base + 4 * by + bx
+        else:
+            raise NotImplementedError
+        bit = 1 if coeff_present else 0
+        eng.decision(self.ctxs.bcbp[TYPE2CTX_BCBP[block_type]], ctx, bit)
+        if bit:
+            pic.cbp_bits[addr] |= np.int64(1) << bit0
+        return bit
+
+    def _write_sig_and_levels(self, block_type, coeff):
+        """Inverse of read_significance_and_levels; coeff: scan-order
+        effective positions, length maxpos+1, at least one nonzero."""
+        eng, ctxs = self.eng, self.ctxs
+        maxp = MAXPOS[block_type]
+        n = maxp + 1
+        p2m = pos2ctx_map(block_type)
+        p2l = pos2ctx_last(block_type)
+        map_ctx = ctxs.map[TYPE2CTX_MAP[block_type]]
+        last_ctx = ctxs.last[TYPE2CTX_LAST[block_type]]
+        off = 0 if C1ISDC[block_type] else 1
+        nz = np.flatnonzero(coeff)
+        last = int(nz[-1])
+        for k in range(min(last + 1, n - 1)):
+            i = k + off
+            sig = coeff[k] != 0
+            eng.decision(map_ctx, p2m[i], 1 if sig else 0)
+            if sig:
+                eng.decision(last_ctx, p2l[i], 1 if k == last else 0)
+                if k == last:
+                    break
+        one_ctx = ctxs.one[TYPE2CTX_ONE[block_type]]
+        abs_ctx = ctxs.abs[TYPE2CTX_ABS[block_type]]
+        c1, c2 = 1, 0
+        for i in range(last, -1, -1):
+            v = int(coeff[i])
+            if v == 0:
+                continue
+            av = abs(v)
+            eng.decision(one_ctx, c1, 1 if av > 1 else 0)
+            if av > 1:
+                eng.ueg0_level(abs_ctx, c2, av - 2)
+                c2 = min(c2 + 1, MAX_C2[block_type])
+                c1 = 0
+            elif c1:
+                c1 = min(c1 + 1, 4)
+            eng.bypass(1 if v < 0 else 0)
+
+    def _write_block(self, addr, block_type, coeff, bx=0, by=0, comp=0):
+        present = bool(np.any(coeff))
+        if self._cbf(addr, block_type, present, bx, by, comp):
+            self._write_sig_and_levels(block_type, coeff)
+
+    def _write_luma_residual(self, addr, cbp, is_i16):
+        pic = self.pic
+        if is_i16:
+            self._write_block(addr, LUMA_16DC, pic.luma_dc[addr])
+        for blk8 in range(4):
+            if not (cbp & (1 << blk8)):
+                continue
+            for sub in range(4):
+                blk = int(CODE2RASTER[blk8 * 4 + sub])
+                by, bx = divmod(blk, 4)
+                if is_i16:
+                    self._write_block(addr, LUMA_16AC,
+                                      pic.luma_coef[addr, blk, 1:16], bx, by)
+                else:
+                    self._write_block(addr, LUMA_4x4,
+                                      pic.luma_coef[addr, blk], bx, by)
+
+    def _write_chroma_residual(self, addr, cbp):
+        pic = self.pic
+        cc = cbp >> 4
+        if cc & 3:
+            for comp in range(2):
+                self._write_block(addr, CHROMA_DC, pic.chroma_dc[addr, comp],
+                                  comp=comp)
+        if cc & 2:
+            for comp in range(2):
+                for blk in range(4):
+                    by, bx = divmod(blk, 2)
+                    self._write_block(addr, CHROMA_AC,
+                                      pic.chroma_coef[addr, comp, blk, 1:16],
+                                      bx, by, comp)
+
+    # ---- MB dispatch -------------------------------------------------------
+
+    def _dquant_for(self, addr):
+        dq = int(self.pic.qp[addr]) - self.qp
+        if dq > 25:
+            dq -= 52
+        elif dq < -26:
+            dq += 52
+        self.qp = int(self.pic.qp[addr])
+        return dq
+
+    def _write_intra_mb(self, addr, p_slice: bool):
+        pic = self.pic
+        if pic.mb_class[addr] == MB_I4:
+            imb = 0
+        else:
+            k = 1 + int(pic.i16_mode[addr]) + ((int(pic.cbp[addr]) >> 4) << 2) \
+                + (12 if (pic.cbp[addr] & 15) else 0)
+            imb = k
+        if p_slice:
+            self.write_mb_type_p(6 if imb == 0 else 6 + imb)
+        else:
+            self.write_mb_type_i(addr, imb)
+        cbp = int(pic.cbp[addr])
+        if imb == 0:
+            for code_idx in range(16):
+                blk = int(CODE2RASTER[code_idx])
+                pred = self.pctx.pred_intra4_mode(addr, blk)
+                self.write_intra4_mode(int(pic.i4_modes[addr, blk]), pred)
+            self.write_chroma_pred_mode(addr, int(pic.chroma_mode[addr]))
+            self.write_cbp(addr, cbp)
+            if cbp:
+                self.write_dquant(self._dquant_for(addr))
+            else:
+                self.last_dquant = 0
+            self._write_luma_residual(addr, cbp & 15, is_i16=False)
+            self._write_chroma_residual(addr, cbp)
+        else:
+            self.write_chroma_pred_mode(addr, int(pic.chroma_mode[addr]))
+            self.write_dquant(self._dquant_for(addr))
+            self._write_luma_residual(addr, cbp & 15, is_i16=True)
+            self._write_chroma_residual(addr, cbp)
+
+    def _write_p16_mb(self, addr):
+        pic = self.pic
+        self.write_mb_type_p(1)
+        pred = self.pctx.mv_pred(addr, 0, 0, 4, 4, int(pic.ref_idx[addr, 0]))
+        mv = pic.mv[addr, 0]
+        mvdx, mvdy = int(mv[0] - pred[0]), int(mv[1] - pred[1])
+        self.write_mvd(addr, 0, 0, 0, mvdx)
+        self.write_mvd(addr, 0, 0, 1, mvdy)
+        pic.mvd[addr, 0, :, 0] = mvdx
+        pic.mvd[addr, 0, :, 1] = mvdy
+        cbp = int(pic.cbp[addr])
+        self.write_cbp(addr, cbp)
+        if cbp:
+            self.write_dquant(self._dquant_for(addr))
+        else:
+            self.last_dquant = 0
+        self._write_luma_residual(addr, cbp & 15, is_i16=False)
+        self._write_chroma_residual(addr, cbp)
+
+    def write_mb(self, addr):
+        pic = self.pic
+        if self.stype == SliceType.P:
+            skipped = bool(pic.skip[addr])
+            self.write_skip_flag_p(addr, skipped)
+            if skipped:
+                self.last_dquant = 0
+                return
+            if pic.mb_class[addr] == MB_INTER:
+                self._write_p16_mb(addr)
+            else:
+                self._write_intra_mb(addr, p_slice=True)
+        else:
+            self._write_intra_mb(addr, p_slice=False)
+
+
+def serialize_slice_cabac(pic, sps, pps, *, slice_type, frame_num, idr, qp,
+                          poc_lsb=0, idr_pic_id=0, num_ref_idx_l0=1,
+                          cabac_init_idc=0) -> bytes:
+    from .syntax import write_slice_header
+    bw = BitWriter()
+    write_slice_header(bw, sps, pps, slice_type=slice_type,
+                       frame_num=frame_num, idr=idr, idr_pic_id=idr_pic_id,
+                       qp=qp, poc_lsb=poc_lsb, num_ref_idx_l0=num_ref_idx_l0,
+                       cabac_init_idc=cabac_init_idc)
+    # cabac_alignment_one_bit
+    while not bw.byte_aligned():
+        bw.u(1, 1)
+    w = MBWriterCABAC(bw, pic, sps, pps, slice_type, qp, cabac_init_idc)
+    n = pic.n_mbs
+    for addr in range(n):
+        w.write_mb(addr)
+        w.eng.terminate(1 if addr == n - 1 else 0)
+    bw.align_zero()
+    return bw.get_bytes()

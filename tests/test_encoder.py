@@ -77,3 +77,24 @@ def test_encode_quality(foreman3):
     # JM at QP28 reaches ~37 dB on this clip; require sane quality
     assert min(psnrs) > 33.0, psnrs
     assert bits < 80000, bits  # JM spends ~34k bits; stay in the ballpark
+
+
+def test_encode_decode_cabac(foreman3):
+    from jm_tpu.encoder.encoder import Encoder, EncoderConfig
+    enc = Encoder(EncoderConfig(qp=28, entropy="cabac"))
+    stream = b""
+    recs = []
+    for (Y, U, V) in foreman3:
+        stream += enc.encode_frame(Y, U, V)
+        recs.append(enc.refs[0])
+    dec = H264Decoder()
+    frames = dec.decode_annexb(stream)
+    assert len(frames) == 3
+    for i, (df, rf) in enumerate(zip(frames, recs)):
+        np.testing.assert_array_equal(df.Y, rf.Y, err_msg=f"frame {i} Y")
+        np.testing.assert_array_equal(df.U, rf.U, err_msg=f"frame {i} U")
+        np.testing.assert_array_equal(df.V, rf.V, err_msg=f"frame {i} V")
+    # CABAC should not be larger than CAVLC on the same decisions
+    enc2 = Encoder(EncoderConfig(qp=28))
+    cavlc_bits = sum(len(enc2.encode_frame(Y, U, V)) for (Y, U, V) in foreman3)
+    assert len(stream) < cavlc_bits * 1.02
