@@ -96,6 +96,8 @@ class PictureData:
         # unique ids of referenced pictures per 8x8 per list (deblock bS)
         self.ref_pic_id = np.full((n, 4), -1, np.int64)
         self.ref_pic_id_l1 = np.full((n, 4), -1, np.int64)
+        # encoder-side: chosen inter partition mode (coded P mb_type 0..3)
+        self.inter_mode = np.full(n, -1, np.int8)
 
     # -- neighbor helpers (same-slice availability) -------------------------
 

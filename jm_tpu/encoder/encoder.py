@@ -95,6 +95,7 @@ class Encoder:
         if is_idr:
             self.frame_num = 0  # spec 7.4.3: IDR pictures have frame_num 0
 
+        self.num_ref_active = max(1, min(cfg.num_ref, len(self.refs)))
         fe = _FrameEncoder(self, stype, Y, U, V)
         pic = fe.encode()
 
@@ -130,12 +131,14 @@ class Encoder:
             rbsp = serialize_slice_cabac(
                 pic, self.sps, self.pps, slice_type=stype,
                 frame_num=self.frame_num, idr=is_idr, qp=cfg.qp,
-                idr_pic_id=self.idr_pic_id, num_ref_idx_l0=cfg.num_ref)
+                idr_pic_id=self.idr_pic_id,
+                num_ref_idx_l0=self.num_ref_active)
         else:
             rbsp = serialize_slice(
                 pic, self.sps, self.pps, slice_type=stype,
                 frame_num=self.frame_num, idr=is_idr, qp=cfg.qp,
-                idr_pic_id=self.idr_pic_id, num_ref_idx_l0=cfg.num_ref)
+                idr_pic_id=self.idr_pic_id,
+                num_ref_idx_l0=self.num_ref_active)
         nal_type = NalUnitType.IDR if is_idr else NalUnitType.SLICE
         payload += annexb_bytes(3, nal_type, rbsp)
 
@@ -190,10 +193,15 @@ class _FrameEncoder:
 
     def encode(self) -> PictureData:
         if self.stype == SliceType.P:
-            ref_int_plane = self.ref.luma_planes[0]
-            self.int_mvs = ME.full_search_int(
-                self.origY, ref_int_plane, self.mb_w, self.mb_h,
-                self.enc.cfg.search_range, ip.PAD)
+            self.refs_list = self.enc.refs[:self.enc.num_ref_active]
+            sr = self.enc.cfg.search_range
+            # fast-full-search tables: per-reference per-quadrant SADs over
+            # the whole displacement window (me_fullfast analog)
+            self.qsads = [
+                ME.full_search_quadrant_sads(
+                    self.origY, f.luma_planes[0], self.mb_w, self.mb_h,
+                    sr, ip.PAD)
+                for f in self.refs_list]
         for addr in range(self.pic.n_mbs):
             self.pic.slice_id[addr] = 0
             self.pic.qp[addr] = self.qp
@@ -442,50 +450,110 @@ class _FrameEncoder:
 
     # ---- inter ------------------------------------------------------------
 
+    # partition table: mode -> [(bx, by, bw, bh, quadrants)]
+    PART_TABLE = {
+        0: [(0, 0, 4, 4, (0, 1, 2, 3))],
+        1: [(0, 0, 4, 2, (0, 1)), (0, 2, 4, 2, (2, 3))],
+        2: [(0, 0, 2, 4, (0, 2)), (2, 0, 2, 4, (1, 3))],
+        3: [(0, 0, 2, 2, (0,)), (2, 0, 2, 2, (1,)),
+            (0, 2, 2, 2, (2,)), (2, 2, 2, 2, (3,))],
+    }
+    MODE_BITS = {0: 1, 1: 3, 2: 3, 3: 5 + 4}
+
     def _encode_p_mb(self, addr):
         pic = self.pic
+        cfg = self.enc.cfg
+        sr = cfg.search_range
         mbx, mby = addr % self.mb_w, addr // self.mb_w
         px, py = mbx * 16, mby * 16
         origY_mb, origU_mb, origV_mb = self._mb_orig(addr)
         o = origY_mb.astype(np.int32)
+        nref = len(self.refs_list)
+        pred16 = self.pctx.mv_pred(addr, 0, 0, 4, 4, 0)
 
-        planes = self.ref.luma_planes
-        pred_mv = self.pctx.mv_pred(addr, 0, 0, 4, 4, 0)
-        int_mv = self.int_mvs[addr]
-        best_mv, cost_inter = ME.subpel_refine(
-            origY_mb, planes, px, py, int_mv, self.w, self.h, pred_mv, self.lam)
+        # ---- partition mode decision over fast-full tables ----
+        candidates = {}
+        for mode, parts in self.PART_TABLE.items():
+            total = self.lam * self.MODE_BITS[mode]
+            commit = []
+            for (bx, by, bw, bh, quads) in parts:
+                best = None
+                blk = self.origY[py + by * 4: py + by * 4 + bh * 4,
+                                 px + bx * 4: px + bx * 4 + bw * 4]
+                for r in range(nref):
+                    csum = self.qsads[r][addr][:, list(quads)] \
+                        .sum(axis=1, dtype=np.int64)
+                    imv, _ = ME.best_int_mv(csum[None], sr)
+                    ref_bits = (2 * r + 1 if nref > 2 else r) if nref > 1 else 0
+                    qmv, cost = ME.subpel_refine(
+                        blk, self.refs_list[r].luma_planes,
+                        px + bx * 4, py + by * 4, imv[0], self.w, self.h,
+                        pred16, self.lam, extra_bits=ref_bits)
+                    if best is None or cost < best[0]:
+                        best = (cost, r, qmv)
+                total += best[0]
+                commit.append((bx, by, bw, bh, quads, best[1], best[2]))
+            candidates[mode] = (total, commit)
+        best_mode = min(candidates, key=lambda m: candidates[m][0])
+        cost_inter, commit = candidates[best_mode]
 
-        # skip candidate
+        # skip candidate (16x16, ref 0, predicted mv, zero bits)
         skip_mv = self.pctx.skip_mv(addr)
-        skip_pred = ip.mc_luma_block(planes, px * 4 + int(skip_mv[0]),
+        planes0 = self.refs_list[0].luma_planes
+        skip_pred = ip.mc_luma_block(planes0, px * 4 + int(skip_mv[0]),
                                      py * 4 + int(skip_mv[1]), 16, 16,
                                      self.w, self.h)
         cost_skip = int(np.abs(o - skip_pred).sum())
         if cost_skip <= cost_inter:
-            best_mv = skip_mv.copy()
+            best_mode = 0
             cost_inter = cost_skip
+            commit = [(0, 0, 4, 4, (0, 1, 2, 3), 0, skip_mv.copy())]
 
         # intra-16 fallback for scene changes / uncovered areas
-        cost16, mode16, pred16 = self._eval_i16(addr, origY_mb)
+        cost16, mode16, predi16 = self._eval_i16(addr, origY_mb)
         if cost16 + 2 * self.lam4 < cost_inter:
             pic.ref_idx[addr] = -1
-            cbp_luma = self._encode_i16(addr, origY_mb, mode16, pred16)
+            cbp_luma = self._encode_i16(addr, origY_mb, mode16, predi16)
             cbp_chroma = self._encode_chroma_intra(addr)
             pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma
             return
 
-        # commit inter 16x16
+        # ---- commit motion (partition order, exact predictors) ----
         pic.mb_class[addr] = MB_INTER
-        pic.ref_idx[addr] = 0
-        pic.mv[addr] = best_mv
-        if not hasattr(pic, "ref_pic_id"):
-            pic.ref_pic_id = np.full((pic.n_mbs, 4), -1, np.int64)
-        pic.ref_pic_id[addr] = self.ref.uid
+        pic.inter_mode[addr] = best_mode
+        for (bx, by, bw, bh, quads, r, qmv) in commit:
+            for yy in range(by, by + bh):
+                for xx in range(bx, bx + bw):
+                    pic.mv[addr, yy * 4 + xx] = qmv
+            for q in quads:
+                pic.ref_idx[addr, q] = r
+                pic.ref_pic_id[addr, q] = self.refs_list[r].uid
+                pic.pdir[addr, q] = 0
 
-        predY = ip.mc_luma_block(planes, px * 4 + int(best_mv[0]),
-                                 py * 4 + int(best_mv[1]), 16, 16,
-                                 self.w, self.h)
-        res = o.astype(np.int64) - predY
+        # ---- prediction assembly (mirrors decoder recon granularity) ----
+        pred_y = np.zeros((16, 16), np.int64)
+        pred_u = np.zeros((8, 8), np.int64)
+        pred_v = np.zeros((8, 8), np.int64)
+        for blk in range(16):
+            byy, bxx = divmod(blk, 4)
+            q = (byy // 2) * 2 + (bxx // 2)
+            rf = self.refs_list[pic.ref_idx[addr, q]]
+            mvx, mvy = int(pic.mv[addr, blk, 0]), int(pic.mv[addr, blk, 1])
+            x4 = (px + bxx * 4) * 4 + mvx
+            y4 = (py + byy * 4) * 4 + mvy
+            pred_y[byy * 4:byy * 4 + 4, bxx * 4:bxx * 4 + 4] = \
+                ip.mc_luma_block(rf.luma_planes, x4, y4, 4, 4, self.w, self.h)
+            cx8 = (px // 2 + bxx * 2) * 8 + mvx
+            cy8 = (py // 2 + byy * 2) * 8 + mvy
+            pred_u[byy * 2:byy * 2 + 2, bxx * 2:bxx * 2 + 2] = \
+                ip.mc_chroma_block(rf.chroma_pad[0], cx8, cy8, 2, 2,
+                                   self.w // 2, self.h // 2)
+            pred_v[byy * 2:byy * 2 + 2, bxx * 2:bxx * 2 + 2] = \
+                ip.mc_chroma_block(rf.chroma_pad[1], cx8, cy8, 2, 2,
+                                   self.w // 2, self.h // 2)
+
+        # ---- residual ----
+        res = o.astype(np.int64) - pred_y
         blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
         w = RN.np_forward4x4(blocks)
         lev = RN.np_quant_4x4(w, self.qp, False)
@@ -499,27 +567,17 @@ class _FrameEncoder:
                 else [8, 9, 12, 13] if q == 2 else [10, 11, 14, 15]
             if nnz[qb].any():
                 cbp_luma |= 1 << q
-        # zero out quadrants not in cbp (none here: cbp covers all nonzero)
-        pred_blocks = predY.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+        pred_blocks = pred_y.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
         rec = RN.recon_luma_4x4(pred_blocks, scan, self.qp)
         self.recY[py:py + 16, px:px + 16] = \
             rec.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
-
-        # chroma MC + residual
-        cpx, cpy = px // 2, py // 2
-        predU = ip.mc_chroma_block(self.ref.chroma_pad[0],
-                                   cpx * 8 + int(best_mv[0]),
-                                   cpy * 8 + int(best_mv[1]), 8, 8,
-                                   self.w // 2, self.h // 2)
-        predV = ip.mc_chroma_block(self.ref.chroma_pad[1],
-                                   cpx * 8 + int(best_mv[0]),
-                                   cpy * 8 + int(best_mv[1]), 8, 8,
-                                   self.w // 2, self.h // 2)
-        cbp_chroma = self._code_chroma_residual(addr, predU, predV, intra=False)
+        cbp_chroma = self._code_chroma_residual(addr, pred_u, pred_v, intra=False)
         pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma
 
-        # skip decision: inter16x16, ref 0, mv == skip mv, no coefficients
-        if (pic.cbp[addr] == 0 and (best_mv == skip_mv).all()):
+        # skip: 16x16, ref 0, mv == skip mv, no coefficients
+        if (best_mode == 0 and pic.cbp[addr] == 0
+                and pic.ref_idx[addr, 0] == 0
+                and (pic.mv[addr, 0] == skip_mv).all()):
             pic.skip[addr] = True
 
 

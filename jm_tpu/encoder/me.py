@@ -29,58 +29,71 @@ def mv_bits(mvd_x: int, mvd_y: int) -> int:
     return se_len(int(mvd_x)) + se_len(int(mvd_y))
 
 
-def full_search_int(orig: np.ndarray, ref_pad: np.ndarray, mb_w: int,
-                    mb_h: int, sr: int, pad: int) -> np.ndarray:
-    """Integer-pel full search, 16x16 blocks, batched over all MBs.
+def full_search_quadrant_sads(orig: np.ndarray, ref_pad: np.ndarray,
+                              mb_w: int, mb_h: int, sr: int,
+                              pad: int) -> np.ndarray:
+    """Integer-pel full-search SAD per 8x8 quadrant, batched over all MBs.
 
-    orig: (H, W) uint8 current frame. ref_pad: padded reference integer
-    plane ((H+2p, W+2p)). Returns (n_mbs, 2) int32 best integer MVs
-    (in integer-pel units). Ties resolve to the JM spiral-ish preference:
-    smallest |mv| then raster order via lexicographic cost tweak — here:
-    first minimum in row-major (dy, dx) order over the window, which the
-    jnp twin reproduces exactly (argmin picks first flat index).
+    Returns (n_mbs, side*side, 4) int32: SAD of each quadrant at each
+    displacement (row-major (dy, dx)). Any rectangular partition's SAD is
+    a sum of quadrant SADs — the fast-full-search table reuse of
+    lencod/src/me_fullfast.c (setup_fast_full_search:269) expressed as one
+    batched tensor.
     """
     H, W = orig.shape
     n = mb_w * mb_h
     side = 2 * sr + 1
-    o = orig.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16).astype(np.int32)
-    best = np.zeros((n, 2), np.int32)
-    bcost = np.full(n, 1 << 30, np.int64)
-    # evaluate per displacement, vectorized over all MBs (window loop is
-    # 33x33 = 1089 iterations of cheap whole-frame slices)
-    costs = np.empty((side * side, n), np.int64)
+    o = orig.reshape(mb_h, 2, 8, mb_w, 2, 8).transpose(0, 3, 1, 4, 2, 5) \
+            .reshape(n, 4, 8, 8).astype(np.int32)   # (n, quadrant, 8, 8)
+    costs = np.empty((n, side * side, 4), np.int32)
     for iy, dy in enumerate(range(-sr, sr + 1)):
         for ix, dx in enumerate(range(-sr, sr + 1)):
-            shifted = ref_pad[pad + dy: pad + dy + H, pad + dx: pad + dx + W]
-            s = shifted.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16).astype(np.int32)
-            costs[iy * side + ix] = np.abs(o - s).sum(axis=(1, 2))
-    flat = np.argmin(costs, axis=0)
-    best[:, 1] = flat // side - sr   # dy
-    best[:, 0] = flat % side - sr    # dx
-    return best
+            sh = ref_pad[pad + dy: pad + dy + H, pad + dx: pad + dx + W]
+            s = sh.reshape(mb_h, 2, 8, mb_w, 2, 8).transpose(0, 3, 1, 4, 2, 5) \
+                  .reshape(n, 4, 8, 8).astype(np.int32)
+            costs[:, iy * side + ix] = np.abs(o - s).sum(axis=(2, 3))
+    return costs
 
 
-def subpel_refine(orig_mb: np.ndarray, planes, px: int, py: int,
+def best_int_mv(costs_part: np.ndarray, sr: int):
+    """argmin over the displacement axis: (n, side*side) -> mvs (n, 2)."""
+    side = 2 * sr + 1
+    flat = np.argmin(costs_part, axis=1)
+    mv = np.stack([flat % side - sr, flat // side - sr], axis=1).astype(np.int32)
+    best = np.take_along_axis(costs_part, flat[:, None], axis=1)[:, 0]
+    return mv, best
+
+
+def full_search_int(orig: np.ndarray, ref_pad: np.ndarray, mb_w: int,
+                    mb_h: int, sr: int, pad: int) -> np.ndarray:
+    """Integer-pel full search, 16x16 blocks (sum of quadrant SADs)."""
+    q = full_search_quadrant_sads(orig, ref_pad, mb_w, mb_h, sr, pad)
+    mv, _ = best_int_mv(q.sum(axis=2, dtype=np.int64), sr)
+    return mv
+
+
+def subpel_refine(orig_blk: np.ndarray, planes, px: int, py: int,
                   int_mv: np.ndarray, w: int, h: int, pred_mv: np.ndarray,
-                  lam: int) -> tuple[np.ndarray, int]:
-    """Quarter-pel refinement around the integer MV for one 16x16 block.
+                  lam: int, extra_bits: int = 0) -> tuple[np.ndarray, int]:
+    """Quarter-pel refinement around the integer MV for one block.
 
-    Two-stage (half then quarter) 8-neighbor search with motion-vector-bit
-    cost lam * bits(mvd). Returns (qpel mv (2,), cost).
+    orig_blk: (bh, bw) block at pixel position (px, py). Two-stage (half
+    then quarter) 8-neighbor search with cost lam * (bits(mvd) + extra).
+    Returns (qpel mv (2,), cost).
     """
-    o = orig_mb.astype(np.int32)
+    o = orig_blk.astype(np.int32)
+    bh, bw = o.shape
 
     def cost_at(mvq):
         blk = P.mc_luma_block(planes, px * 4 + int(mvq[0]),
-                              py * 4 + int(mvq[1]), 16, 16, w, h)
+                              py * 4 + int(mvq[1]), bw, bh, w, h)
         sad = int(np.abs(o - blk).sum())
-        return sad + lam * mv_bits(int(mvq[0] - pred_mv[0]),
-                                   int(mvq[1] - pred_mv[1]))
+        return sad + lam * (mv_bits(int(mvq[0] - pred_mv[0]),
+                                    int(mvq[1] - pred_mv[1])) + extra_bits)
 
     center = np.array([int_mv[0] * 4, int_mv[1] * 4], np.int32)
     best, bcost = center, cost_at(center)
     for step in (2, 1):
-        improved = True
         cand_center = best.copy()
         for dy in (-step, 0, step):
             for dx in (-step, 0, step):

@@ -208,17 +208,34 @@ class MBWriter:
             self._write_luma_residual(addr, cbp & 15, is_i16=True)
             self._write_chroma_residual(addr, cbp)
 
-    # ---- inter (P, 16x16 only for now) -------------------------------------
+    # ---- inter (P: 16x16/16x8/8x16/8x8-with-8x8-subs) ----------------------
 
-    def _write_p16_mb(self, addr: int, num_ref: int) -> None:
+    PARTS = {0: [(0, 0, 4, 4)],
+             1: [(0, 0, 4, 2), (0, 2, 4, 2)],
+             2: [(0, 0, 2, 4), (2, 0, 2, 4)],
+             3: [(0, 0, 2, 2), (2, 0, 2, 2), (0, 2, 2, 2), (2, 2, 2, 2)]}
+
+    def _write_p_inter_mb(self, addr: int, num_ref: int) -> None:
         pic, bw = self.pic, self.bw
-        bw.ue(0)  # P_L0_16x16
+        mode = int(pic.inter_mode[addr])
+        if mode < 0:
+            mode = 0
+        bw.ue(mode)
+        parts = self.PARTS[mode]
+        if mode == 3:
+            for _ in range(4):
+                bw.ue(0)   # sub_mb_type: all P_L0_8x8
         if num_ref > 1:
-            bw.te(int(pic.ref_idx[addr, 0]), num_ref - 1)
-        pred = self.pctx.mv_pred(addr, 0, 0, 4, 4, int(pic.ref_idx[addr, 0]))
-        mv = pic.mv[addr, 0]
-        bw.se(int(mv[0] - pred[0]))
-        bw.se(int(mv[1] - pred[1]))
+            for (bx, by, _bw, _bh) in parts:
+                q = (by // 2) * 2 + bx // 2
+                bw.te(int(pic.ref_idx[addr, q]), num_ref - 1)
+        for (bx, by, bw_, bh_) in parts:
+            q = (by // 2) * 2 + bx // 2
+            ref = int(pic.ref_idx[addr, q])
+            pred = self.pctx.mv_pred(addr, bx, by, bw_, bh_, ref)
+            mv = pic.mv[addr, by * 4 + bx]
+            bw.se(int(mv[0] - pred[0]))
+            bw.se(int(mv[1] - pred[1]))
         cbp = int(pic.cbp[addr])
         bw.ue(CBP_INV_CHROMA_INTER[cbp])
         if cbp:
@@ -237,7 +254,7 @@ class MBWriter:
             bw.ue(self.skip_run)
             self.skip_run = 0
             if pic.mb_class[addr] == 0:
-                self._write_p16_mb(addr, num_ref)
+                self._write_p_inter_mb(addr, num_ref)
             else:
                 self._write_intra_mb(addr, p_slice=True)
         else:

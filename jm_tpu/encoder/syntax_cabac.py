@@ -28,7 +28,8 @@ def _get_bit(v, b):
 
 class MBWriterCABAC:
     def __init__(self, bw: BitWriter, pic, sps, pps, slice_type: SliceType,
-                 slice_qp: int, cabac_init_idc: int = 0):
+                 slice_qp: int, cabac_init_idc: int = 0, num_ref: int = 1):
+        self.num_ref = num_ref
         self.pic = pic
         self.sps = sps
         self.pps = pps
@@ -418,16 +419,59 @@ class MBWriterCABAC:
             self._write_luma_residual(addr, cbp & 15, is_i16=True)
             self._write_chroma_residual(addr, cbp)
 
-    def _write_p16_mb(self, addr):
+    PARTS = {0: [(0, 0, 4, 4)],
+             1: [(0, 0, 4, 2), (0, 2, 4, 2)],
+             2: [(0, 0, 2, 4), (2, 0, 2, 4)],
+             3: [(0, 0, 2, 2), (2, 0, 2, 2), (0, 2, 2, 2), (2, 2, 2, 2)]}
+
+    def write_ref_idx(self, addr, bx, by, value: int):
         pic = self.pic
-        self.write_mb_type_p(1)
-        pred = self.pctx.mv_pred(addr, 0, 0, 4, 4, int(pic.ref_idx[addr, 0]))
-        mv = pic.mv[addr, 0]
-        mvdx, mvdy = int(mv[0] - pred[0]), int(mv[1] - pred[1])
-        self.write_mvd(addr, 0, 0, 0, mvdx)
-        self.write_mvd(addr, 0, 0, 1, mvdy)
-        pic.mvd[addr, 0, :, 0] = mvdx
-        pic.mvd[addr, 0, :, 1] = mvdy
+
+        def term(nb):
+            if nb is None:
+                return 0
+            naddr, nblk = nb
+            q = (nblk // 8) * 2 + ((nblk % 4) // 2)
+            if pic.mb_class[naddr] == MB_IPCM:
+                return 0
+            if pic.skip[naddr] or pic.b_direct[naddr] or pic.b8_direct[naddr, q]:
+                return 0
+            return 1 if pic.ref_idx[naddr, q] > 0 else 0
+
+        b = 2 * term(self._blk_neighbor(addr, bx, by - 1))
+        a = term(self._blk_neighbor(addr, bx - 1, by))
+        if value == 0:
+            self.eng.decision(self.ctxs.ref_no[0], a + b, 0)
+        else:
+            self.eng.decision(self.ctxs.ref_no[0], a + b, 1)
+            self.eng.unary(self.ctxs.ref_no[0], 4, 5, value - 1)
+
+    def _write_p_inter_mb(self, addr, num_ref=1):
+        pic = self.pic
+        mode = int(pic.inter_mode[addr])
+        if mode < 0:
+            mode = 0
+        self.write_mb_type_p(mode + 1)
+        parts = self.PARTS[mode]
+        if mode == 3:
+            # sub_mb_type P_L0_8x8: single bin 1 on b8_type[0][1]
+            for _ in range(4):
+                self.eng.decision(self.ctxs.b8_type[0], 1, 1)
+        if num_ref > 1:
+            for (bx, by, _w, _h) in parts:
+                q = (by // 2) * 2 + bx // 2
+                self.write_ref_idx(addr, bx, by, int(pic.ref_idx[addr, q]))
+        for (bx, by, bw_, bh_) in parts:
+            q = (by // 2) * 2 + bx // 2
+            ref = int(pic.ref_idx[addr, q])
+            pred = self.pctx.mv_pred(addr, bx, by, bw_, bh_, ref)
+            mv = pic.mv[addr, by * 4 + bx]
+            mvdx, mvdy = int(mv[0] - pred[0]), int(mv[1] - pred[1])
+            self.write_mvd(addr, bx, by, 0, mvdx)
+            self.write_mvd(addr, bx, by, 1, mvdy)
+            for yy in range(by, by + bh_):
+                for xx in range(bx, bx + bw_):
+                    pic.mvd[addr, 0, yy * 4 + xx] = (mvdx, mvdy)
         cbp = int(pic.cbp[addr])
         self.write_cbp(addr, cbp)
         if cbp:
@@ -446,7 +490,7 @@ class MBWriterCABAC:
                 self.last_dquant = 0
                 return
             if pic.mb_class[addr] == MB_INTER:
-                self._write_p16_mb(addr)
+                self._write_p_inter_mb(addr, self.num_ref)
             else:
                 self._write_intra_mb(addr, p_slice=True)
         else:
@@ -465,7 +509,8 @@ def serialize_slice_cabac(pic, sps, pps, *, slice_type, frame_num, idr, qp,
     # cabac_alignment_one_bit
     while not bw.byte_aligned():
         bw.u(1, 1)
-    w = MBWriterCABAC(bw, pic, sps, pps, slice_type, qp, cabac_init_idc)
+    w = MBWriterCABAC(bw, pic, sps, pps, slice_type, qp, cabac_init_idc,
+                      num_ref=num_ref_idx_l0)
     n = pic.n_mbs
     for addr in range(n):
         w.write_mb(addr)
