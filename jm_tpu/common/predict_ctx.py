@@ -67,6 +67,7 @@ class PredCtx:
 
     def nc_chroma(self, addr: int, comp: int, blk: int) -> int:
         pic = self.pic
+        crows = getattr(pic, "n_crows", 2)
         by, bx = divmod(blk, 2)
         if bx > 0:
             a_addr, a_blk, avail_a = addr, blk - 1, True
@@ -76,7 +77,7 @@ class PredCtx:
         if by > 0:
             b_addr, b_blk, avail_b = addr, blk - 2, True
         else:
-            b_addr, b_blk = self.up_addr(addr), blk + 2
+            b_addr, b_blk = self.up_addr(addr), blk + 2 * (crows - 1)
             avail_b = self.avail(b_addr, addr)
         return self._combine_nc(pic.chroma_nnz[a_addr, comp, a_blk], avail_a,
                                 pic.chroma_nnz[b_addr, comp, b_blk], avail_b)

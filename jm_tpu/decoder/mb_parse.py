@@ -70,12 +70,14 @@ class PictureData:
         # residuals, scan order (inverse-scanned on device):
         self.luma_coef = np.zeros((n, 16, 16), np.int32)   # [mb][raster blk][scan]
         self.luma_dc = np.zeros((n, 16), np.int32)         # i16 DC, zigzag scan
-        self.chroma_dc = np.zeros((n, 2, 4), np.int32)     # 4:2:0
-        self.chroma_coef = np.zeros((n, 2, 4, 16), np.int32)  # AC in [1..15]
+        crows = 4 if self.chroma_format_idc == 2 else 2
+        self.n_crows = crows                       # chroma 4x4-block rows
+        self.chroma_dc = np.zeros((n, 2, 2 * crows), np.int32)   # scan order
+        self.chroma_coef = np.zeros((n, 2, 2 * crows, 16), np.int32)
         self.luma_coef8 = np.zeros((n, 4, 64), np.int32)   # 8x8 transform MBs
         # nnz per 4x4 block (raster in MB), for nC pred + deblock bS
         self.luma_nnz = np.zeros((n, 16), np.int32)
-        self.chroma_nnz = np.zeros((n, 2, 4), np.int32)
+        self.chroma_nnz = np.zeros((n, 2, 2 * crows), np.int32)
         # inter motion: final MVs quarter-pel, per 4x4 raster block
         self.mv = np.zeros((n, 16, 2), np.int32)
         self.ref_idx = np.full((n, 4), -1, np.int8)        # per 8x8, -1 intra
@@ -212,13 +214,15 @@ class MBParser:
     def _read_chroma_residual(self, addr: int, cbp: int, intra: bool) -> None:
         pic, br = self.pic, self.br
         cbp_chroma = cbp >> 4
+        is422 = self.ctx.sps.chroma_format_idc == 2
         if cbp_chroma & 3:
             for comp in range(2):
-                coeffs, _tc = residual_block_cavlc(br, -1, 4)
+                coeffs, _tc = residual_block_cavlc(
+                    br, -2 if is422 else -1, 8 if is422 else 4)
                 pic.chroma_dc[addr, comp] = coeffs
         if cbp_chroma & 2:
             for comp in range(2):
-                for blk in range(4):
+                for blk in range(2 * pic.n_crows):
                     nc = self._nc_chroma(addr, comp, blk)
                     ac, tc = residual_block_cavlc(br, nc, 15)
                     out = np.zeros(16, np.int32)

@@ -14,7 +14,7 @@ import numpy as np
 from ..bitstream.bitreader import BitReader
 from ..common.predict_ctx import CODE2RASTER, PredCtx
 from ..common.types import SliceType
-from .cabac import (CHROMA_AC, CHROMA_DC, LUMA_4x4, LUMA_16AC, LUMA_16DC,
+from .cabac import (CHROMA_AC, CHROMA_DC, CHROMA_DC_2x4, LUMA_4x4, LUMA_16AC, LUMA_16DC,
                     CabacContexts, CabacEngine, read_significance_and_levels)
 from .mb_parse import (MB_I4, MB_I16, MB_INTER, MB_IPCM, PictureData,
                        SliceContext)
@@ -59,15 +59,18 @@ class MBParserCABAC:
         return naddr, (gy % 4) * 4 + (gx % 4)
 
     def _cblk_neighbor(self, addr, cx, cy):
-        """2x2-grid chroma block neighbor (chroma 8x8 has a 2x2 grid of 4x4)."""
+        """Chroma 4x4-block neighbor on the 2-wide x n_crows-tall MB grid
+        (2x2 for 4:2:0, 2x4 for 4:2:2; ldecod get4x4NeighbourBase over
+        mb_size[IS_CHROMA])."""
+        crows = self.pic.n_crows
         mbx, mby = addr % self.mb_w, addr // self.mb_w
-        gx, gy = mbx * 2 + cx, mby * 2 + cy
+        gx, gy = mbx * 2 + cx, mby * crows + cy
         if gx < 0 or gy < 0 or gx >= self.mb_w * 2:
             return None
-        naddr = (gy // 2) * self.mb_w + (gx // 2)
+        naddr = (gy // crows) * self.mb_w + (gx // 2)
         if naddr != addr and (naddr > addr or not self.pctx.avail(naddr, addr)):
             return None
-        return naddr, (gy % 2) * 2 + (gx % 2)
+        return naddr, (gy % crows) * 2 + (gx % 2)
 
     # ---- element readers --------------------------------------------------
 
@@ -370,7 +373,7 @@ class MBParserCABAC:
                     _get_bit(pic.cbp_bits[naddr], 1 + nblk)
             ctx = 2 * ub + lb
             bit0 = 1 + by * 4 + bx
-        elif block_type == CHROMA_DC:
+        elif block_type in (CHROMA_DC, CHROMA_DC_2x4):
             default = 1 if is_intra else 0
             ub = lb = default
             bit = 17 if comp == 0 else 18
@@ -460,14 +463,15 @@ class MBParserCABAC:
     def _read_chroma_residual(self, addr, cbp):
         pic = self.pic
         cbp_chroma = cbp >> 4
+        dc_type = CHROMA_DC_2x4 if pic.n_crows == 4 else CHROMA_DC
         if cbp_chroma & 3:
             for comp in range(2):
-                c = self._read_block(addr, CHROMA_DC, comp=comp)
+                c = self._read_block(addr, dc_type, comp=comp)
                 if c is not None:
                     pic.chroma_dc[addr, comp] = c
         if cbp_chroma & 2:
             for comp in range(2):
-                for blk in range(4):
+                for blk in range(2 * pic.n_crows):
                     by, bx = divmod(blk, 2)
                     c = self._read_block(addr, CHROMA_AC, bx, by, comp)
                     if c is not None:

@@ -143,6 +143,11 @@ def _np_inv8(d):
     return np.stack(v, axis=-2)
 
 
+# 4:2:2 chroma DC coefficient scan: (column, row) per transmission position
+# (ldecod/inc/macroblock.h:63 SCAN_YUV422)
+SCAN_YUV422 = [(0, 0), (0, 1), (1, 0), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3)]
+
+
 def decode_residuals(pic: PictureData, pps):
     """Returns (res_luma (n,16,4,4), res_chroma (n,2,4,4,4)) int32 spatial
     residuals, ready to add to prediction."""
@@ -195,7 +200,7 @@ def decode_residuals(pic: PictureData, pps):
     qpc_cb = np.array([chroma_qp(int(q), pps.cb_qp_offset) for q in pic.qp], np.int64)
     qpc_cr = np.array([chroma_qp(int(q), pps.cr_qp_offset) for q in pic.qp], np.int64)
     qpc = np.stack([qpc_cb, qpc_cr], axis=1)       # (n, 2)
-    c_raster = _inv_scan_4x4(pic.chroma_coef).astype(np.int64)  # (n,2,4,4,4)
+    c_raster = _inv_scan_4x4(pic.chroma_coef).astype(np.int64)  # (n,2,blks,4,4)
     # list 1/2 intra Cb/Cr, 4/5 inter
     list_u = np.where(intra == 1, 1, 4)
     list_v = np.where(intra == 1, 2, 5)
@@ -204,17 +209,42 @@ def decode_residuals(pic: PictureData, pps):
     perc = (qpc // 6)
     c_deq = rshift_rnd_sf((c_raster * scale_c[:, :, None]) <<
                           perc[:, :, None, None, None], 4).astype(np.int32)
-    # chroma DC: 2x2 hadamard + scale
-    dc = pic.chroma_dc.reshape(n, 2, 2, 2).astype(np.int64)
-    a, b = dc[..., 0, 0], dc[..., 0, 1]
-    c, d = dc[..., 1, 0], dc[..., 1, 1]
-    f = np.stack([
-        np.stack([a + b + c + d, a - b + c - d], axis=-1),
-        np.stack([a + b - c - d, a - b - c + d], axis=-1)], axis=-2)
-    scale = scale_c[:, :, 0, 0][..., None, None]
-    dc_s = (((f * scale) << perc[..., None, None]) >> 5).astype(np.int32)
-    blk = np.arange(4)
-    c_deq[:, :, blk, 0, 0] = dc_s[:, :, blk // 2, blk % 2]
+    if pic.n_crows == 2:
+        # chroma DC: 2x2 hadamard + scale (4:2:0)
+        dc = pic.chroma_dc.reshape(n, 2, 2, 2).astype(np.int64)
+        a, b = dc[..., 0, 0], dc[..., 0, 1]
+        c, d = dc[..., 1, 0], dc[..., 1, 1]
+        f = np.stack([
+            np.stack([a + b + c + d, a - b + c - d], axis=-1),
+            np.stack([a + b - c - d, a - b - c + d], axis=-1)], axis=-2)
+        scale = scale_c[:, :, 0, 0][..., None, None]
+        dc_s = (((f * scale) << perc[..., None, None]) >> 5).astype(np.int32)
+        blk = np.arange(4)
+        c_deq[:, :, blk, 0, 0] = dc_s[:, :, blk // 2, blk % 2]
+    else:
+        # 4:2:2 chroma DC: 2-pt horizontal + 4-pt vertical hadamard, scaled
+        # at QPc+3 with rounded >>6 (ldecod read_comp_cavlc.c:1406-1467)
+        dcs = pic.chroma_dc.astype(np.int64)        # (n, 2, 8) scan order
+        m3 = np.zeros((n, 2, 2, 4), np.int64)       # [col i][row j]
+        for k, (i0, j0) in enumerate(SCAN_YUV422):
+            m3[:, :, i0, j0] = dcs[:, :, k]
+        m4 = np.stack([m3[:, :, 0] + m3[:, :, 1],
+                       m3[:, :, 0] - m3[:, :, 1]], axis=2)  # (n,2,col,4)
+        m6_0 = m4[..., 0] + m4[..., 2]
+        m6_1 = m4[..., 0] - m4[..., 2]
+        m6_2 = m4[..., 1] - m4[..., 3]
+        m6_3 = m4[..., 1] + m4[..., 3]
+        f = np.stack([m6_0 + m6_3, m6_1 + m6_2,
+                      m6_1 - m6_2, m6_0 - m6_3], axis=-1)   # (n,2,col,row j)
+        qpdc = qpc + 3
+        scale_dc = np.stack([tab4[list_u, qpdc[:, 0]],
+                             tab4[list_v, qpdc[:, 1]]], axis=1)[:, :, 0, 0] \
+            .astype(np.int64)[..., None, None]
+        dc_s = rshift_rnd_sf((f * scale_dc) <<
+                             (qpdc // 6)[..., None, None], 6).astype(np.int32)
+        for j in range(4):
+            for i in range(2):
+                c_deq[:, :, j * 2 + i, 0, 0] = dc_s[:, :, i, j]
     res_chroma = ((_np_inv4(c_deq) + 32) >> 6).astype(np.int32)
     return res_luma, res_chroma
 
@@ -237,9 +267,12 @@ class Reconstructor:
         self.mb_h = pic.mb_h
         self.w = self.mb_w * 16
         self.h = self.mb_h * 16
+        self.crows = pic.n_crows            # chroma 4x4-block rows per MB
+        self.ch_mb = 4 * self.crows         # chroma MB height (8 or 16)
         self.Y = np.zeros((self.h, self.w), np.uint8)
-        self.U = np.zeros((self.h // 2, self.w // 2), np.uint8)
-        self.V = np.zeros((self.h // 2, self.w // 2), np.uint8)
+        ch = self.mb_h * self.ch_mb
+        self.U = np.zeros((ch, self.w // 2), np.uint8)
+        self.V = np.zeros((ch, self.w // 2), np.uint8)
 
     # ---- availability ----------------------------------------------------
 
@@ -378,43 +411,57 @@ class Reconstructor:
 
     def _recon_chroma_intra(self, addr, res_c):
         pic = self.pic
+        mh = self.ch_mb
         mbx, mby = addr % self.mb_w, addr // self.mb_w
-        cx, cy = mbx * 8, mby * 8
+        cx, cy = mbx * 8, mby * mh
         avail_l = self._mb_avail(addr - 1, addr) if mbx > 0 else False
         avail_t = self._mb_avail(addr - self.mb_w, addr)
         avail_tl = (mbx > 0) and self._mb_avail(addr - self.mb_w - 1, addr)
         mode = int(pic.chroma_mode[addr])
         for comp, plane in ((0, self.U), (1, self.V)):
             top = plane[cy - 1, cx:cx + 8].astype(np.int32) if avail_t else np.zeros(8, np.int32)
-            left = plane[cy:cy + 8, cx - 1].astype(np.int32) if avail_l else np.zeros(8, np.int32)
+            left = plane[cy:cy + mh, cx - 1].astype(np.int32) if avail_l else np.zeros(mh, np.int32)
             corner = int(plane[cy - 1, cx - 1]) if avail_tl else 0
             pred = I.predict_chroma(mode, top, left, corner, avail_t, avail_l)
-            res = res_c[addr, comp].reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
-            plane[cy:cy + 8, cx:cx + 8] = np.clip(pred + res, 0, 255)
+            res = res_c[addr, comp].reshape(self.crows, 2, 4, 4) \
+                .transpose(0, 2, 1, 3).reshape(mh, 8)
+            plane[cy:cy + mh, cx:cx + 8] = np.clip(pred + res, 0, 255)
 
     # -- inter -------------------------------------------------------------
 
     def _mc_4x4(self, ref, px, py, bx, by, mv):
-        """(luma 4x4, u 2x2, v 2x2) int32 prediction from one reference."""
+        """(luma 4x4, chroma 2x2 or 2x4) int32 prediction from one ref.
+
+        4:2:2 keeps full vertical chroma resolution: the luma quarter-pel
+        vector is used directly vertically (ldecod mc_prediction.c:1092-95
+        with subpel_y=3/shiftpel_y=2), which in the eighth-pel bilinear
+        below is vector*2 -- identical weights after the doubled shift."""
         mvx, mvy = int(mv[0]), int(mv[1])
         x4 = (px + bx * 4) * 4 + mvx
         y4 = (py + by * 4) * 4 + mvy
         yb = P.mc_luma_block(ref.luma_planes, x4, y4, 4, 4, self.w, self.h)
         cx8 = (px // 2 + bx * 2) * 8 + mvx
-        cy8 = (py // 2 + by * 2) * 8 + mvy
-        ub = P.mc_chroma_block(ref.chroma_pad[0], cx8, cy8, 2, 2,
-                               self.w // 2, self.h // 2)
-        vb = P.mc_chroma_block(ref.chroma_pad[1], cx8, cy8, 2, 2,
-                               self.w // 2, self.h // 2)
+        if self.crows == 2:
+            cy8 = (py // 2 + by * 2) * 8 + mvy
+            cbh, chh = 2, self.h // 2
+        else:
+            cy8 = (py + by * 4) * 8 + mvy * 2
+            cbh, chh = 4, self.h
+        ub = P.mc_chroma_block(ref.chroma_pad[0], cx8, cy8, 2, cbh,
+                               self.w // 2, chh)
+        vb = P.mc_chroma_block(ref.chroma_pad[1], cx8, cy8, 2, cbh,
+                               self.w // 2, chh)
         return yb, ub, vb
 
     def _recon_inter(self, addr, res_l, res_c):
         pic = self.pic
         mbx, mby = addr % self.mb_w, addr // self.mb_w
         px, py = mbx * 16, mby * 16
+        mh = self.ch_mb
+        cbh = mh // 4
         pred_y = np.zeros((16, 16), np.int32)
-        pred_u = np.zeros((8, 8), np.int32)
-        pred_v = np.zeros((8, 8), np.int32)
+        pred_u = np.zeros((mh, 8), np.int32)
+        pred_v = np.zeros((mh, 8), np.int32)
         for blk in range(16):
             by, bx = divmod(blk, 4)
             q = (by // 2) * 2 + (bx // 2)
@@ -454,14 +501,15 @@ class Reconstructor:
                 ub = (u0 + u1 + 1) >> 1
                 vb = (v0 + v1 + 1) >> 1
             pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = yb
-            pred_u[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = ub
-            pred_v[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = vb
+            pred_u[by * cbh:(by + 1) * cbh, bx * 2:bx * 2 + 2] = ub
+            pred_v[by * cbh:(by + 1) * cbh, bx * 2:bx * 2 + 2] = vb
         res = res_l[addr].reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
         self.Y[py:py + 16, px:px + 16] = np.clip(pred_y + res, 0, 255)
         for comp, plane, pr in ((0, self.U, pred_u), (1, self.V, pred_v)):
-            resc = res_c[addr, comp].reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
-            cx, cy = mbx * 8, mby * 8
-            plane[cy:cy + 8, cx:cx + 8] = np.clip(pr + resc, 0, 255)
+            resc = res_c[addr, comp].reshape(self.crows, 2, 4, 4) \
+                .transpose(0, 2, 1, 3).reshape(mh, 8)
+            cx, cy = mbx * 8, mby * mh
+            plane[cy:cy + mh, cx:cx + 8] = np.clip(pr + resc, 0, 255)
 
     def _recon_ipcm(self, addr):
         pic = self.pic
@@ -469,5 +517,6 @@ class Reconstructor:
         self.Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16] = pic.ipcm_luma[addr]
         ch = pic.ipcm_chroma[addr]
         if ch is not None:
-            self.U[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = ch[0]
-            self.V[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = ch[1]
+            mh = self.ch_mb
+            self.U[mby * mh:(mby + 1) * mh, mbx * 8:mbx * 8 + 8] = ch[0]
+            self.V[mby * mh:(mby + 1) * mh, mbx * 8:mbx * 8 + 8] = ch[1]

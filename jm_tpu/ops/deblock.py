@@ -176,6 +176,7 @@ def deblock_picture(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params):
     slice_id = slice_params["slice_id"]
     qpc_tab = {off: np.array([chroma_qp(q, off) for q in range(52)], np.int32)
                for off in set(cb_off.tolist()) | set(cr_off.tolist())}
+    crows = getattr(pic, "n_crows", 2)   # 2 = 4:2:0, 4 = 4:2:2
 
     for mby in range(mb_h):
         for mbx in range(mb_w):
@@ -218,11 +219,15 @@ def deblock_picture(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params):
                     bs_line, alpha, beta, tc0)
                 Y[py:py + 16, x - 3:x + 3] = np.stack(res, axis=1)
 
-                # chroma edges at luma x offsets 0 and 8 (4:2:0)
+                # chroma vertical edges at luma x offsets 0 and 8
+                # (chroma_edge[0] of ldecod/inc/loop_filter.h:49)
                 if ex in (0, 2):
                     cx = x // 2
-                    cyy = py // 2
-                    bs_c = np.repeat(bs_col, 2).astype(np.int32)
+                    if crows == 2:
+                        cyy, cnr = py // 2, 8
+                    else:          # 4:2:2: full vertical chroma resolution
+                        cyy, cnr = py, 16
+                    bs_c = np.repeat(bs_col, cnr // 4).astype(np.int32)
                     for plane, off_arr in ((U, cb_off), (V, cr_off)):
                         qpc_p = int(qpc_tab[off_arr[addr]][qp_p])
                         qpc_q = int(qpc_tab[off_arr[addr]][qp_q])
@@ -231,16 +236,21 @@ def deblock_picture(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params):
                         ib_c = min(max(qpc_av + 2 * b_off[addr], 0), 51)
                         al_c, be_c = int(ALPHA_TABLE[ia_c]), int(BETA_TABLE[ib_c])
                         tc0_c = TC0_TABLE[np.clip(bs_c, 1, 3) - 1, ia_c]
-                        cc = plane[cyy:cyy + 8, cx - 2:cx + 2].astype(np.int32)
+                        cc = plane[cyy:cyy + cnr, cx - 2:cx + 2].astype(np.int32)
                         rp0, rq0 = _filter_chroma_edge(
                             cc[:, 0], cc[:, 1], cc[:, 2], cc[:, 3],
                             bs_c, al_c, be_c, tc0_c)
-                        plane[cyy:cyy + 8, cx - 1] = rp0
-                        plane[cyy:cyy + 8, cx] = rq0
+                        plane[cyy:cyy + cnr, cx - 1] = rp0
+                        plane[cyy:cyy + cnr, cx] = rq0
 
             # ---- horizontal edges (top to bottom) ----
             for ey in range(4):
-                if t8 and ey in (1, 3):
+                # 8x8 transform skips only the LUMA filtering of internal
+                # odd edges; 4:2:2 chroma edges at those rows still run
+                # (ldecod/src/loopFilter.c:488 perform_db,
+                # filterNon8x8LumaEdgesFlag guards just the luma call)
+                luma_this_edge = not (t8 and ey in (1, 3))
+                if not luma_this_edge and crows == 2:
                     continue
                 y = py + ey * 4
                 if ey == 0:
@@ -261,15 +271,18 @@ def deblock_picture(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params):
                 ib = min(max(qp_av + 2 * b_off[addr], 0), 51)
                 alpha, beta = int(ALPHA_TABLE[ia]), int(BETA_TABLE[ib])
                 tc0 = TC0_TABLE[np.clip(bs_line, 1, 3) - 1, ia]
-                rows = Y[y - 4:y + 4, px:px + 16].astype(np.int32)
-                res = _filter_luma_edge(
-                    rows[0], rows[1], rows[2], rows[3],
-                    rows[4], rows[5], rows[6], rows[7],
-                    bs_line, alpha, beta, tc0)
-                Y[y - 3:y + 3, px:px + 16] = np.stack(res, axis=0)
+                if luma_this_edge:
+                    rows = Y[y - 4:y + 4, px:px + 16].astype(np.int32)
+                    res = _filter_luma_edge(
+                        rows[0], rows[1], rows[2], rows[3],
+                        rows[4], rows[5], rows[6], rows[7],
+                        bs_line, alpha, beta, tc0)
+                    Y[y - 3:y + 3, px:px + 16] = np.stack(res, axis=0)
 
-                if ey in (0, 2):
-                    cy = y // 2
+                # chroma horizontal edges: 4:2:0 at ey 0/2; 4:2:2 at every
+                # edge, chroma row = luma row (chroma_edge[1], loop_filter.h:55)
+                if crows == 4 or ey in (0, 2):
+                    cy = y // 2 if crows == 2 else y
                     cxx = px // 2
                     bs_c = np.repeat(bs_row, 2).astype(np.int32)
                     for plane, off_arr in ((U, cb_off), (V, cr_off)):

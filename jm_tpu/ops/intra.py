@@ -287,17 +287,25 @@ def predict_i16(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
 
 def predict_chroma(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
                    avail_top: bool, avail_left: bool) -> np.ndarray:
-    """8x8 chroma intra prediction (4:2:0). top/left: 8 samples each."""
+    """Chroma intra prediction, 8x8 (4:2:0) or 8x16 (4:2:2) depending on
+    len(left).  Per-4x4-block DC position rules follow
+    ldecod/src/intra_chroma_pred.c:79-141 (block_pos table: 4:2:2 rows
+    below the first use the bottom-left / bottom-right rules); plane mode
+    uses the cr_MB_y-dependent ic scale of intra_chroma_pred.c:320-331."""
     t = top.astype(np.int32)
     l = left.astype(np.int32)
-    p = np.zeros((8, 8), np.int32)
+    H = len(l)
+    p = np.zeros((H, 8), np.int32)
     if mode == C_DC:
-        for yo in (0, 4):
+        for by in range(H // 4):
+            yo = by * 4
             for xo in (0, 4):
                 ts = int(t[xo:xo + 4].sum())
                 ls = int(l[yo:yo + 4].sum())
-                if xo == yo:
-                    # corner-aligned blocks use both when available
+                # block position code: row 0 -> TL/TR, lower rows -> BL/BR
+                pos = (0 if xo == 0 else 1) if by == 0 else (2 if xo == 0 else 3)
+                if pos in (0, 3):
+                    # "all" blocks use both edges when available
                     if avail_top and avail_left:
                         v = (ts + ls + 4) >> 3
                     elif avail_top:
@@ -306,7 +314,7 @@ def predict_chroma(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
                         v = (ls + 2) >> 2
                     else:
                         v = 128
-                elif xo == 4:  # top-right block prefers top
+                elif pos == 1:  # top-right block prefers top
                     if avail_top:
                         v = (ts + 2) >> 2
                     elif avail_left:
@@ -327,15 +335,17 @@ def predict_chroma(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
         p[:, :] = t[None, :]
     elif mode == C_PLANE:
         m = int(corner)
+        h2 = H // 2
         tt = np.concatenate([[m], t])
         ll = np.concatenate([[m], l])
         hh = sum((x + 1) * (int(tt[5 + x]) - int(tt[3 - x])) for x in range(4))
-        vv = sum((y + 1) * (int(ll[5 + y]) - int(ll[3 - y])) for y in range(4))
-        a = 16 * (int(l[7]) + int(t[7]))
+        vv = sum((y + 1) * (int(ll[h2 + 1 + y]) - int(ll[h2 - 1 - y]))
+                 for y in range(h2))
+        a = 16 * (int(l[H - 1]) + int(t[7]))
         b = (34 * hh + 32) >> 6
-        c = (34 * vv + 32) >> 6
-        ys, xs = np.mgrid[0:8, 0:8]
-        p = np.clip((a + b * (xs - 3) + c * (ys - 3) + 16) >> 5, 0, 255)
+        c = ((17 if H == 8 else 5) * vv + 2 * H) >> (5 if H == 8 else 6)
+        ys, xs = np.mgrid[0:H, 0:8]
+        p = np.clip((a + b * (xs - 3) + c * (ys - h2 + 1) + 16) >> 5, 0, 255)
     else:
         raise ValueError(f"bad chroma mode {mode}")
     return p

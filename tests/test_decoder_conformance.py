@@ -8,17 +8,18 @@ import pytest
 from jm_tpu.decoder.decoder import decode_file
 
 W, H = 176, 144
-FRAME_SIZE = W * H * 3 // 2
 
 
-def _load_yuv(path, n_frames):
+def _load_yuv(path, n_frames, chroma=420):
+    ch = H // 2 if chroma == 420 else H        # 4:2:2: full-height chroma
+    fsz = W * H + 2 * (W // 2) * ch
     data = np.fromfile(path, np.uint8)
     out = []
     for i in range(n_frames):
-        r = data[i * FRAME_SIZE:(i + 1) * FRAME_SIZE]
+        r = data[i * fsz:(i + 1) * fsz]
         Y = r[:W * H].reshape(H, W)
-        U = r[W * H:W * H + W * H // 4].reshape(H // 2, W // 2)
-        V = r[W * H + W * H // 4:].reshape(H // 2, W // 2)
+        U = r[W * H:W * H + (W // 2) * ch].reshape(ch, W // 2)
+        V = r[W * H + (W // 2) * ch:].reshape(ch, W // 2)
         out.append((Y, U, V))
     return out
 
@@ -39,11 +40,14 @@ def _load_yuv(path, n_frames):
     ("high8x8.264", "high8x8_rec.yuv", 9),
     ("high8x8sm.264", "high8x8sm_rec.yuv", 9),
     ("high8x8c.264", "high8x8c_rec.yuv", 9),
+    ("y422.264", "y422_rec.yuv", 3),      # High 4:2:2 CABAC + B + 8x8 T
+    ("y422c.264", "y422c_rec.yuv", 3),    # 4:2:2 CAVLC IPP
 ])
 def test_bit_exact_vs_jm(golden_dir, stream, recon, n):
     frames = sorted(decode_file(str(golden_dir / stream)), key=lambda f: f.poc)
     assert len(frames) == n
-    refs = _load_yuv(golden_dir / recon, n)
+    chroma = 422 if stream.startswith("y422") else 420
+    refs = _load_yuv(golden_dir / recon, n, chroma)
     for i, (f, (Yr, Ur, Vr)) in enumerate(zip(frames, refs)):
         np.testing.assert_array_equal(f.Y, Yr, err_msg=f"frame {i} Y")
         np.testing.assert_array_equal(f.U, Ur, err_msg=f"frame {i} U")
