@@ -1,0 +1,168 @@
+"""JM-compatible configuration: encoder/decoder `.cfg` files + `-p` overrides.
+
+Parity with lcommon/src/config_common.c (ParseContent tokenizer: whitespace
+tokens, `name = value` triples, `#` comments to end of line, double-quoted
+strings; unrecognized parameter names warn and are skipped — JM 19 prints
+and continues, config_common.c:214-219) and the declarative Mapping tables
+of lencod/inc/configfile.h:26 (516 params) / ldecod/inc/configfile.h:30.
+
+Precedence mirrors the reference CLI (Readme.txt:100): defaults, then
+`-d file`, then `-f file`s in order, then `-p Name=Value` overrides.
+
+Only the parameters the TPU encoder implements so far are *applied*; all
+other legal JM parameter names are accepted and reported in `.ignored` so
+reference config files work as-is. A known name set at an unsupported value
+raises (better loud than silently-different bits).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+def tokenize_cfg(text: str) -> list[str]:
+    """ParseContent stage one: comments stripped, quoted strings kept whole."""
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0]
+        for tok in re.findall(r'"[^"]*"|\S+', line):
+            # '=' may be glued to names/values in JM files
+            if tok != "=" and "=" in tok and not tok.startswith('"'):
+                for part in re.split(r"(=)", tok):
+                    if part:
+                        out.append(part)
+            else:
+                out.append(tok)
+    return out
+
+
+def parse_cfg_text(text: str) -> dict[str, str]:
+    toks = tokenize_cfg(text)
+    kv: dict[str, str] = {}
+    i = 0
+    while i + 2 < len(toks) or (i + 2 == len(toks) and len(toks) >= 3):
+        if i + 2 >= len(toks):
+            break
+        name, eq, val = toks[i], toks[i + 1], toks[i + 2]
+        if eq != "=":
+            raise ValueError(f"config parse error near '{name}': expected '='")
+        kv[name] = val.strip('"')
+        i += 3
+    return kv
+
+
+@dataclass
+class EncoderParams:
+    """Typed view of the JM encoder parameters the framework implements,
+    plus IO. Field names follow the reference cfg names (configfile.h)."""
+    InputFile: str = ""
+    OutputFile: str = "test.264"
+    ReconFile: str = ""
+    StatsFile: str = "stats.dat"
+    SourceWidth: int = 176
+    SourceHeight: int = 144
+    FrameRate: float = 30.0
+    FramesToBeEncoded: int = 1
+    StartFrame: int = 0
+    QPISlice: int = 28
+    QPPSlice: int = 28
+    IntraPeriod: int = 0
+    NumberReferenceFrames: int = 1
+    SearchRange: int = 16
+    SymbolMode: int = 0          # 0 CAVLC, 1 CABAC
+    ProfileIDC: int = 66
+    LevelIDC: int = 30
+    NumberBFrames: int = 0
+    Transform8x8Mode: int = 0
+    DisableLoopFilter: int = 0   # via LoopFilterDisable
+    DistortionSSIM: int = 0
+    DistortionMSSSIM: int = 0
+    SSIMOverlapSize: int = 8
+    ignored: dict = field(default_factory=dict)
+
+    _INT_FIELDS = {
+        "SourceWidth", "SourceHeight", "FramesToBeEncoded", "StartFrame",
+        "QPISlice", "QPPSlice", "IntraPeriod", "NumberReferenceFrames",
+        "SearchRange", "SymbolMode", "ProfileIDC", "LevelIDC",
+        "NumberBFrames", "Transform8x8Mode", "DistortionSSIM",
+        "DistortionMSSSIM", "SSIMOverlapSize",
+    }
+    _STR_FIELDS = {"InputFile", "OutputFile", "ReconFile", "StatsFile"}
+    _ALIASES = {
+        "DistortionMS_SSIM": "DistortionMSSSIM",   # reference cfg name
+        "LoopFilterDisable": "DisableLoopFilter",
+        "OutputWidth": "SourceWidth",       # no resize support: must match
+        "OutputHeight": "SourceHeight",
+    }
+
+    def apply(self, kv: dict[str, str]) -> None:
+        for name, val in kv.items():
+            tgt = self._ALIASES.get(name, name)
+            if tgt in self._INT_FIELDS or tgt == "DisableLoopFilter":
+                setattr(self, tgt, int(float(val)))
+            elif tgt in self._STR_FIELDS:
+                setattr(self, tgt, val)
+            elif tgt == "FrameRate":
+                self.FrameRate = float(val)
+            else:
+                self.ignored[name] = val
+
+    def validate(self) -> None:
+        unsupported = []
+        if self.NumberBFrames != 0:
+            unsupported.append("NumberBFrames != 0 (B-frame encode: later phase)")
+        if self.Transform8x8Mode != 0:
+            unsupported.append("Transform8x8Mode != 0 (8x8 transform encode: later phase)")
+        if self.ProfileIDC not in (66, 77, 100):
+            unsupported.append(f"ProfileIDC {self.ProfileIDC}")
+        if self.SymbolMode not in (0, 1):
+            unsupported.append(f"SymbolMode {self.SymbolMode}")
+        if unsupported:
+            raise NotImplementedError("; ".join(unsupported))
+
+    def to_encoder_config(self):
+        from .encoder.encoder import EncoderConfig
+        return EncoderConfig(
+            width=self.SourceWidth, height=self.SourceHeight,
+            qp=self.QPISlice, intra_period=self.IntraPeriod,
+            search_range=self.SearchRange,
+            num_ref=self.NumberReferenceFrames,
+            level_idc=self.LevelIDC,
+            deblock=not self.DisableLoopFilter,
+            entropy="cabac" if self.SymbolMode else "cavlc")
+
+
+@dataclass
+class DecoderParams:
+    """ldecod/inc/configfile.h parameter set (the implemented subset)."""
+    InputFile: str = "test.264"
+    OutputFile: str = "test_dec.yuv"
+    RefFile: str = ""
+    WriteUV: int = 1
+    ignored: dict = field(default_factory=dict)
+
+    def apply(self, kv: dict[str, str]) -> None:
+        for name, val in kv.items():
+            if name in ("InputFile", "OutputFile", "RefFile"):
+                setattr(self, name, val.strip('"'))
+            elif name == "WriteUV":
+                self.WriteUV = int(val)
+            else:
+                self.ignored[name] = val
+
+
+def load_params(cls, d_file: str | None = None, f_files: tuple = (),
+                p_overrides: tuple = ()):
+    """JM CLI precedence: defaults < -d < -f... < -p Name=Value..."""
+    params = cls()
+    files = ([d_file] if d_file else []) + list(f_files)
+    for path in files:
+        with open(path, encoding="latin-1") as fh:
+            params.apply(parse_cfg_text(fh.read()))
+    for ov in p_overrides:
+        if "=" not in ov:
+            raise ValueError(f"-p expects Name=Value, got '{ov}'")
+        k, v = ov.split("=", 1)
+        params.apply({k.strip(): v.strip().strip('"')})
+    return params

@@ -1,0 +1,150 @@
+"""Encoder CLI: JM lencod twin.
+
+Mirrors the reference driver loop (lencod/src/lencod.c:355 encode_sequence,
+image.c:1398 ReportFirstframe/ReportI/ReportP per-frame lines, report.c:246
+report() summary) over the TPU encoder. Accepts reference `.cfg` files
+unchanged (unsupported params are ignored with a notice; unsupported
+*features* raise).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from ..config import EncoderParams, load_params
+from ..encoder.encoder import Encoder
+from ..metrics import ms_ssim, psnr, ssim
+
+
+def read_yuv420_frames(path: str, w: int, h: int, n: int, start: int = 0):
+    fsz = w * h * 3 // 2
+    frames = []
+    with open(path, "rb") as fh:
+        fh.seek(start * fsz)
+        for _ in range(n):
+            raw = fh.read(fsz)
+            if len(raw) < fsz:
+                break
+            a = np.frombuffer(raw, np.uint8)
+            frames.append((a[:w * h].reshape(h, w),
+                           a[w * h:w * h * 5 // 4].reshape(h // 2, w // 2),
+                           a[w * h * 5 // 4:].reshape(h // 2, w // 2)))
+    return frames
+
+
+def _parse_cli(argv):
+    d_file, f_files, p_overrides = None, [], []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-d":
+            d_file = argv[i + 1]; i += 2
+        elif a == "-f":
+            f_files.append(argv[i + 1]); i += 2
+        elif a == "-p":
+            p_overrides.append(argv[i + 1]); i += 2
+        elif a in ("-h", "--help"):
+            print(__doc__)
+            raise SystemExit(0)
+        else:
+            raise SystemExit(f"unknown option {a} (use -d/-f/-p)")
+    return d_file, tuple(f_files), tuple(p_overrides)
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    d_file, f_files, p_overrides = _parse_cli(argv)
+    prm: EncoderParams = load_params(EncoderParams, d_file, f_files,
+                                     p_overrides)
+    prm.validate()
+    if prm.ignored:
+        print(f" Note: {len(prm.ignored)} unimplemented config parameters "
+              "accepted and ignored.")
+
+    frames = read_yuv420_frames(prm.InputFile, prm.SourceWidth,
+                                prm.SourceHeight, prm.FramesToBeEncoded,
+                                prm.StartFrame)
+    if len(frames) < prm.FramesToBeEncoded:
+        print(f"Incorrect FramesToBeEncoded: actual number is "
+              f"{len(frames):>6} frames!")
+
+    enc = Encoder(prm.to_encoder_config())
+    if prm.QPPSlice != prm.QPISlice:
+        # per-frame QP switch is applied below via cfg mutation per frame
+        pass
+
+    print(" Frame     Bit/pic    QP   SnrY    SnrU    SnrV    "
+          "Time(ms)  Frm  Ref")
+    out = bytearray()
+    recon = bytearray()
+    tot_bits = 0
+    snr_acc = np.zeros(3)
+    ssim_acc = np.zeros(3)
+    msssim_acc = np.zeros(3)
+    t_seq0 = time.time()
+    for idx, (Y, U, V) in enumerate(frames):
+        is_i = idx == 0 or (prm.IntraPeriod > 0 and
+                            idx % prm.IntraPeriod == 0)
+        enc.cfg.qp = prm.QPISlice if is_i else prm.QPPSlice
+        t0 = time.time()
+        payload = enc.encode_frame(Y, U, V)
+        ms = int((time.time() - t0) * 1000)
+        out += payload
+        rec = enc.recon_frames[0]
+        s = (psnr(Y, rec.Y), psnr(U, rec.U), psnr(V, rec.V))
+        snr_acc += s
+        if prm.DistortionSSIM:
+            ssim_acc += (ssim(Y, rec.Y, overlap=prm.SSIMOverlapSize),
+                         ssim(U, rec.U, overlap=prm.SSIMOverlapSize),
+                         ssim(V, rec.V, overlap=prm.SSIMOverlapSize))
+        if prm.DistortionMSSSIM:
+            msssim_acc += (ms_ssim(Y, rec.Y, overlap=prm.SSIMOverlapSize),
+                           ms_ssim(U, rec.U, overlap=prm.SSIMOverlapSize),
+                           ms_ssim(V, rec.V, overlap=prm.SSIMOverlapSize))
+        bits = len(payload) * 8
+        tot_bits += bits
+        label = "IDR" if is_i else " P "
+        print(f"{idx:05d}({label}) {bits:7d}  {enc.cfg.qp:3d} "
+              f"{s[0]:7.3f} {s[1]:7.3f} {s[2]:7.3f}  {ms:9d}  FRM "
+              f"{min(idx, enc.cfg.num_ref):4d}")
+        if prm.ReconFile:
+            recon += rec.Y.tobytes() + rec.U.tobytes() + rec.V.tobytes()
+    t_seq = time.time() - t_seq0
+
+    with open(prm.OutputFile, "wb") as fh:
+        fh.write(out)
+    if prm.ReconFile:
+        with open(prm.ReconFile, "wb") as fh:
+            fh.write(recon)
+
+    n = max(len(frames), 1)
+    print("-" * 64)
+    print(f" Total encoding time for the seq.  : {t_seq:8.3f} sec "
+          f"({n / t_seq:.2f} fps)")
+    print(f" Y PSNR (dB)                       : {snr_acc[0] / n:8.3f}")
+    print(f" U PSNR (dB)                       : {snr_acc[1] / n:8.3f}")
+    print(f" V PSNR (dB)                       : {snr_acc[2] / n:8.3f}")
+    if prm.DistortionSSIM:
+        print(f" Y/U/V SSIM                        : "
+              f"{ssim_acc[0] / n:7.4f} {ssim_acc[1] / n:7.4f} "
+              f"{ssim_acc[2] / n:7.4f}")
+    if prm.DistortionMSSSIM:
+        print(f" Y/U/V MS-SSIM                     : "
+              f"{msssim_acc[0] / n:7.4f} {msssim_acc[1] / n:7.4f} "
+              f"{msssim_acc[2] / n:7.4f}")
+    print(f" Total bits                        : {tot_bits} ")
+    print(f" Bit rate (kbit/s)  @ {prm.FrameRate:.2f} Hz     : "
+          f"{tot_bits * prm.FrameRate / n / 1000:.2f}")
+    if prm.StatsFile:
+        with open(prm.StatsFile, "a", encoding="ascii") as fh:
+            fh.write(f"bits={tot_bits} frames={n} "
+                     f"snr_y={snr_acc[0] / n:.3f} snr_u={snr_acc[1] / n:.3f} "
+                     f"snr_v={snr_acc[2] / n:.3f}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
