@@ -67,6 +67,7 @@ class EncoderParams:
     StartFrame: int = 0
     QPISlice: int = 28
     QPPSlice: int = 28
+    QPBSlice: int = 30
     IntraPeriod: int = 0
     NumberReferenceFrames: int = 1
     SearchRange: int = 16
@@ -83,7 +84,8 @@ class EncoderParams:
 
     _INT_FIELDS = {
         "SourceWidth", "SourceHeight", "FramesToBeEncoded", "StartFrame",
-        "QPISlice", "QPPSlice", "IntraPeriod", "NumberReferenceFrames",
+        "QPISlice", "QPPSlice", "QPBSlice", "IntraPeriod",
+        "NumberReferenceFrames",
         "SearchRange", "SymbolMode", "ProfileIDC", "LevelIDC",
         "NumberBFrames", "Transform8x8Mode", "DistortionSSIM",
         "DistortionMSSSIM", "SSIMOverlapSize",
@@ -110,8 +112,6 @@ class EncoderParams:
 
     def validate(self) -> None:
         unsupported = []
-        if self.NumberBFrames != 0:
-            unsupported.append("NumberBFrames != 0 (B-frame encode: later phase)")
         if self.Transform8x8Mode != 0:
             unsupported.append("Transform8x8Mode != 0 (8x8 transform encode: later phase)")
         if self.ProfileIDC not in (66, 77, 100):
@@ -130,7 +130,8 @@ class EncoderParams:
             num_ref=self.NumberReferenceFrames,
             level_idc=self.LevelIDC,
             deblock=not self.DisableLoopFilter,
-            entropy="cabac" if self.SymbolMode else "cavlc")
+            entropy="cabac" if self.SymbolMode else "cavlc",
+            num_b=self.NumberBFrames, qp_b=self.QPBSlice)
 
 
 @dataclass

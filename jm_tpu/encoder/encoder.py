@@ -54,6 +54,9 @@ class EncoderConfig:
     level_idc: int = 30
     deblock: bool = True
     entropy: str = "cavlc"       # "cavlc" | "cabac" (cabac => Main profile)
+    num_b: int = 0               # B pictures between anchors (IbbP..)
+    qp_b: int | None = None      # B-picture QP (default qp + 2)
+    qp_p: int | None = None      # P-anchor QP (default qp)
 
 
 class Encoder:
@@ -67,78 +70,128 @@ class Encoder:
         self.cfg = cfg
         self.mb_w = cfg.width // 16
         self.mb_h = cfg.height // 16
+        use_b = cfg.num_b > 0
+        # B pictures need both anchors resident in the decoder DPB, so the
+        # sliding window must hold at least two references
+        self.dpb_size = max(cfg.num_ref, 2) if use_b else cfg.num_ref
         self.sps = SPS(
-            profile_idc=77 if cfg.entropy == "cabac" else 66,
+            profile_idc=77 if (cfg.entropy == "cabac" or use_b) else 66,
             level_idc=cfg.level_idc,
             log2_max_frame_num_minus4=4,
-            pic_order_cnt_type=2,
-            max_num_ref_frames=cfg.num_ref,
+            # poc type 0 (explicit lsb) so B pictures can precede their
+            # list-1 anchor in display order (spec 8.2.1.1)
+            pic_order_cnt_type=0,
+            log2_max_pic_order_cnt_lsb_minus4=4,
+            max_num_ref_frames=self.dpb_size,
             pic_width_in_mbs_minus1=self.mb_w - 1,
             pic_height_in_map_units_minus1=self.mb_h - 1,
             frame_mbs_only_flag=1, direct_8x8_inference_flag=1)
         self.pps = PPS(num_ref_idx_l0_default_active_minus1=cfg.num_ref - 1,
                        entropy_coding_mode_flag=1 if cfg.entropy == "cabac" else 0)
-        self.frame_idx = 0
+        self.frame_idx = 0            # anchors encoded (coding order)
         self.frame_num = 0
         self.idr_pic_id = 0
         self.refs: list[Frame] = []   # most recent first
         self._uid = 0
         self.stats = []
+        self.results = []             # per-picture {disp, type, bits, frame}
+        self._pending = []            # (disp, Y, U, V) awaiting next anchor
+        self.display_idx = 0          # next display index (absolute)
+        self._idr_disp = 0            # display index of last IDR (poc base)
 
     # ------------------------------------------------------------------
 
     def encode_frame(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> bytes:
+        """Push one display-order frame. With num_b == 0 the coded picture
+        is returned immediately; with B pictures the mini-GOP buffers until
+        its next anchor arrives (call flush() at end of sequence). Mirrors
+        the reference frame re-ordering of lencod.c prepare_frame_params/
+        SetImageType."""
         cfg = self.cfg
-        is_idr = self.frame_idx == 0 or (
-            cfg.intra_period > 0 and self.frame_idx % cfg.intra_period == 0)
-        stype = SliceType.I if is_idr else SliceType.P
+        disp = self.display_idx
+        self.display_idx += 1
+        if cfg.num_b == 0 or not self.refs:
+            return self._emit_anchor(Y, U, V, disp)
+        self._pending.append((disp, np.asarray(Y, np.uint8),
+                              np.asarray(U, np.uint8),
+                              np.asarray(V, np.uint8)))
+        if len(self._pending) == cfg.num_b + 1:
+            return self._emit_group()
+        return b""
+
+    def flush(self) -> bytes:
+        """Encode any buffered trailing frames (last becomes a P anchor)."""
+        if self._pending:
+            return self._emit_group()
+        return b""
+
+    def _emit_group(self) -> bytes:
+        disp, Y, U, V = self._pending[-1]
+        bs = self._pending[:-1]
+        self._pending = []
+        prev_anchor = self.refs[0]
+        out = self._emit_anchor(Y, U, V, disp)
+        next_anchor = self.refs[0]
+        for bdisp, bY, bU, bV in bs:
+            out += self._emit_b(bY, bU, bV, bdisp, prev_anchor, next_anchor)
+        return out
+
+    def _emit_anchor(self, Y, U, V, disp: int) -> bytes:
+        cfg = self.cfg
+        intra_due = (cfg.intra_period > 0 and
+                     self.frame_idx % cfg.intra_period == 0)
+        is_first = self.frame_idx == 0
+        is_intra = is_first or intra_due
+        # with B pictures, periodic intra anchors are open-GOP I slices
+        # (IDR would invalidate list-0 references of preceding-in-display Bs)
+        is_idr = is_first or (cfg.num_b == 0 and intra_due)
+        stype = SliceType.I if is_intra else SliceType.P
         if is_idr:
             self.frame_num = 0  # spec 7.4.3: IDR pictures have frame_num 0
+            self._idr_disp = disp
+        poc = 2 * (disp - self._idr_disp)
+        qp = cfg.qp if (is_intra or cfg.qp_p is None) else cfg.qp_p
 
         self.num_ref_active = max(1, min(cfg.num_ref, len(self.refs)))
         fe = _FrameEncoder(self, stype, Y, U, V)
+        fe.qp = qp
+        fe.qpc = chroma_qp(qp, self.pps.chroma_qp_index_offset)
+        fe.lam = lambda_me(qp)
+        fe.lam4 = lambda_mode4(qp)
         pic = fe.encode()
 
         # closed-loop recon for the DPB: deblocked copy
         recY, recU, recV = fe.recY.copy(), fe.recU.copy(), fe.recV.copy()
         if cfg.deblock:
-            n = pic.n_mbs
-            deblock_picture(recY, recU, recV, pic, self.mb_w, self.mb_h,
-                            pic.qp, {
-                "disable_idc": np.zeros(n, np.int32),
-                "alpha_off": np.zeros(n, np.int32),
-                "beta_off": np.zeros(n, np.int32),
-                "cb_qp_off": np.full(n, self.pps.cb_qp_offset, np.int32),
-                "cr_qp_off": np.full(n, self.pps.cr_qp_offset, np.int32),
-                "slice_id": pic.slice_id,
-            })
-        frame = Frame(poc=2 * self.frame_idx, frame_num=self.frame_num,
+            self._deblock(recY, recU, recV, pic)
+        frame = Frame(poc=poc, frame_num=self.frame_num,
                       Y=recY, U=recU, V=recV)
         frame.uid = self._uid
         self._uid += 1
+        # motion field for direct modes of dependent B pictures (mirrors
+        # the decoder's Frame.motion tuple)
+        frame.motion = (pic.mv.copy(), pic.ref_idx.copy(),
+                        pic.mv_l1.copy(), pic.ref_idx_l1.copy(),
+                        pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())
         if is_idr:
             self.refs = []
         self.refs.insert(0, frame)
-        del self.refs[self.cfg.num_ref:]
+        del self.refs[self.dpb_size:]
 
         # serialize
         payload = b""
         if is_idr:
             payload += annexb_bytes(3, NalUnitType.SPS, write_sps(self.sps))
             payload += annexb_bytes(3, NalUnitType.PPS, write_pps(self.pps))
+        common = dict(slice_type=stype, frame_num=self.frame_num, idr=is_idr,
+                      qp=qp, idr_pic_id=self.idr_pic_id,
+                      num_ref_idx_l0=self.num_ref_active,
+                      poc_lsb=poc % 256)
         if cfg.entropy == "cabac":
             from .syntax_cabac import serialize_slice_cabac
-            rbsp = serialize_slice_cabac(
-                pic, self.sps, self.pps, slice_type=stype,
-                frame_num=self.frame_num, idr=is_idr, qp=cfg.qp,
-                idr_pic_id=self.idr_pic_id,
-                num_ref_idx_l0=self.num_ref_active)
+            rbsp = serialize_slice_cabac(pic, self.sps, self.pps, **common)
         else:
-            rbsp = serialize_slice(
-                pic, self.sps, self.pps, slice_type=stype,
-                frame_num=self.frame_num, idr=is_idr, qp=cfg.qp,
-                idr_pic_id=self.idr_pic_id,
-                num_ref_idx_l0=self.num_ref_active)
+            rbsp = serialize_slice(pic, self.sps, self.pps, **common)
         nal_type = NalUnitType.IDR if is_idr else NalUnitType.SLICE
         payload += annexb_bytes(3, nal_type, rbsp)
 
@@ -146,9 +199,63 @@ class Encoder:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
         self.frame_num = (self.frame_num + 1) % self.sps.max_frame_num
         self.frame_idx += 1
-        self.stats.append({"type": "I" if is_idr else "P",
-                           "bits": len(payload) * 8})
+        label = "I" if is_intra else "P"
+        self.stats.append({"type": label, "bits": len(payload) * 8})
+        self.results.append({"disp": disp, "type": label,
+                             "bits": len(payload) * 8, "frame": frame})
         return payload
+
+    def _emit_b(self, Y, U, V, disp: int, prev_anchor: Frame,
+                next_anchor: Frame) -> bytes:
+        """Encode one non-reference B picture between two anchors."""
+        from ..decoder.b_slice import ColMotion
+        cfg = self.cfg
+        poc = 2 * (disp - self._idr_disp)
+        qp_b = cfg.qp_b if cfg.qp_b is not None else cfg.qp + 2
+
+        fe = _FrameEncoder(self, SliceType.B, Y, U, V)
+        fe.qp = qp_b
+        fe.qpc = chroma_qp(qp_b, self.pps.chroma_qp_index_offset)
+        fe.lam = lambda_me(qp_b)
+        fe.lam4 = lambda_mode4(qp_b)
+        fe.refs_list = [prev_anchor]
+        fe.refs_list1 = [next_anchor]
+        mv0, r0, mv1, r1, rp0, rp1 = next_anchor.motion
+        fe.b_col = ColMotion(mv0, r0, mv1, r1, self.mb_w,
+                             next_anchor.is_long_term, rp0, rp1)
+        pic = fe.encode()
+
+        recY, recU, recV = fe.recY.copy(), fe.recU.copy(), fe.recV.copy()
+        if cfg.deblock:
+            self._deblock(recY, recU, recV, pic)
+        frame = Frame(poc=poc, frame_num=self.frame_num,
+                      Y=recY, U=recU, V=recV, is_ref=False)
+
+        common = dict(slice_type=SliceType.B, frame_num=self.frame_num,
+                      idr=False, qp=qp_b, poc_lsb=poc % 256,
+                      num_ref_idx_l0=1, num_ref_idx_l1=1, is_ref=False)
+        if cfg.entropy == "cabac":
+            from .syntax_cabac import serialize_slice_cabac
+            rbsp = serialize_slice_cabac(pic, self.sps, self.pps, **common)
+        else:
+            rbsp = serialize_slice(pic, self.sps, self.pps, **common)
+        payload = annexb_bytes(0, NalUnitType.SLICE, rbsp)
+        self.stats.append({"type": "B", "bits": len(payload) * 8})
+        self.results.append({"disp": disp, "type": "B",
+                             "bits": len(payload) * 8, "frame": frame})
+        return payload
+
+    def _deblock(self, recY, recU, recV, pic) -> None:
+        n = pic.n_mbs
+        deblock_picture(recY, recU, recV, pic, self.mb_w, self.mb_h,
+                        pic.qp, {
+            "disable_idc": np.zeros(n, np.int32),
+            "alpha_off": np.zeros(n, np.int32),
+            "beta_off": np.zeros(n, np.int32),
+            "cb_qp_off": np.full(n, self.pps.cb_qp_offset, np.int32),
+            "cr_qp_off": np.full(n, self.pps.cr_qp_offset, np.int32),
+            "slice_id": pic.slice_id,
+        })
 
     @property
     def recon_frames(self):
@@ -192,9 +299,9 @@ class _FrameEncoder:
     # ---- frame loop -------------------------------------------------------
 
     def encode(self) -> PictureData:
+        sr = self.enc.cfg.search_range
         if self.stype == SliceType.P:
             self.refs_list = self.enc.refs[:self.enc.num_ref_active]
-            sr = self.enc.cfg.search_range
             # fast-full-search tables: per-reference per-quadrant SADs over
             # the whole displacement window (me_fullfast analog)
             self.qsads = [
@@ -202,11 +309,21 @@ class _FrameEncoder:
                     self.origY, f.luma_planes[0], self.mb_w, self.mb_h,
                     sr, ip.PAD)
                 for f in self.refs_list]
+        elif self.stype == SliceType.B:
+            # refs_list / refs_list1 / b_col set by the driver (_emit_b)
+            self.qsads = [ME.full_search_quadrant_sads(
+                self.origY, self.refs_list[0].luma_planes[0],
+                self.mb_w, self.mb_h, sr, ip.PAD)]
+            self.qsads1 = [ME.full_search_quadrant_sads(
+                self.origY, self.refs_list1[0].luma_planes[0],
+                self.mb_w, self.mb_h, sr, ip.PAD)]
         for addr in range(self.pic.n_mbs):
             self.pic.slice_id[addr] = 0
             self.pic.qp[addr] = self.qp
             if self.stype == SliceType.I:
                 self._encode_intra_mb(addr)
+            elif self.stype == SliceType.B:
+                self._encode_b_mb(addr)
             else:
                 self._encode_p_mb(addr)
         return self.pic
@@ -578,6 +695,185 @@ class _FrameEncoder:
         if (best_mode == 0 and pic.cbp[addr] == 0
                 and pic.ref_idx[addr, 0] == 0
                 and (pic.mv[addr, 0] == skip_mv).all()):
+            pic.skip[addr] = True
+
+
+    # ---- B slices ---------------------------------------------------------
+
+    def _mc_blk_b(self, ref, px, py, bx, by, mv):
+        """4x4 luma + 2x2 chroma MC from one reference (decoder's _mc_4x4)."""
+        mvx, mvy = int(mv[0]), int(mv[1])
+        x4 = (px + bx * 4) * 4 + mvx
+        y4 = (py + by * 4) * 4 + mvy
+        yb = ip.mc_luma_block(ref.luma_planes, x4, y4, 4, 4, self.w, self.h)
+        cx8 = (px // 2 + bx * 2) * 8 + mvx
+        cy8 = (py // 2 + by * 2) * 8 + mvy
+        ub = ip.mc_chroma_block(ref.chroma_pad[0], cx8, cy8, 2, 2,
+                                self.w // 2, self.h // 2)
+        vb = ip.mc_chroma_block(ref.chroma_pad[1], cx8, cy8, 2, 2,
+                                self.w // 2, self.h // 2)
+        return yb, ub, vb
+
+    def _b_pred_assemble(self, addr):
+        """Prediction from the pic motion rows of addr, exactly mirroring
+        the decoder's Reconstructor._recon_inter granularity (per-4x4 MC,
+        bi average (p0+p1+1)>>1)."""
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        px, py = mbx * 16, mby * 16
+        pred_y = np.zeros((16, 16), np.int32)
+        pred_u = np.zeros((8, 8), np.int32)
+        pred_v = np.zeros((8, 8), np.int32)
+        for blk in range(16):
+            byy, bxx = divmod(blk, 4)
+            q = (byy // 2) * 2 + (bxx // 2)
+            pd = int(pic.pdir[addr, q])
+            if pd in (0, 2):
+                y0, u0, v0 = self._mc_blk_b(
+                    self.refs_list[pic.ref_idx[addr, q]], px, py, bxx, byy,
+                    pic.mv[addr, blk])
+            if pd in (1, 2):
+                y1, u1, v1 = self._mc_blk_b(
+                    self.refs_list1[pic.ref_idx_l1[addr, q]], px, py,
+                    bxx, byy, pic.mv_l1[addr, blk])
+            if pd == 0:
+                yb, ub, vb = y0, u0, v0
+            elif pd == 1:
+                yb, ub, vb = y1, u1, v1
+            else:
+                yb = (y0 + y1 + 1) >> 1
+                ub = (u0 + u1 + 1) >> 1
+                vb = (v0 + v1 + 1) >> 1
+            pred_y[byy * 4:byy * 4 + 4, bxx * 4:bxx * 4 + 4] = yb
+            pred_u[byy * 2:byy * 2 + 2, bxx * 2:bxx * 2 + 2] = ub
+            pred_v[byy * 2:byy * 2 + 2, bxx * 2:bxx * 2 + 2] = vb
+        return pred_y, pred_u, pred_v
+
+    def _commit_inter_residual(self, addr, o, pred_y, pred_u, pred_v):
+        """Luma+chroma inter residual coding + recon; sets pic.cbp."""
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        px, py = mbx * 16, mby * 16
+        res = o.astype(np.int64) - pred_y
+        blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+        w = RN.np_forward4x4(blocks)
+        lev = RN.np_quant_4x4(w, self.qp, False)
+        scan = RN.to_scan(lev)
+        pic.luma_coef[addr] = scan
+        nnz = (scan != 0).sum(axis=1)
+        pic.luma_nnz[addr] = nnz
+        cbp_luma = 0
+        for q in range(4):
+            qb = [0, 1, 4, 5] if q == 0 else [2, 3, 6, 7] if q == 1 \
+                else [8, 9, 12, 13] if q == 2 else [10, 11, 14, 15]
+            if nnz[qb].any():
+                cbp_luma |= 1 << q
+        pred_blocks = pred_y.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3) \
+            .reshape(16, 4, 4)
+        rec = RN.recon_luma_4x4(pred_blocks, scan, self.qp)
+        self.recY[py:py + 16, px:px + 16] = \
+            rec.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+        cbp_chroma = self._code_chroma_residual(addr, pred_u.astype(np.int64),
+                                                pred_v.astype(np.int64),
+                                                intra=False)
+        pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma
+
+    def _encode_b_mb(self, addr):
+        """B MB mode decision: spatial direct vs 16x16 {L0, L1, BI} vs I16
+        (the md_low B subset; finer partitions follow in a later phase)."""
+        from ..decoder.b_slice import (PD_BI, PD_L0, PD_L1,
+                                       prepare_direct_params,
+                                       spatial_direct_quadrant)
+        pic = self.pic
+        sr = self.enc.cfg.search_range
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        px, py = mbx * 16, mby * 16
+        origY_mb, _origU_mb, _origV_mb = self._mb_orig(addr)
+        o = origY_mb.astype(np.int32)
+        f0, f1 = self.refs_list[0], self.refs_list1[0]
+
+        # ---- spatial direct trial (writes motion rows; every other
+        # candidate fully overwrites them on commit)
+        dp = prepare_direct_params(self.pctx, addr)
+        for q in range(4):
+            spatial_direct_quadrant(pic, addr, q, dp[0], dp[1], dp[2], dp[3],
+                                    self.b_col)
+        dpred_y, dpred_u, dpred_v = self._b_pred_assemble(addr)
+        cost_direct = int(np.abs(o - dpred_y).sum()) + self.lam
+
+        # ---- 16x16 single-list candidates (fast-full tables + subpel)
+        def best16(qs, planes, lst):
+            csum = qs[addr].sum(axis=1, dtype=np.int64)
+            imv, _ = ME.best_int_mv(csum[None], sr)
+            pred_mv = self.pctx.mv_pred(addr, 0, 0, 4, 4, 0, lst)
+            qmv, cost = ME.subpel_refine(origY_mb, planes, px, py, imv[0],
+                                         self.w, self.h, pred_mv, self.lam)
+            return qmv, cost, pred_mv
+
+        mv0, cost_l0, pm0 = best16(self.qsads[0], f0.luma_planes, 0)
+        mv1, cost_l1, pm1 = best16(self.qsads1[0], f1.luma_planes, 1)
+        cost_l0 += 3 * self.lam
+        cost_l1 += 3 * self.lam
+
+        # ---- bidirectional average of the two best single-list MVs
+        p0 = ip.mc_luma_block(f0.luma_planes, px * 4 + int(mv0[0]),
+                              py * 4 + int(mv0[1]), 16, 16, self.w, self.h)
+        p1 = ip.mc_luma_block(f1.luma_planes, px * 4 + int(mv1[0]),
+                              py * 4 + int(mv1[1]), 16, 16, self.w, self.h)
+        bi = (p0 + p1 + 1) >> 1
+        cost_bi = int(np.abs(o - bi).sum()) + self.lam * (
+            5 + ME.mv_bits(int(mv0[0] - pm0[0]), int(mv0[1] - pm0[1])) +
+            ME.mv_bits(int(mv1[0] - pm1[0]), int(mv1[1] - pm1[1])))
+
+        best = min(cost_direct, cost_l0, cost_l1, cost_bi)
+
+        # ---- intra-16 fallback
+        cost16, mode16, predi16 = self._eval_i16(addr, origY_mb)
+        if cost16 + 2 * self.lam4 < best:
+            pic.mb_class[addr] = MB_I16
+            pic.pdir[addr] = -1
+            pic.ref_idx[addr] = -1
+            pic.ref_idx_l1[addr] = -1
+            pic.ref_pic_id[addr] = -1
+            pic.ref_pic_id_l1[addr] = -1
+            pic.mv[addr] = 0
+            pic.mv_l1[addr] = 0
+            cbp_luma = self._encode_i16(addr, origY_mb, mode16, predi16)
+            cbp_chroma = self._encode_chroma_intra(addr)
+            pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma
+            return
+
+        pic.mb_class[addr] = MB_INTER
+        if best == cost_direct:
+            # rows already hold direct motion
+            pic.b_direct[addr] = True
+            for q in range(4):
+                pic.ref_pic_id[addr, q] = \
+                    f0.uid if pic.ref_idx[addr, q] >= 0 else -1
+                pic.ref_pic_id_l1[addr, q] = \
+                    f1.uid if pic.ref_idx_l1[addr, q] >= 0 else -1
+            pred_y, pred_u, pred_v = dpred_y, dpred_u, dpred_v
+        else:
+            if best == cost_l0:
+                pd, r0, r1, mva, mvb = PD_L0, 0, -1, mv0, (0, 0)
+            elif best == cost_l1:
+                pd, r0, r1, mva, mvb = PD_L1, -1, 0, (0, 0), mv1
+            else:
+                pd, r0, r1, mva, mvb = PD_BI, 0, 0, mv0, mv1
+            pic.b_direct[addr] = False
+            pic.pdir[addr] = pd
+            pic.ref_idx[addr] = r0
+            pic.ref_idx_l1[addr] = r1
+            pic.ref_pic_id[addr] = f0.uid if r0 >= 0 else -1
+            pic.ref_pic_id_l1[addr] = f1.uid if r1 >= 0 else -1
+            pic.mv[addr] = np.asarray(mva, np.int32)
+            pic.mv_l1[addr] = np.asarray(mvb, np.int32)
+            pred_y, pred_u, pred_v = self._b_pred_assemble(addr)
+
+        self._commit_inter_residual(addr, o, pred_y, pred_u, pred_v)
+
+        # B skip: direct prediction with no coded residual
+        if pic.b_direct[addr] and pic.cbp[addr] == 0:
             pic.skip[addr] = True
 
 

@@ -92,7 +92,12 @@ def write_pps(pps) -> bytes:
 def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
                        frame_num: int, idr: bool, idr_pic_id: int = 0,
                        qp: int, first_mb: int = 0, poc_lsb: int = 0,
-                       num_ref_idx_l0: int = 1, cabac_init_idc: int = 0) -> None:
+                       num_ref_idx_l0: int = 1, cabac_init_idc: int = 0,
+                       num_ref_idx_l1: int = 1, is_ref: bool = True,
+                       direct_spatial: bool = True) -> None:
+    """Spec 7.3.3 slice header (frame, no FMO/field; B adds
+    direct_spatial_mv_pred_flag + list1 actives; non-reference slices omit
+    dec_ref_pic_marking — lencod/src/header.c:116 SliceHeader)."""
     bw.ue(first_mb)
     bw.ue(int(slice_type) + 5)      # all slices in picture share the type
     bw.ue(pps.pic_parameter_set_id)
@@ -101,18 +106,28 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
         bw.ue(idr_pic_id)
     if sps.pic_order_cnt_type == 0:
         bw.u(poc_lsb, sps.log2_max_pic_order_cnt_lsb_minus4 + 4)
-    if slice_type == SliceType.P:
-        override = (num_ref_idx_l0 - 1) != pps.num_ref_idx_l0_default_active_minus1
+    if slice_type == SliceType.B:
+        bw.flag(1 if direct_spatial else 0)
+    if slice_type in (SliceType.P, SliceType.B):
+        override = ((num_ref_idx_l0 - 1) !=
+                    pps.num_ref_idx_l0_default_active_minus1)
+        if slice_type == SliceType.B:
+            override = override or ((num_ref_idx_l1 - 1) !=
+                                    pps.num_ref_idx_l1_default_active_minus1)
         bw.flag(1 if override else 0)
         if override:
             bw.ue(num_ref_idx_l0 - 1)
+            if slice_type == SliceType.B:
+                bw.ue(num_ref_idx_l1 - 1)
         bw.flag(0)  # ref_pic_list_modification_flag_l0
-    # dec_ref_pic_marking (nal_ref_idc != 0 for every frame we emit)
-    if idr:
-        bw.flag(0)  # no_output_of_prior_pics
-        bw.flag(0)  # long_term_reference_flag
-    else:
-        bw.flag(0)  # adaptive_ref_pic_marking_mode_flag (sliding window)
+        if slice_type == SliceType.B:
+            bw.flag(0)  # ref_pic_list_modification_flag_l1
+    if is_ref:
+        if idr:
+            bw.flag(0)  # no_output_of_prior_pics
+            bw.flag(0)  # long_term_reference_flag
+        else:
+            bw.flag(0)  # adaptive_ref_pic_marking_mode_flag (sliding window)
     if pps.entropy_coding_mode_flag and slice_type not in (SliceType.I, SliceType.SI):
         bw.ue(cabac_init_idc)
     bw.se(qp - 26 - pps.pic_init_qp_minus26)
@@ -176,9 +191,11 @@ class MBWriter:
 
     # ---- intra ------------------------------------------------------------
 
-    def _write_intra_mb(self, addr: int, p_slice: bool) -> None:
+    def _write_intra_mb(self, addr: int, p_slice: bool,
+                        intra_base: int | None = None) -> None:
         pic, bw = self.pic, self.bw
-        base = 5 if p_slice else 0
+        base = (intra_base if intra_base is not None
+                else (5 if p_slice else 0))
         if pic.mb_class[addr] == 1:          # I_NxN (4x4)
             bw.ue(base + 0)
             for code_idx in range(16):
@@ -245,38 +262,77 @@ class MBWriter:
 
     # ---- MB dispatch -------------------------------------------------------
 
-    def write_mb(self, addr: int, slice_type: SliceType, num_ref: int) -> None:
+    def write_mb(self, addr: int, slice_type: SliceType, num_ref: int,
+                 num_ref_l1: int = 1) -> None:
         pic, bw = self.pic, self.bw
-        if slice_type == SliceType.P:
+        if slice_type in (SliceType.P, SliceType.B):
             if pic.skip[addr]:
                 self.skip_run += 1
                 return
             bw.ue(self.skip_run)
             self.skip_run = 0
             if pic.mb_class[addr] == 0:
-                self._write_p_inter_mb(addr, num_ref)
+                if slice_type == SliceType.B:
+                    self._write_b_inter_mb(addr, num_ref, num_ref_l1)
+                else:
+                    self._write_p_inter_mb(addr, num_ref)
             else:
-                self._write_intra_mb(addr, p_slice=True)
+                self._write_intra_mb(addr, p_slice=True,
+                                     intra_base=23 if slice_type == SliceType.B
+                                     else 5)
         else:
             self._write_intra_mb(addr, p_slice=False)
 
+    def _write_b_inter_mb(self, addr: int, nref0: int, nref1: int) -> None:
+        """B MB serialization mirroring MBParser._parse_b_mb (16x16 modes
+        and direct-with-residual; coded mb_type per B_MBTYPE)."""
+        from ..decoder.b_slice import PD_BI, PD_L0, PD_L1
+        pic, bw = self.pic, self.bw
+        if pic.b_direct[addr]:
+            bw.ue(0)
+        else:
+            pd = int(pic.pdir[addr, 0])
+            coded = {PD_L0: 1, PD_L1: 2, PD_BI: 3}[pd]
+            bw.ue(coded)
+            if pd in (PD_L0, PD_BI) and nref0 > 1:
+                bw.te(int(pic.ref_idx[addr, 0]), nref0 - 1)
+            if pd in (PD_L1, PD_BI) and nref1 > 1:
+                bw.te(int(pic.ref_idx_l1[addr, 0]), nref1 - 1)
+            for lst in (0, 1):
+                if (lst == 0 and pd in (PD_L0, PD_BI)) or \
+                        (lst == 1 and pd in (PD_L1, PD_BI)):
+                    ref = int((pic.ref_idx if lst == 0 else
+                               pic.ref_idx_l1)[addr, 0])
+                    pred = self.pctx.mv_pred(addr, 0, 0, 4, 4, ref, lst)
+                    mv = (pic.mv if lst == 0 else pic.mv_l1)[addr, 0]
+                    bw.se(int(mv[0] - pred[0]))
+                    bw.se(int(mv[1] - pred[1]))
+        cbp = int(pic.cbp[addr])
+        bw.ue(CBP_INV_CHROMA_INTER[cbp])
+        if cbp:
+            self._write_qp_delta(addr)
+        self._write_luma_residual(addr, cbp & 15, is_i16=False)
+        self._write_chroma_residual(addr, cbp)
+
     def finish(self, slice_type: SliceType) -> None:
-        if slice_type == SliceType.P and self.skip_run > 0:
+        if slice_type in (SliceType.P, SliceType.B) and self.skip_run > 0:
             self.bw.ue(self.skip_run)
             self.skip_run = 0
 
 
 def serialize_slice(pic, sps, pps, *, slice_type: SliceType, frame_num: int,
                     idr: bool, qp: int, poc_lsb: int = 0, idr_pic_id: int = 0,
-                    num_ref_idx_l0: int = 1) -> bytes:
+                    num_ref_idx_l0: int = 1, num_ref_idx_l1: int = 1,
+                    is_ref: bool = True) -> bytes:
     """Serialize one slice covering the whole picture; returns RBSP."""
     bw = BitWriter()
     write_slice_header(bw, sps, pps, slice_type=slice_type,
                        frame_num=frame_num, idr=idr, idr_pic_id=idr_pic_id,
-                       qp=qp, poc_lsb=poc_lsb, num_ref_idx_l0=num_ref_idx_l0)
+                       qp=qp, poc_lsb=poc_lsb, num_ref_idx_l0=num_ref_idx_l0,
+                       num_ref_idx_l1=num_ref_idx_l1, is_ref=is_ref)
     w = MBWriter(bw, pic, sps, pps, qp)
     for addr in range(pic.n_mbs):
-        w.write_mb(addr, slice_type, num_ref_idx_l0)
+        w.write_mb(addr, slice_type, num_ref_idx_l0, num_ref_idx_l1)
     w.finish(slice_type)
     bw.rbsp_trailing_bits()
     return bw.get_bytes()

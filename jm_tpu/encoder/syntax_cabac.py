@@ -136,6 +136,70 @@ class MBWriterCABAC:
             eng.decision(ctx, 10, (j % 4) >> 1)
             eng.decision(ctx, 10, (j % 4) & 1)
 
+    def write_skip_flag_b(self, addr, skipped: bool):
+        pic = self.pic
+        la, ua = self._left_mb(addr), self._up_mb(addr)
+        a = 1 if (la >= 0 and not pic.skip[la]) else 0
+        b = 1 if (ua >= 0 and not pic.skip[ua]) else 0
+        self.eng.decision(self.ctxs.mb_type[2], 7 + a + b,
+                          1 if skipped else 0)
+
+    def write_mb_type_b(self, addr, coded: int):
+        """Mirror of MBParserCABAC.read_mb_type_b: 0=direct, 1..21
+        partitions, 22=B8x8, 23=I4, 24..47=I16."""
+        eng, pic = self.eng, self.pic
+        ctx = self.ctxs.mb_type[2]
+        la, ua = self._left_mb(addr), self._up_mb(addr)
+        a = 1 if (la >= 0 and not (pic.skip[la] or pic.b_direct[la])) else 0
+        b = 1 if (ua >= 0 and not (pic.skip[ua] or pic.b_direct[ua])) else 0
+        if coded == 0:
+            eng.decision(ctx, a + b, 0)
+            return
+        eng.decision(ctx, a + b, 1)
+        if coded in (1, 2):
+            eng.decision(ctx, 4, 0)
+            eng.decision(ctx, 6, coded - 1)
+        elif 3 <= coded <= 10:
+            eng.decision(ctx, 4, 1)
+            eng.decision(ctx, 5, 0)
+            k = coded - 3
+            eng.decision(ctx, 6, (k >> 2) & 1)
+            eng.decision(ctx, 6, (k >> 1) & 1)
+            eng.decision(ctx, 6, k & 1)
+        else:
+            # high branch: raw = 12 + 8b+4b+2b, then remap/extra bit
+            if coded == 11:
+                raw, extra = 24, None
+            elif coded == 22:
+                raw, extra = 26, None
+            elif coded in (23, 24):
+                raw, extra = 22, coded - 23
+            else:          # 12..21
+                raw = 12 + ((coded - 12) & ~1)
+                extra = (coded - 12) & 1
+            eng.decision(ctx, 4, 1)
+            eng.decision(ctx, 5, 1)
+            k = raw - 12
+            eng.decision(ctx, 6, (k >> 3) & 1)
+            eng.decision(ctx, 6, (k >> 2) & 1)
+            eng.decision(ctx, 6, (k >> 1) & 1)
+            if extra is not None:
+                eng.decision(ctx, 6, extra)
+        if coded == 24:    # Intra16x16 escape continues on mb_type[1]
+            eng.terminate(0)   # not IPCM
+
+    def write_mb_type_b_i16(self, k: int):
+        """I16 continuation after the 24 escape (k = imb_type - 1 of the
+        intra convention: 0..23)."""
+        eng, ctx1 = self.eng, self.ctxs.mb_type[1]
+        eng.decision(ctx1, 8, 1 if k >= 12 else 0)
+        cc = (k // 4) % 3
+        eng.decision(ctx1, 9, 1 if cc else 0)
+        if cc:
+            eng.decision(ctx1, 9, 1 if cc == 2 else 0)
+        eng.decision(ctx1, 10, (k % 4) >> 1)
+        eng.decision(ctx1, 10, (k % 4) & 1)
+
     def write_intra4_mode(self, mode: int, pred: int):
         eng, ctx = self.eng, self.ctxs.ipr
         if mode == pred:
@@ -387,7 +451,7 @@ class MBWriterCABAC:
         self.qp = int(self.pic.qp[addr])
         return dq
 
-    def _write_intra_mb(self, addr, p_slice: bool):
+    def _write_intra_mb(self, addr, p_slice: bool, b_slice: bool = False):
         pic = self.pic
         if pic.mb_class[addr] == MB_I4:
             imb = 0
@@ -395,7 +459,13 @@ class MBWriterCABAC:
             k = 1 + int(pic.i16_mode[addr]) + ((int(pic.cbp[addr]) >> 4) << 2) \
                 + (12 if (pic.cbp[addr] & 15) else 0)
             imb = k
-        if p_slice:
+        if b_slice:
+            if imb == 0:
+                self.write_mb_type_b(addr, 23)
+            else:
+                self.write_mb_type_b(addr, 24)
+                self.write_mb_type_b_i16(imb - 1)
+        elif p_slice:
             self.write_mb_type_p(6 if imb == 0 else 6 + imb)
         else:
             self.write_mb_type_i(addr, imb)
@@ -424,8 +494,9 @@ class MBWriterCABAC:
              2: [(0, 0, 2, 4), (2, 0, 2, 4)],
              3: [(0, 0, 2, 2), (2, 0, 2, 2), (0, 2, 2, 2), (2, 2, 2, 2)]}
 
-    def write_ref_idx(self, addr, bx, by, value: int):
+    def write_ref_idx(self, addr, bx, by, value: int, lst: int = 0):
         pic = self.pic
+        ref_arr = pic.ref_idx if lst == 0 else pic.ref_idx_l1
 
         def term(nb):
             if nb is None:
@@ -436,7 +507,7 @@ class MBWriterCABAC:
                 return 0
             if pic.skip[naddr] or pic.b_direct[naddr] or pic.b8_direct[naddr, q]:
                 return 0
-            return 1 if pic.ref_idx[naddr, q] > 0 else 0
+            return 1 if ref_arr[naddr, q] > 0 else 0
 
         b = 2 * term(self._blk_neighbor(addr, bx, by - 1))
         a = term(self._blk_neighbor(addr, bx - 1, by))
@@ -481,6 +552,42 @@ class MBWriterCABAC:
         self._write_luma_residual(addr, cbp & 15, is_i16=False)
         self._write_chroma_residual(addr, cbp)
 
+    def _write_b_inter_mb(self, addr, nref0=1, nref1=1):
+        """Mirror of MBParserCABAC._parse_b_mb for the encoder's mode set
+        (direct-with-residual + 16x16 L0/L1/BI)."""
+        from ..decoder.b_slice import PD_BI, PD_L0, PD_L1
+        pic = self.pic
+        if pic.b_direct[addr]:
+            self.write_mb_type_b(addr, 0)
+        else:
+            pd = int(pic.pdir[addr, 0])
+            self.write_mb_type_b(addr, {PD_L0: 1, PD_L1: 2, PD_BI: 3}[pd])
+            if pd in (PD_L0, PD_BI) and nref0 > 1:
+                self.write_ref_idx(addr, 0, 0, int(pic.ref_idx[addr, 0]), 0)
+            if pd in (PD_L1, PD_BI) and nref1 > 1:
+                self.write_ref_idx(addr, 0, 0, int(pic.ref_idx_l1[addr, 0]), 1)
+            for lst in (0, 1):
+                if (lst == 0 and pd in (PD_L0, PD_BI)) or \
+                        (lst == 1 and pd in (PD_L1, PD_BI)):
+                    ref = int((pic.ref_idx if lst == 0 else
+                               pic.ref_idx_l1)[addr, 0])
+                    pred = self.pctx.mv_pred(addr, 0, 0, 4, 4, ref, lst)
+                    mv = (pic.mv if lst == 0 else pic.mv_l1)[addr, 0]
+                    mvdx = int(mv[0] - pred[0])
+                    mvdy = int(mv[1] - pred[1])
+                    self.write_mvd(addr, 0, 0, 0, mvdx, lst)
+                    self.write_mvd(addr, 0, 0, 1, mvdy, lst)
+                    for blk in range(16):
+                        pic.mvd[addr, lst, blk] = (mvdx, mvdy)
+        cbp = int(pic.cbp[addr])
+        self.write_cbp(addr, cbp)
+        if cbp:
+            self.write_dquant(self._dquant_for(addr))
+        else:
+            self.last_dquant = 0
+        self._write_luma_residual(addr, cbp & 15, is_i16=False)
+        self._write_chroma_residual(addr, cbp)
+
     def write_mb(self, addr):
         pic = self.pic
         if self.stype == SliceType.P:
@@ -493,24 +600,37 @@ class MBWriterCABAC:
                 self._write_p_inter_mb(addr, self.num_ref)
             else:
                 self._write_intra_mb(addr, p_slice=True)
+        elif self.stype == SliceType.B:
+            skipped = bool(pic.skip[addr])
+            self.write_skip_flag_b(addr, skipped)
+            if skipped:
+                self.last_dquant = 0
+                return
+            if pic.mb_class[addr] == MB_INTER:
+                self._write_b_inter_mb(addr, self.num_ref, self.num_ref_l1)
+            else:
+                self._write_intra_mb(addr, p_slice=False, b_slice=True)
         else:
             self._write_intra_mb(addr, p_slice=False)
 
 
 def serialize_slice_cabac(pic, sps, pps, *, slice_type, frame_num, idr, qp,
                           poc_lsb=0, idr_pic_id=0, num_ref_idx_l0=1,
-                          cabac_init_idc=0) -> bytes:
+                          cabac_init_idc=0, num_ref_idx_l1=1,
+                          is_ref=True) -> bytes:
     from .syntax import write_slice_header
     bw = BitWriter()
     write_slice_header(bw, sps, pps, slice_type=slice_type,
                        frame_num=frame_num, idr=idr, idr_pic_id=idr_pic_id,
                        qp=qp, poc_lsb=poc_lsb, num_ref_idx_l0=num_ref_idx_l0,
-                       cabac_init_idc=cabac_init_idc)
+                       cabac_init_idc=cabac_init_idc,
+                       num_ref_idx_l1=num_ref_idx_l1, is_ref=is_ref)
     # cabac_alignment_one_bit
     while not bw.byte_aligned():
         bw.u(1, 1)
     w = MBWriterCABAC(bw, pic, sps, pps, slice_type, qp, cabac_init_idc,
                       num_ref=num_ref_idx_l0)
+    w.num_ref_l1 = num_ref_idx_l1
     n = pic.n_mbs
     for addr in range(n):
         w.write_mb(addr)

@@ -71,10 +71,10 @@ def main(argv=None) -> int:
         print(f"Incorrect FramesToBeEncoded: actual number is "
               f"{len(frames):>6} frames!")
 
-    enc = Encoder(prm.to_encoder_config())
-    if prm.QPPSlice != prm.QPISlice:
-        # per-frame QP switch is applied below via cfg mutation per frame
-        pass
+    cfg = prm.to_encoder_config()
+    cfg.qp = prm.QPISlice
+    cfg.qp_p = prm.QPPSlice
+    enc = Encoder(cfg)
 
     print(" Frame     Bit/pic    QP   SnrY    SnrU    SnrV    "
           "Time(ms)  Frm  Ref")
@@ -85,15 +85,15 @@ def main(argv=None) -> int:
     ssim_acc = np.zeros(3)
     msssim_acc = np.zeros(3)
     t_seq0 = time.time()
-    for idx, (Y, U, V) in enumerate(frames):
-        is_i = idx == 0 or (prm.IntraPeriod > 0 and
-                            idx % prm.IntraPeriod == 0)
-        enc.cfg.qp = prm.QPISlice if is_i else prm.QPPSlice
-        t0 = time.time()
-        payload = enc.encode_frame(Y, U, V)
-        ms = int((time.time() - t0) * 1000)
-        out += payload
-        rec = enc.recon_frames[0]
+    for Y, U, V in frames:
+        out += enc.encode_frame(Y, U, V)
+    out += enc.flush()
+    t_seq = time.time() - t_seq0
+    qp_of = {"I": prm.QPISlice, "P": prm.QPPSlice, "B": prm.QPBSlice}
+    for r in sorted(enc.results, key=lambda r: r["disp"]):
+        idx = r["disp"]
+        Y, U, V = frames[idx]
+        rec = r["frame"]
         s = (psnr(Y, rec.Y), psnr(U, rec.U), psnr(V, rec.V))
         snr_acc += s
         if prm.DistortionSSIM:
@@ -104,15 +104,14 @@ def main(argv=None) -> int:
             msssim_acc += (ms_ssim(Y, rec.Y, overlap=prm.SSIMOverlapSize),
                            ms_ssim(U, rec.U, overlap=prm.SSIMOverlapSize),
                            ms_ssim(V, rec.V, overlap=prm.SSIMOverlapSize))
-        bits = len(payload) * 8
+        bits = r["bits"]
         tot_bits += bits
-        label = "IDR" if is_i else " P "
-        print(f"{idx:05d}({label}) {bits:7d}  {enc.cfg.qp:3d} "
-              f"{s[0]:7.3f} {s[1]:7.3f} {s[2]:7.3f}  {ms:9d}  FRM "
-              f"{min(idx, enc.cfg.num_ref):4d}")
+        label = {"I": "IDR", "P": " P ", "B": " B "}[r["type"]]
+        print(f"{idx:05d}({label}) {bits:7d}  {qp_of[r['type']]:3d} "
+              f"{s[0]:7.3f} {s[1]:7.3f} {s[2]:7.3f}          -  FRM "
+              f"{min(idx, cfg.num_ref):4d}")
         if prm.ReconFile:
             recon += rec.Y.tobytes() + rec.U.tobytes() + rec.V.tobytes()
-    t_seq = time.time() - t_seq0
 
     with open(prm.OutputFile, "wb") as fh:
         fh.write(out)

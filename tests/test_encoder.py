@@ -98,3 +98,33 @@ def test_encode_decode_cabac(foreman3):
     enc2 = Encoder(EncoderConfig(qp=28))
     cavlc_bits = sum(len(enc2.encode_frame(Y, U, V)) for (Y, U, V) in foreman3)
     assert len(stream) < cavlc_bits * 1.02
+
+
+@pytest.mark.parametrize("entropy,num_b", [("cavlc", 1), ("cabac", 2)])
+def test_b_frame_roundtrip(golden_dir, entropy, num_b):
+    """IB..P encoding: our decoder reproduces the encoder recon exactly
+    (spatial direct + L0/L1/BI 16x16 + B-skip through both entropy coders)."""
+    from jm_tpu.decoder.decoder import H264Decoder
+    from jm_tpu.encoder.encoder import Encoder, EncoderConfig
+    W, H = 176, 144
+    fsz = W * H * 3 // 2
+    raw = np.fromfile(golden_dir / "main9_rec.yuv", np.uint8)
+    frames = []
+    for i in range(5):
+        a = raw[i * fsz:(i + 1) * fsz]
+        frames.append((a[:W * H].reshape(H, W),
+                       a[W * H:W * H * 5 // 4].reshape(H // 2, W // 2),
+                       a[W * H * 5 // 4:].reshape(H // 2, W // 2)))
+    enc = Encoder(EncoderConfig(width=W, height=H, qp=30, num_b=num_b,
+                                entropy=entropy))
+    bs = b"".join(enc.encode_frame(*f) for f in frames) + enc.flush()
+    types = [r["type"] for r in sorted(enc.results, key=lambda r: r["disp"])]
+    assert "B" in types
+    out = H264Decoder().decode_annexb(bs)
+    out.sort(key=lambda f: f.poc)
+    recs = sorted(enc.results, key=lambda r: r["disp"])
+    assert len(out) == len(recs)
+    for d, r in zip(out, recs):
+        np.testing.assert_array_equal(d.Y, r["frame"].Y)
+        np.testing.assert_array_equal(d.U, r["frame"].U)
+        np.testing.assert_array_equal(d.V, r["frame"].V)
