@@ -77,6 +77,9 @@ class EncoderParams:
     NumberBFrames: int = 0
     Transform8x8Mode: int = 0
     DisableLoopFilter: int = 0   # via LoopFilterDisable
+    RateControlEnable: int = 0
+    Bitrate: int = 45020
+    InitialQP: int = 0
     DistortionSSIM: int = 0
     DistortionMSSSIM: int = 0
     SSIMOverlapSize: int = 8
@@ -87,7 +90,8 @@ class EncoderParams:
         "QPISlice", "QPPSlice", "QPBSlice", "IntraPeriod",
         "NumberReferenceFrames",
         "SearchRange", "SymbolMode", "ProfileIDC", "LevelIDC",
-        "NumberBFrames", "Transform8x8Mode", "DistortionSSIM",
+        "NumberBFrames", "Transform8x8Mode", "RateControlEnable",
+        "Bitrate", "InitialQP", "DistortionSSIM",
         "DistortionMSSSIM", "SSIMOverlapSize",
     }
     _STR_FIELDS = {"InputFile", "OutputFile", "ReconFile", "StatsFile"}
@@ -131,7 +135,10 @@ class EncoderParams:
             level_idc=self.LevelIDC,
             deblock=not self.DisableLoopFilter,
             entropy="cabac" if self.SymbolMode else "cavlc",
-            num_b=self.NumberBFrames, qp_b=self.QPBSlice)
+            num_b=self.NumberBFrames, qp_b=self.QPBSlice,
+            rc_enable=bool(self.RateControlEnable),
+            rc_bitrate=self.Bitrate, frame_rate=self.FrameRate,
+            rc_initial_qp=self.InitialQP)
 
 
 @dataclass

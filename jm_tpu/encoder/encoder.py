@@ -57,6 +57,10 @@ class EncoderConfig:
     num_b: int = 0               # B pictures between anchors (IbbP..)
     qp_b: int | None = None      # B-picture QP (default qp + 2)
     qp_p: int | None = None      # P-anchor QP (default qp)
+    rc_enable: bool = False      # JVT-G012 rate control (jm_tpu.ratectl)
+    rc_bitrate: float = 0.0      # target bits/s when rc_enable
+    frame_rate: float = 30.0
+    rc_initial_qp: int = 0       # 0: derive from bpp
 
 
 class Encoder:
@@ -95,6 +99,12 @@ class Encoder:
         self._uid = 0
         self.stats = []
         self.results = []             # per-picture {disp, type, bits, frame}
+        self.rc = None
+        if cfg.rc_enable:
+            from ..ratectl import RateControl
+            self.rc = RateControl(cfg.rc_bitrate, cfg.frame_rate,
+                                  cfg.width, cfg.height, num_b=cfg.num_b,
+                                  initial_qp=cfg.rc_initial_qp)
         self._pending = []            # (disp, Y, U, V) awaiting next anchor
         self.display_idx = 0          # next display index (absolute)
         self._idr_disp = 0            # display index of last IDR (poc base)
@@ -150,7 +160,15 @@ class Encoder:
             self.frame_num = 0  # spec 7.4.3: IDR pictures have frame_num 0
             self._idr_disp = disp
         poc = 2 * (disp - self._idr_disp)
-        qp = cfg.qp if (is_intra or cfg.qp_p is None) else cfg.qp_p
+        if self.rc is not None:
+            if is_intra:
+                # nominal GOP horizon for streaming allocation
+                gop_anchors = cfg.intra_period if cfg.intra_period > 0 else 32
+                self.rc.init_gop(gop_anchors - 1,
+                                 gop_anchors * cfg.num_b)
+            qp = self.rc.pict_qp("I" if is_intra else "P")
+        else:
+            qp = cfg.qp if (is_intra or cfg.qp_p is None) else cfg.qp_p
 
         self.num_ref_active = max(1, min(cfg.num_ref, len(self.refs)))
         fe = _FrameEncoder(self, stype, Y, U, V)
@@ -200,9 +218,14 @@ class Encoder:
         self.frame_num = (self.frame_num + 1) % self.sps.max_frame_num
         self.frame_idx += 1
         label = "I" if is_intra else "P"
+        if self.rc is not None:
+            mad = float(np.abs(np.asarray(Y, np.int32) -
+                               recY.astype(np.int32)).mean())
+            self.rc.update(label, qp, len(payload) * 8, mad)
         self.stats.append({"type": label, "bits": len(payload) * 8})
         self.results.append({"disp": disp, "type": label,
-                             "bits": len(payload) * 8, "frame": frame})
+                             "bits": len(payload) * 8, "frame": frame,
+                             "qp": qp})
         return payload
 
     def _emit_b(self, Y, U, V, disp: int, prev_anchor: Frame,
@@ -211,7 +234,10 @@ class Encoder:
         from ..decoder.b_slice import ColMotion
         cfg = self.cfg
         poc = 2 * (disp - self._idr_disp)
-        qp_b = cfg.qp_b if cfg.qp_b is not None else cfg.qp + 2
+        if self.rc is not None:
+            qp_b = self.rc.pict_qp("B")
+        else:
+            qp_b = cfg.qp_b if cfg.qp_b is not None else cfg.qp + 2
 
         fe = _FrameEncoder(self, SliceType.B, Y, U, V)
         fe.qp = qp_b
@@ -240,9 +266,14 @@ class Encoder:
         else:
             rbsp = serialize_slice(pic, self.sps, self.pps, **common)
         payload = annexb_bytes(0, NalUnitType.SLICE, rbsp)
+        if self.rc is not None:
+            mad = float(np.abs(np.asarray(Y, np.int32) -
+                               recY.astype(np.int32)).mean())
+            self.rc.update("B", qp_b, len(payload) * 8, mad)
         self.stats.append({"type": "B", "bits": len(payload) * 8})
         self.results.append({"disp": disp, "type": "B",
-                             "bits": len(payload) * 8, "frame": frame})
+                             "bits": len(payload) * 8, "frame": frame,
+                             "qp": qp_b})
         return payload
 
     def _deblock(self, recY, recU, recV, pic) -> None:

@@ -107,7 +107,8 @@ def main(argv=None) -> int:
         bits = r["bits"]
         tot_bits += bits
         label = {"I": "IDR", "P": " P ", "B": " B "}[r["type"]]
-        print(f"{idx:05d}({label}) {bits:7d}  {qp_of[r['type']]:3d} "
+        qp_show = r.get("qp", qp_of[r["type"]])
+        print(f"{idx:05d}({label}) {bits:7d}  {qp_show:3d} "
               f"{s[0]:7.3f} {s[1]:7.3f} {s[2]:7.3f}          -  FRM "
               f"{min(idx, cfg.num_ref):4d}")
         if prm.ReconFile:
