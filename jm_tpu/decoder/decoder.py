@@ -39,6 +39,7 @@ class H264Decoder:
         self.poc_ctx = PocContext()
         self._cur = None       # in-flight picture state
         self._outputs: list[DecodedFrame] = []
+        self.sei_messages = []  # parsed SEI (jm_tpu.decoder.sei)
 
     # ------------------------------------------------------------------
 
@@ -64,7 +65,11 @@ class H264Decoder:
             self.pps_map[pps.pic_parameter_set_id] = pps
         elif t in (NalUnitType.SLICE, NalUnitType.IDR):
             self._handle_slice(nal)
-        elif t in (NalUnitType.SEI, NalUnitType.AUD, NalUnitType.FILLER,
+        elif t == NalUnitType.SEI:
+            from .sei import parse_sei_rbsp
+            sps = next(iter(self.sps_map.values()), None)
+            self.sei_messages.extend(parse_sei_rbsp(nal.rbsp, sps))
+        elif t in (NalUnitType.AUD, NalUnitType.FILLER,
                    NalUnitType.EOSEQ, NalUnitType.EOSTREAM):
             pass
         else:

@@ -1,0 +1,184 @@
+"""SEI (supplemental enhancement information) parsing.
+
+Capability parity with ldecod/src/sei.c InterpretSEIMessage:116 — the
+payload-type/size ff-escape framing plus structured decode of the message
+types the reference interprets most (buffering period sei.c:1591, picture
+timing sei.c:1670, recovery point sei.c:902, pan-scan sei.c:841, user
+data sei.c:746/795, scene info sei.c:654, frame packing sei.c:1879).
+Unknown types are retained raw rather than printed-and-dropped.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..bitstream.bitreader import BitReader
+
+
+# payload type codes (spec D.1 / ldecod/inc/sei.h SEI_type)
+BUFFERING_PERIOD = 0
+PIC_TIMING = 1
+PAN_SCAN_RECT = 2
+FILLER_PAYLOAD = 3
+USER_DATA_REGISTERED_ITU_T_T35 = 4
+USER_DATA_UNREGISTERED = 5
+RECOVERY_POINT = 6
+DEC_REF_PIC_MARKING_REPETITION = 7
+SPARE_PIC = 8
+SCENE_INFO = 9
+FULL_FRAME_FREEZE = 13
+FULL_FRAME_FREEZE_RELEASE = 14
+FULL_FRAME_SNAPSHOT = 15
+STEREO_VIDEO_INFO = 21
+FRAME_PACKING_ARRANGEMENT = 45
+
+
+@dataclass
+class SEIMessage:
+    payload_type: int
+    payload: bytes
+    fields: dict = field(default_factory=dict)
+
+
+def _parse_buffering_period(br: BitReader, sps) -> dict:
+    out = {"seq_parameter_set_id": br.ue()}
+    if sps is None or sps.vui is None:
+        return out
+    vui = sps.vui
+    for key, hrd in (("nal", vui.get("nal_hrd")), ("vcl", vui.get("vcl_hrd"))):
+        if not hrd:
+            continue
+        n = hrd["cpb_cnt"]
+        bits = hrd["initial_cpb_removal_delay_length"]
+        out[key] = [(br.u(bits), br.u(bits)) for _ in range(n)]
+    return out
+
+
+def _parse_pic_timing(br: BitReader, sps) -> dict:
+    out = {}
+    vui = sps.vui if (sps is not None and sps.vui is not None) else {}
+    hrd = vui.get("nal_hrd") or vui.get("vcl_hrd")
+    if hrd:
+        out["cpb_removal_delay"] = br.u(hrd["cpb_removal_delay_length"])
+        out["dpb_output_delay"] = br.u(hrd["dpb_output_delay_length"])
+    if vui.get("pic_struct_present"):
+        ps = br.u(4)
+        out["pic_struct"] = ps
+        num_clock_ts = (1, 1, 1, 2, 2, 3, 3, 2, 3)[ps] if ps <= 8 else 0
+        ts = []
+        for _ in range(num_clock_ts):
+            if br.flag():            # clock_timestamp_flag
+                t = {"ct_type": br.u(2), "nuit_field_based": br.flag(),
+                     "counting_type": br.u(5)}
+                full = br.flag()
+                t["discontinuity"] = br.flag()
+                t["cnt_dropped"] = br.flag()
+                t["n_frames"] = br.u(8)
+                if full:
+                    t["seconds"] = br.u(6)
+                    t["minutes"] = br.u(6)
+                    t["hours"] = br.u(5)
+                else:
+                    if br.flag():
+                        t["seconds"] = br.u(6)
+                        if br.flag():
+                            t["minutes"] = br.u(6)
+                            if br.flag():
+                                t["hours"] = br.u(5)
+                ts.append(t)
+        out["timestamps"] = ts
+    return out
+
+
+def _parse_recovery_point(br: BitReader) -> dict:
+    return {"recovery_frame_cnt": br.ue(),
+            "exact_match_flag": br.flag(),
+            "broken_link_flag": br.flag(),
+            "changing_slice_group_idc": br.u(2)}
+
+
+def _parse_pan_scan(br: BitReader) -> dict:
+    out = {"pan_scan_rect_id": br.ue()}
+    cancel = br.flag()
+    out["cancel"] = cancel
+    if not cancel:
+        n = br.ue() + 1
+        out["rects"] = [(br.se(), br.se(), br.se(), br.se())
+                        for _ in range(n)]
+        out["repetition_period"] = br.ue()
+    return out
+
+
+def _parse_scene_info(br: BitReader) -> dict:
+    out = {}
+    if br.flag():
+        out["scene_id"] = br.ue()
+        out["scene_transition_type"] = br.ue()
+        if out["scene_transition_type"] > 3:
+            out["second_scene_id"] = br.ue()
+    return out
+
+
+def _parse_frame_packing(br: BitReader) -> dict:
+    out = {"id": br.ue(), "cancel": br.flag()}
+    if not out["cancel"]:
+        out["type"] = br.u(7)
+        out["quincunx"] = br.flag()
+        out["content_interpretation_type"] = br.u(6)
+        out["spatial_flipping"] = br.flag()
+        out["frame0_flipped"] = br.flag()
+        out["field_views"] = br.flag()
+        out["current_frame_is_frame0"] = br.flag()
+    return out
+
+
+def parse_sei_rbsp(rbsp: bytes, sps=None) -> list[SEIMessage]:
+    """Split one SEI RBSP into messages (spec 7.3.2.3.1 framing: 0xFF-
+    escaped type and size bytes; trailing rbsp stop bit)."""
+    out = []
+    pos = 0
+    n = len(rbsp)
+    while pos < n and rbsp[pos] != 0x80:
+        ptype = 0
+        while pos < n and rbsp[pos] == 0xFF:
+            ptype += 255
+            pos += 1
+        if pos >= n:
+            break
+        ptype += rbsp[pos]
+        pos += 1
+        size = 0
+        while pos < n and rbsp[pos] == 0xFF:
+            size += 255
+            pos += 1
+        if pos >= n:
+            break
+        size += rbsp[pos]
+        pos += 1
+        payload = rbsp[pos:pos + size]
+        pos += size
+        msg = SEIMessage(ptype, payload)
+        try:
+            br = BitReader(payload)
+            if ptype == BUFFERING_PERIOD:
+                msg.fields = _parse_buffering_period(br, sps)
+            elif ptype == PIC_TIMING:
+                msg.fields = _parse_pic_timing(br, sps)
+            elif ptype == RECOVERY_POINT:
+                msg.fields = _parse_recovery_point(br)
+            elif ptype == PAN_SCAN_RECT:
+                msg.fields = _parse_pan_scan(br)
+            elif ptype == SCENE_INFO:
+                msg.fields = _parse_scene_info(br)
+            elif ptype == FRAME_PACKING_ARRANGEMENT:
+                msg.fields = _parse_frame_packing(br)
+            elif ptype == USER_DATA_UNREGISTERED:
+                msg.fields = {"uuid": payload[:16].hex(),
+                              "data": payload[16:]}
+            elif ptype == USER_DATA_REGISTERED_ITU_T_T35:
+                msg.fields = {"country_code": payload[0] if payload else 0,
+                              "data": payload[1:]}
+        except (EOFError, IndexError):
+            pass  # malformed payload: keep raw bytes only
+        out.append(msg)
+    return out

@@ -15,7 +15,7 @@ import time
 import numpy as np
 
 from ..config import DecoderParams, load_params
-from ..decoder.decoder import decode_file
+from ..decoder.decoder import H264Decoder
 from ..metrics import psnr
 
 
@@ -60,9 +60,20 @@ def main(argv=None) -> int:
         setattr(prm, k, v)
 
     t0 = time.time()
-    frames = decode_file(prm.InputFile)
+    dec = H264Decoder()
+    with open(prm.InputFile, "rb") as fh:
+        frames = dec.decode_annexb(fh.read())
     frames.sort(key=lambda f: f.poc)
     dt = time.time() - t0
+    for m in dec.sei_messages:
+        desc = {0: "buffering_period", 1: "pic_timing", 2: "pan_scan_rect",
+                5: "user_data_unregistered", 6: "recovery_point",
+                9: "scene_info", 45: "frame_packing"}.get(
+            m.payload_type, f"type {m.payload_type}")
+        extra = ""
+        if m.payload_type == 5 and "data" in m.fields:
+            extra = " " + repr(m.fields["data"][:40])
+        print(f" SEI: {desc} ({len(m.payload)} bytes){extra}")
 
     ref_data = None
     if prm.RefFile:
