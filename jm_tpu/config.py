@@ -116,8 +116,8 @@ class EncoderParams:
 
     def validate(self) -> None:
         unsupported = []
-        if self.Transform8x8Mode != 0:
-            unsupported.append("Transform8x8Mode != 0 (8x8 transform encode: later phase)")
+        if self.Transform8x8Mode not in (0, 1):
+            unsupported.append(f"Transform8x8Mode {self.Transform8x8Mode}")
         if self.ProfileIDC not in (66, 77, 100):
             unsupported.append(f"ProfileIDC {self.ProfileIDC}")
         if self.SymbolMode not in (0, 1):
@@ -136,6 +136,7 @@ class EncoderParams:
             deblock=not self.DisableLoopFilter,
             entropy="cabac" if self.SymbolMode else "cavlc",
             num_b=self.NumberBFrames, qp_b=self.QPBSlice,
+            transform8x8=bool(self.Transform8x8Mode),
             rc_enable=bool(self.RateControlEnable),
             rc_bitrate=self.Bitrate, frame_rate=self.FrameRate,
             rc_initial_qp=self.InitialQP)

@@ -61,6 +61,7 @@ class EncoderConfig:
     rc_bitrate: float = 0.0      # target bits/s when rc_enable
     frame_rate: float = 30.0
     rc_initial_qp: int = 0       # 0: derive from bpp
+    transform8x8: bool = False   # High-profile adaptive 8x8 transform
 
 
 class Encoder:
@@ -75,11 +76,13 @@ class Encoder:
         self.mb_w = cfg.width // 16
         self.mb_h = cfg.height // 16
         use_b = cfg.num_b > 0
+        profile = 100 if cfg.transform8x8 else \
+            (77 if (cfg.entropy == "cabac" or use_b) else 66)
         # B pictures need both anchors resident in the decoder DPB, so the
         # sliding window must hold at least two references
         self.dpb_size = max(cfg.num_ref, 2) if use_b else cfg.num_ref
         self.sps = SPS(
-            profile_idc=77 if (cfg.entropy == "cabac" or use_b) else 66,
+            profile_idc=profile,
             level_idc=cfg.level_idc,
             log2_max_frame_num_minus4=4,
             # poc type 0 (explicit lsb) so B pictures can precede their
@@ -91,7 +94,8 @@ class Encoder:
             pic_height_in_map_units_minus1=self.mb_h - 1,
             frame_mbs_only_flag=1, direct_8x8_inference_flag=1)
         self.pps = PPS(num_ref_idx_l0_default_active_minus1=cfg.num_ref - 1,
-                       entropy_coding_mode_flag=1 if cfg.entropy == "cabac" else 0)
+                       entropy_coding_mode_flag=1 if cfg.entropy == "cabac" else 0,
+                       transform_8x8_mode_flag=1 if cfg.transform8x8 else 0)
         self.frame_idx = 0            # anchors encoded (coding order)
         self.frame_num = 0
         self.idr_pic_id = 0
@@ -701,24 +705,7 @@ class _FrameEncoder:
                                    self.w // 2, self.h // 2)
 
         # ---- residual ----
-        res = o.astype(np.int64) - pred_y
-        blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
-        w = RN.np_forward4x4(blocks)
-        lev = RN.np_quant_4x4(w, self.qp, False)
-        scan = RN.to_scan(lev)
-        pic.luma_coef[addr] = scan
-        nnz = (scan != 0).sum(axis=1)
-        pic.luma_nnz[addr] = nnz
-        cbp_luma = 0
-        for q in range(4):
-            qb = [0, 1, 4, 5] if q == 0 else [2, 3, 6, 7] if q == 1 \
-                else [8, 9, 12, 13] if q == 2 else [10, 11, 14, 15]
-            if nnz[qb].any():
-                cbp_luma |= 1 << q
-        pred_blocks = pred_y.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
-        rec = RN.recon_luma_4x4(pred_blocks, scan, self.qp)
-        self.recY[py:py + 16, px:px + 16] = \
-            rec.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+        cbp_luma = self._code_luma_inter(addr, o, pred_y)
         cbp_chroma = self._code_chroma_residual(addr, pred_u, pred_v, intra=False)
         pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma
 
@@ -728,6 +715,67 @@ class _FrameEncoder:
                 and (pic.mv[addr, 0] == skip_mv).all()):
             pic.skip[addr] = True
 
+
+    def _code_luma_inter(self, addr, o, pred_y):
+        """Inter luma residual: adaptive 4x4 / 8x8 transform (High profile,
+        lencod md_low transform-size decision folded to an SSD + coefficient
+        -count cost). Commits coeffs, nnz, recon; returns cbp_luma."""
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        px, py = mbx * 16, mby * 16
+        res = o.astype(np.int64) - pred_y
+        blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+        w4 = RN.np_forward4x4(blocks)
+        lev4 = RN.np_quant_4x4(w4, self.qp, False)
+        scan4 = RN.to_scan(lev4)
+        pred_blocks = pred_y.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3) \
+            .reshape(16, 4, 4)
+        rec4 = RN.recon_luma_4x4(pred_blocks, scan4, self.qp)
+        rec4_16 = rec4.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+        use8 = False
+        if self.enc.cfg.transform8x8:
+            q8 = res.reshape(2, 8, 2, 8).transpose(0, 2, 1, 3).reshape(4, 8, 8)
+            w8 = RN.np_forward8x8(q8)
+            lev8 = RN.np_quant_8x8(w8, self.qp, False)
+            scan8 = RN.to_scan8(lev8)                     # (4, 64)
+            n8 = int((scan8 != 0).sum())
+            if n8:
+                pred8 = pred_y.reshape(2, 8, 2, 8).transpose(0, 2, 1, 3) \
+                    .reshape(4, 8, 8)
+                rec8q = RN.recon_luma_8x8(pred8, scan8, self.qp)
+                rec8_16 = rec8q.reshape(2, 2, 8, 8).transpose(0, 2, 1, 3) \
+                    .reshape(16, 16)
+                o64 = o.astype(np.int64)
+                d4 = int(((o64 - rec4_16) ** 2).sum())
+                d8 = int(((o64 - rec8_16) ** 2).sum())
+                n4 = int((scan4 != 0).sum())
+                use8 = d8 + self.lam4 * n8 < d4 + self.lam4 * n4
+        if use8:
+            pic.transform8x8[addr] = True
+            pic.luma_coef8[addr] = scan8
+            cbp_luma = 0
+            for q in range(4):
+                if scan8[q].any():
+                    cbp_luma |= 1 << q
+                # CAVLC interleave: sub-block k-th coeff = scan8[q, 4k+sub]
+                by0, bx0 = (q // 2) * 2, (q % 2) * 2
+                for sub in range(4):
+                    blk = (by0 + sub // 2) * 4 + bx0 + sub % 2
+                    pic.luma_nnz[addr, blk] = int(
+                        (scan8[q, sub::4] != 0).sum())
+            self.recY[py:py + 16, px:px + 16] = rec8_16
+            return cbp_luma
+        pic.luma_coef[addr] = scan4
+        nnz = (scan4 != 0).sum(axis=1)
+        pic.luma_nnz[addr] = nnz
+        cbp_luma = 0
+        for q in range(4):
+            qb = [0, 1, 4, 5] if q == 0 else [2, 3, 6, 7] if q == 1 \
+                else [8, 9, 12, 13] if q == 2 else [10, 11, 14, 15]
+            if nnz[qb].any():
+                cbp_luma |= 1 << q
+        self.recY[py:py + 16, px:px + 16] = rec4_16
+        return cbp_luma
 
     # ---- B slices ---------------------------------------------------------
 
@@ -783,27 +831,7 @@ class _FrameEncoder:
     def _commit_inter_residual(self, addr, o, pred_y, pred_u, pred_v):
         """Luma+chroma inter residual coding + recon; sets pic.cbp."""
         pic = self.pic
-        mbx, mby = addr % self.mb_w, addr // self.mb_w
-        px, py = mbx * 16, mby * 16
-        res = o.astype(np.int64) - pred_y
-        blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
-        w = RN.np_forward4x4(blocks)
-        lev = RN.np_quant_4x4(w, self.qp, False)
-        scan = RN.to_scan(lev)
-        pic.luma_coef[addr] = scan
-        nnz = (scan != 0).sum(axis=1)
-        pic.luma_nnz[addr] = nnz
-        cbp_luma = 0
-        for q in range(4):
-            qb = [0, 1, 4, 5] if q == 0 else [2, 3, 6, 7] if q == 1 \
-                else [8, 9, 12, 13] if q == 2 else [10, 11, 14, 15]
-            if nnz[qb].any():
-                cbp_luma |= 1 << q
-        pred_blocks = pred_y.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3) \
-            .reshape(16, 4, 4)
-        rec = RN.recon_luma_4x4(pred_blocks, scan, self.qp)
-        self.recY[py:py + 16, px:px + 16] = \
-            rec.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+        cbp_luma = self._code_luma_inter(addr, o, pred_y)
         cbp_chroma = self._code_chroma_residual(addr, pred_u.astype(np.int64),
                                                 pred_v.astype(np.int64),
                                                 intra=False)

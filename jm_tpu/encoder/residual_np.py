@@ -11,12 +11,14 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..common.tables import QUANT_SCALE_4x4, ZIGZAG_4x4
+from ..common.tables import QUANT_SCALE_4x4, QUANT_SCALE_8x8, ZIGZAG_4x4, \
+    ZIGZAG_8x8
 from ..decoder.recon import (_np_dequant_4x4, _np_hadamard4, _np_inv4,
-                             rshift_rnd_sf)
-from ..ops.quant import FLAT_INV_SCALE_4x4
+                             _np_inv8, rshift_rnd_sf)
+from ..ops.quant import FLAT_INV_SCALE_4x4, FLAT_INV_SCALE_8x8
 
 _ZZ = np.asarray(ZIGZAG_4x4)
+_ZZ8 = np.asarray(ZIGZAG_8x8)
 
 
 def np_forward4x4(x: np.ndarray) -> np.ndarray:
@@ -109,3 +111,42 @@ def recon_chroma(pred_blocks, ac_scan, dc_lev, qp_c):
     d[blk, 0, 0] = dc_s[blk // 2, blk % 2]
     r = (_np_inv4(d) + 32) >> 6
     return np.clip(pred_blocks + r, 0, 255).astype(np.uint8)
+
+
+def np_forward8x8(x: np.ndarray) -> np.ndarray:
+    """Batched forward 8x8 transform (lencod/src/transform8x8.c
+    forward_8x8), numpy twin of ops.transform.forward8x8."""
+    from ..ops.transform import _fwd8_1d
+    d = x.astype(np.int64)
+    v = _fwd8_1d(tuple(d[..., j, :] for j in range(8)))
+    t = np.stack(v, axis=-2)
+    h = _fwd8_1d(tuple(t[..., :, i] for i in range(8)))
+    return np.stack(h, axis=-1)
+
+
+def np_quant_8x8(w: np.ndarray, qp: int, intra: bool) -> np.ndarray:
+    """8x8 quant (lencod quant8x8_normal.c: Q_BITS_8 = 16 + qp/6)."""
+    mf = QUANT_SCALE_8x8[qp % 6].astype(np.int64)
+    qbits = 16 + qp // 6
+    f = (1 << qbits) // (3 if intra else 6)
+    lev = (np.abs(w.astype(np.int64)) * mf + f) >> qbits
+    return (np.sign(w) * lev).astype(np.int32)
+
+
+def to_scan8(raster: np.ndarray) -> np.ndarray:
+    """(..., 8, 8) raster -> (..., 64) 8x8 zig-zag order."""
+    flat = raster.reshape(*raster.shape[:-2], 64)
+    return flat[..., _ZZ8]
+
+
+def recon_luma_8x8(pred_q: np.ndarray, lev_scan: np.ndarray,
+                   qp: int) -> np.ndarray:
+    """Decode-mirror 8x8 recon: (..., 8, 8) pred + (..., 64) scan levels
+    (matches decoder recon.py 8x8 path: flat-list dequant, rounded >>6)."""
+    r = np.zeros((*lev_scan.shape[:-1], 64), np.int64)
+    r[..., _ZZ8] = lev_scan
+    r = r.reshape(*lev_scan.shape[:-1], 8, 8)
+    scale = FLAT_INV_SCALE_8x8[qp].astype(np.int64)
+    deq = rshift_rnd_sf((r * scale) << (qp // 6), 6)
+    sp = (_np_inv8(deq) + 32) >> 6
+    return np.clip(pred_q + sp, 0, 255).astype(np.uint8)

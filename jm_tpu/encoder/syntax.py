@@ -85,6 +85,11 @@ def write_pps(pps) -> bytes:
     bw.flag(pps.deblocking_filter_control_present_flag)
     bw.flag(pps.constrained_intra_pred_flag)
     bw.flag(pps.redundant_pic_cnt_present_flag)
+    if pps.transform_8x8_mode_flag:
+        # PPS FRExt extension (spec 7.3.2.2 more_rbsp_data section)
+        bw.flag(1)                         # transform_8x8_mode_flag
+        bw.flag(0)                         # pic_scaling_matrix_present_flag
+        bw.se(pps.cr_qp_offset)            # second_chroma_qp_index_offset
     bw.rbsp_trailing_bits()
     return bw.get_bytes()
 
@@ -198,6 +203,8 @@ class MBWriter:
                 else (5 if p_slice else 0))
         if pic.mb_class[addr] == 1:          # I_NxN (4x4)
             bw.ue(base + 0)
+            if self.pps.transform_8x8_mode_flag:
+                bw.flag(0)   # transform_size_8x8_flag (I8x8 encode: later)
             for code_idx in range(16):
                 blk = int(CODE2RASTER[code_idx])
                 mode = int(pic.i4_modes[addr, blk])
@@ -232,6 +239,26 @@ class MBWriter:
              2: [(0, 0, 2, 4), (2, 0, 2, 4)],
              3: [(0, 0, 2, 2), (2, 0, 2, 2), (0, 2, 2, 2), (2, 2, 2, 2)]}
 
+    def _write_luma_residual_8x8(self, addr: int, cbp: int) -> None:
+        """CAVLC 8x8: each coded 8x8 written as 4 interleaved 4x4 blocks
+        (mirror of MBParser._read_luma_residual_8x8)."""
+        pic, bw = self.pic, self.bw
+        for blk8 in range(4):
+            if not (cbp & (1 << blk8)):
+                continue
+            by0, bx0 = (blk8 // 2) * 2, (blk8 % 2) * 2
+            for dy in range(2):
+                for dx in range(2):
+                    blk = (by0 + dy) * 4 + bx0 + dx
+                    sub = 2 * dy + dx
+                    nc = self.pctx.nc_luma(addr, blk)
+                    coeffs = pic.luma_coef8[addr, blk8, sub::4]
+                    write_residual_block(bw, coeffs, nc, 16)
+
+    def _maybe_write_inter_transform8x8(self, addr: int, cbp: int) -> None:
+        if self.pps.transform_8x8_mode_flag and (cbp & 15):
+            self.bw.flag(1 if self.pic.transform8x8[addr] else 0)
+
     def _write_p_inter_mb(self, addr: int, num_ref: int) -> None:
         pic, bw = self.pic, self.bw
         mode = int(pic.inter_mode[addr])
@@ -255,9 +282,13 @@ class MBWriter:
             bw.se(int(mv[1] - pred[1]))
         cbp = int(pic.cbp[addr])
         bw.ue(CBP_INV_CHROMA_INTER[cbp])
+        self._maybe_write_inter_transform8x8(addr, cbp)
         if cbp:
             self._write_qp_delta(addr)
-        self._write_luma_residual(addr, cbp & 15, is_i16=False)
+        if pic.transform8x8[addr]:
+            self._write_luma_residual_8x8(addr, cbp & 15)
+        else:
+            self._write_luma_residual(addr, cbp & 15, is_i16=False)
         self._write_chroma_residual(addr, cbp)
 
     # ---- MB dispatch -------------------------------------------------------
@@ -309,9 +340,13 @@ class MBWriter:
                     bw.se(int(mv[1] - pred[1]))
         cbp = int(pic.cbp[addr])
         bw.ue(CBP_INV_CHROMA_INTER[cbp])
+        self._maybe_write_inter_transform8x8(addr, cbp)
         if cbp:
             self._write_qp_delta(addr)
-        self._write_luma_residual(addr, cbp & 15, is_i16=False)
+        if pic.transform8x8[addr]:
+            self._write_luma_residual_8x8(addr, cbp & 15)
+        else:
+            self._write_luma_residual(addr, cbp & 15, is_i16=False)
         self._write_chroma_residual(addr, cbp)
 
     def finish(self, slice_type: SliceType) -> None:

@@ -408,6 +408,29 @@ class MBWriterCABAC:
         if self._cbf(addr, block_type, present, bx, by, comp):
             self._write_sig_and_levels(block_type, coeff)
 
+    def write_transform_size(self, addr, flag: bool):
+        """Mirror of MBParserCABAC.read_transform_size ctx derivation."""
+        pic = self.pic
+        la, ua = self._left_mb(addr), self._up_mb(addr)
+        a = 1 if (la >= 0 and pic.transform8x8[la]) else 0
+        b = 1 if (ua >= 0 and pic.transform8x8[ua]) else 0
+        self.eng.decision(self.ctxs.transform_size, a + b, 1 if flag else 0)
+
+    def _write_luma_residual_8x8(self, addr, cbp):
+        """CABAC 8x8: LUMA_8x8 category, no coded_block_flag; marks the
+        0x33 cbf-bit pattern exactly like the parser for later contexts."""
+        from ..decoder.cabac import LUMA_8x8
+        pic = self.pic
+        for blk8 in range(4):
+            if not (cbp & (1 << blk8)):
+                continue
+            coeff = pic.luma_coef8[addr, blk8]
+            self._write_sig_and_levels(LUMA_8x8, coeff)
+            by0, bx0 = (blk8 // 2) * 2, (blk8 % 2) * 2
+            if (coeff != 0).any():
+                bit = 1 + by0 * 4 + bx0
+                pic.cbp_bits[addr] |= np.int64(0x33) << bit
+
     def _write_luma_residual(self, addr, cbp, is_i16):
         pic = self.pic
         if is_i16:
@@ -471,6 +494,8 @@ class MBWriterCABAC:
             self.write_mb_type_i(addr, imb)
         cbp = int(pic.cbp[addr])
         if imb == 0:
+            if self.pps.transform_8x8_mode_flag:
+                self.write_transform_size(addr, False)
             for code_idx in range(16):
                 blk = int(CODE2RASTER[code_idx])
                 pred = self.pctx.pred_intra4_mode(addr, blk)
@@ -545,11 +570,16 @@ class MBWriterCABAC:
                     pic.mvd[addr, 0, yy * 4 + xx] = (mvdx, mvdy)
         cbp = int(pic.cbp[addr])
         self.write_cbp(addr, cbp)
+        if self.pps.transform_8x8_mode_flag and (cbp & 15):
+            self.write_transform_size(addr, bool(pic.transform8x8[addr]))
         if cbp:
             self.write_dquant(self._dquant_for(addr))
         else:
             self.last_dquant = 0
-        self._write_luma_residual(addr, cbp & 15, is_i16=False)
+        if pic.transform8x8[addr]:
+            self._write_luma_residual_8x8(addr, cbp & 15)
+        else:
+            self._write_luma_residual(addr, cbp & 15, is_i16=False)
         self._write_chroma_residual(addr, cbp)
 
     def _write_b_inter_mb(self, addr, nref0=1, nref1=1):
@@ -581,11 +611,16 @@ class MBWriterCABAC:
                         pic.mvd[addr, lst, blk] = (mvdx, mvdy)
         cbp = int(pic.cbp[addr])
         self.write_cbp(addr, cbp)
+        if self.pps.transform_8x8_mode_flag and (cbp & 15):
+            self.write_transform_size(addr, bool(pic.transform8x8[addr]))
         if cbp:
             self.write_dquant(self._dquant_for(addr))
         else:
             self.last_dquant = 0
-        self._write_luma_residual(addr, cbp & 15, is_i16=False)
+        if pic.transform8x8[addr]:
+            self._write_luma_residual_8x8(addr, cbp & 15)
+        else:
+            self._write_luma_residual(addr, cbp & 15, is_i16=False)
         self._write_chroma_residual(addr, cbp)
 
     def write_mb(self, addr):

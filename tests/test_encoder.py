@@ -128,3 +128,41 @@ def test_b_frame_roundtrip(golden_dir, entropy, num_b):
         np.testing.assert_array_equal(d.Y, r["frame"].Y)
         np.testing.assert_array_equal(d.U, r["frame"].U)
         np.testing.assert_array_equal(d.V, r["frame"].V)
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_transform8x8_roundtrip(golden_dir, entropy):
+    """High-profile adaptive 8x8 transform: stream decodes to encoder
+    recon; at least some MBs pick the 8x8 transform."""
+    import jm_tpu.encoder.encoder as E
+    W, H = 176, 144
+    fsz = W * H * 3 // 2
+    raw = np.fromfile(golden_dir / "main9_rec.yuv", np.uint8)
+    frames = []
+    for i in range(3):
+        a = raw[i * fsz:(i + 1) * fsz]
+        frames.append((a[:W * H].reshape(H, W),
+                       a[W * H:W * H * 5 // 4].reshape(H // 2, W // 2),
+                       a[W * H * 5 // 4:].reshape(H // 2, W // 2)))
+    enc = Encoder(EncoderConfig(width=W, height=H, qp=30, entropy=entropy,
+                                transform8x8=True))
+    t8_used = []
+    orig = E._FrameEncoder.encode
+
+    def spy(self):
+        pic = orig(self)
+        t8_used.append(int(pic.transform8x8.sum()))
+        return pic
+
+    E._FrameEncoder.encode = spy
+    try:
+        bs = b"".join(enc.encode_frame(*f) for f in frames) + enc.flush()
+    finally:
+        E._FrameEncoder.encode = orig
+    assert sum(t8_used) > 0, "no MB chose the 8x8 transform"
+    out = H264Decoder().decode_annexb(bs)
+    out.sort(key=lambda f: f.poc)
+    for d, r in zip(out, sorted(enc.results, key=lambda x: x["disp"])):
+        np.testing.assert_array_equal(d.Y, r["frame"].Y)
+        np.testing.assert_array_equal(d.U, r["frame"].U)
+        np.testing.assert_array_equal(d.V, r["frame"].V)

@@ -69,7 +69,7 @@ def test_encoder_params_precedence_and_ignore():
 
 def test_encoder_params_unsupported_raises():
     p = EncoderParams()
-    p.apply({"Transform8x8Mode": "1"})
+    p.apply({"ProfileIDC": "122"})    # 4:2:2 encode: later phase
     with pytest.raises(NotImplementedError):
         p.validate()
 
