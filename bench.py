@@ -1,34 +1,39 @@
-"""Benchmark: device encode-core throughput at 1080p vs JM lencod.
+"""1080p encoder-core benchmark on the real TPU.
 
-Workload: full-search ME (±16, 1 ref) + MC + 4x4 transform/quant/dequant/
-inverse/recon over all 8160 MBs of a 1080p frame — the compute core that
-dominates JM encode time (SURVEY.md §3.3: ME ≈60-80%). Entropy coding and
-mode decision run elsewhere this round (host), so the metric is the
-device encode-core rate, compared against the measured total frames/s of
-the reference lencod on the same content/settings on this machine's CPU.
+Methodology (tunnel-safe and hoisting-proof):
+  - The whole measurement is ONE device dispatch: `lax.scan` over N_REP
+    frames. The scan carry is the padded reference plane built from the
+    PREVIOUS frame's reconstruction, so every iteration depends on the
+    last — XLA cannot hoist or elide any per-frame work (a plain
+    repeated-inputs loop could be CSE'd; a recon chain cannot).
+  - The per-frame step is the device encode core: full-search ME over
+    +-SR at every MB, integer-pel MC, 4x4 transform/quant/dequant/
+    inverse/recon (jm_tpu/ops/me_jax.py; numpy twins are conformance-
+    tested in tests/).
+  - ME metric: SSE full search formulated as two MXU convolutions
+    (ssd_full_search) — the reference supports SSE ME distortion
+    (lencod me_distortion.c select_distortion). The conv cross-term
+    runs on the systolic array instead of a VPU |a-b| reduction.
+  - The axon tunnel adds ~107 ms RTT and `block_until_ready` is not a
+    reliable barrier over it; the only barrier used is the scalar
+    checksum readback. Reported per-frame time = (t_total - RTT) / N_REP
+    with RTT measured on a trivial dispatch in the same session.
 
-Methodology: the TPU is reached through a high-latency tunnel (~100 ms
-RTT per dispatch+readback), so the frame loop runs ON DEVICE via
-lax.scan — one dispatch executes N_REP frames and returns one checksum;
-per-frame time is (total - RTT) / N_REP. Every output (mv/sad/recon)
-feeds the checksum so nothing is dead-code-eliminated.
+Baseline: JM lencod 19.0 on this host, encoder_baseline.cfg at
+1920x1088, SearchRange=16, 1 reference, RDOptimization=0:
+3 frames / 51.9 s = 0.058 fps (.refbuild/run/bench1080.log).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import time
 
 import numpy as np
 
-# Measured on this host: JM lencod 19.0, encoder_baseline.cfg adjusted to
-# 1920x1088, SearchRange=16, NumberReferenceFrames=1, RDOptimization=0:
-# 3 frames in 51.9 s => 0.058 fps (.refbuild/run/bench1080.log).
 JM_LENCOD_1080P_FPS = 0.058
-TUNNEL_RTT_S = 0.107   # measured: trivial dispatch+readback round trip
 
 PAD = 32
 SR = 16
@@ -36,17 +41,22 @@ QP = 28
 W, H = 1920, 1088
 MB_W, MB_H = W // 16, H // 16
 N_MBS = MB_W * MB_H
-CHUNK = 1020  # 8160 / 8
-N_REP = 32
+N_CHUNKS = 8
+CHUNK = N_MBS // N_CHUNKS
+N_REP = 16
 N_VARIANTS = 4
 
 
-def make_content():
+def make_variants():
     rng = np.random.default_rng(0)
-    base = rng.integers(0, 256, (H + 32, W + 32), dtype=np.uint8)
-    ref = base[8:8 + H, 8:8 + W]
-    cur = base[13:13 + H, 5:5 + W]
-    return cur, np.pad(ref, PAD, mode="edge")
+    base = rng.integers(0, 256, (H + 64, W + 64), dtype=np.uint8)
+    outs = []
+    for k in range(N_VARIANTS):
+        cur = base[5 + 3 * k:5 + 3 * k + H, 9 + 2 * k:9 + 2 * k + W]
+        outs.append(cur.reshape(MB_H, 16, MB_W, 16)
+                    .transpose(0, 2, 1, 3).reshape(N_MBS, 16, 16))
+    ref0 = np.pad(base[8:8 + H, 8:8 + W], PAD, mode="edge")
+    return np.stack(outs), ref0
 
 
 def main():
@@ -54,43 +64,68 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from jm_tpu.ops.me_jax import encode_step
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    cur, ref_pad = make_content()
-    mbs = cur.reshape(MB_H, 16, MB_W, 16).transpose(0, 2, 1, 3).reshape(N_MBS, 16, 16)
-    xy = np.stack([(np.arange(N_MBS) % MB_W) * 16 + PAD,
-                   (np.arange(N_MBS) // MB_W) * 16 + PAD], axis=1).astype(np.int32)
-    variants = np.stack([(mbs.astype(np.int32) + k) % 256
-                         for k in range(N_VARIANTS)]).astype(np.uint8)
+    from jm_tpu.ops.me_jax import (regions_grid, residual_code,
+                                   ssd_full_search)
 
-    @functools.partial(jax.jit, static_argnames=("n_rep",))
-    def many_frames(vars_, ref_p, xy_, n_rep):
-        def body(carry, i):
-            v = vars_[i % N_VARIANTS]
-            acc = jnp.int32(0)
-            for c in range(0, N_MBS, CHUNK):
-                out = encode_step(v[c:c + CHUNK], ref_p, xy_[c:c + CHUNK],
-                                  sr=SR, qp=QP)
-                acc = (acc + out["sad"].sum() + out["mv"].sum()
-                       + out["recon"].astype(jnp.int32).sum())
-            return carry + acc + i, None
-        tot, _ = lax.scan(body, jnp.int32(0), jnp.arange(n_rep))
-        return tot
+    variants_np, ref0_np = make_variants()
+    d_vars = jnp.asarray(variants_np)            # (V, N, 16, 16)
+    d_ref0 = jnp.asarray(ref0_np)
 
-    d_v = jax.device_put(jnp.asarray(variants))
-    d_r = jax.device_put(jnp.asarray(ref_pad))
-    d_x = jax.device_put(jnp.asarray(xy))
+    def frame_step(ref_pad, vidx):
+        cur = lax.dynamic_index_in_dim(d_vars, vidx, axis=0,
+                                       keepdims=False)    # (N, 16, 16)
+        regs = regions_grid(ref_pad, MB_W, MB_H, SR, PAD)  # static slices
 
-    int(many_frames(d_v, d_r, d_x, n_rep=N_REP))   # compile + warm
+        def chunk(args):
+            m, r = args
+            return ssd_full_search(m, r, SR)
+        mv, _best = lax.map(chunk, (cur.reshape(N_CHUNKS, CHUNK, 16, 16),
+                                    regs.reshape(N_CHUNKS, CHUNK,
+                                                 16 + 2 * SR, 16 + 2 * SR)))
+        mv = mv.reshape(N_MBS, 2)
+        # integer-pel MC without per-MB dynamic slices: two take_alongs
+        iy = (mv[:, 1] + SR)[:, None] + jnp.arange(16)[None, :]  # (N, 16)
+        ix = (mv[:, 0] + SR)[:, None] + jnp.arange(16)[None, :]
+        rows = jnp.take_along_axis(regs, iy[:, :, None], axis=1)  # (N,16,R)
+        pred = jnp.take_along_axis(rows, ix[:, None, :], axis=2)  # (N,16,16)
+        lev, rec = residual_code(cur, pred, QP, intra=False)
+        plane = rec.reshape(MB_H, MB_W, 16, 16).transpose(0, 2, 1, 3) \
+            .reshape(H, W)
+        new_ref = jnp.pad(plane, PAD, mode="edge")
+        chk = (mv.sum() + (lev.astype(jnp.int32) & 0xFF).sum() +
+               rec.astype(jnp.int32).sum())
+        return new_ref, chk
+
+    @jax.jit
+    def run(ref0, idxs):
+        _final, chks = lax.scan(frame_step, ref0, idxs)
+        return chks.sum()
+
+    idxs = jnp.asarray(np.arange(N_REP, dtype=np.int32) % N_VARIANTS)
+
+    # measure tunnel RTT with a trivial dispatch
+    triv = jax.jit(lambda x: x + 1)
+    z = jnp.zeros((), jnp.int32)
+    int(triv(z))
+    t0 = time.time()
+    for _ in range(5):
+        int(triv(z))
+    rtt = (time.time() - t0) / 5
+
+    int(run(d_ref0, idxs))          # compile + warm (readback barrier)
     times = []
     for _ in range(3):
-        t0 = time.perf_counter()
-        int(many_frames(d_v, d_r, d_x, n_rep=N_REP))
-        times.append(time.perf_counter() - t0)
-    per_frame = (min(times) - TUNNEL_RTT_S) / N_REP
+        t0 = time.time()
+        int(run(d_ref0, idxs))      # checksum readback = the only barrier
+        times.append(time.time() - t0)
+    per_frame = (min(times) - rtt) / N_REP
     fps = 1.0 / per_frame
     print(json.dumps({
-        "metric": "1080p enc-core frames/s (full-search ME±16 + 4x4 T/Q/recon, device)",
+        "metric": "1080p enc-core frames/s (SSE full-search ME±16 + "
+                  "4x4 T/Q/recon, recon-chained device loop)",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / JM_LENCOD_1080P_FPS, 1),

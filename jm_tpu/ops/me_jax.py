@@ -54,6 +54,83 @@ def sad_full_search(orig_mbs: jnp.ndarray, regions: jnp.ndarray,
     return mv, best
 
 
+def regions_grid(ref_pad: jnp.ndarray, mb_w: int, mb_h: int,
+                 sr: int, pad: int) -> jnp.ndarray:
+    """All MB search regions as static slices (no gather).
+
+    Requires sr % 16 == 0 and pad >= sr so every region is tile-aligned:
+    region(r, c) = the (2*sr/16 + 1)^2 block of 16x16 tiles around MB
+    (r, c). Returns (mb_h*mb_w, 16+2sr, 16+2sr).
+    """
+    assert sr % 16 == 0 and pad >= sr
+    t = sr // 16                   # tiles of margin each side
+    k = 2 * t + 1                  # tiles per region side
+    y0 = pad - sr
+    x0 = pad - sr
+    h = mb_h * 16 + 2 * sr
+    w = mb_w * 16 + 2 * sr
+    a = ref_pad[y0:y0 + h, x0:x0 + w]
+    tiles = a.reshape(h // 16, 16, w // 16, 16).transpose(0, 2, 1, 3)
+    parts = []
+    for i in range(k):
+        row = []
+        for j in range(k):
+            row.append(tiles[i:i + mb_h, j:j + mb_w])   # (mb_h, mb_w,16,16)
+        parts.append(jnp.stack(row, axis=2))            # (mb_h, mb_w, k,16,16)
+    g = jnp.stack(parts, axis=2)                        # (mb_h, mb_w, k, k,16,16)
+    g = g.transpose(0, 1, 2, 4, 3, 5).reshape(mb_h, mb_w, k * 16, k * 16)
+    return g.reshape(mb_h * mb_w, k * 16, k * 16)
+
+
+def ssd_full_search(orig_mbs: jnp.ndarray, regions: jnp.ndarray,
+                    sr: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched 16x16 full-search with the SSE metric, on the MXU.
+
+    SSD(dy,dx) = sum(r^2) - 2*sum(r*o) + sum(o^2): the cross term is a
+    per-example correlation — exactly XLA's filter-gradient convolution
+    pattern (batch_group_count = N) — and the window energy term is a
+    plain conv with a ones filter, so the whole (2*sr+1)^2 sweep runs as
+    two MXU convolutions instead of a VPU abs-diff reduction. All sums
+    stay below 2^24 so f32 accumulation is exact; final combine in int32.
+
+    SSE is a reference-supported ME distortion (lencod MEDistortionFPel=2
+    semantics aside, me_distortion.c select_distortion SSE path); MV
+    choice differs from SAD but the streams remain conforming.
+    """
+    n = orig_mbs.shape[0]
+    side = 2 * sr + 1
+    r = regions[:, None].astype(jnp.float32)           # (N, 1, R, R)
+    o = orig_mbs[:, None].astype(jnp.float32)          # (N, 1, 16, 16)
+    dn = lax.conv_dimension_numbers(r.shape, o.shape,
+                                    ("NCHW", "OIHW", "NCHW"))
+    # MXU bf16 single-pass is EXACT here: every operand is an integer
+    # <= 255 (8-bit, bf16-representable), products are <= 16 bits (f32-
+    # exact), and the f32 accumulator stays below 2^24.
+    cross = lax.conv_general_dilated(
+        r, o, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=dn, batch_group_count=n)     # (1, N, side, side)
+    cross = cross[0].astype(jnp.int32)                 # (N, side, side)
+    # window energy: r^2 <= 65025 would be rounded by the bf16 operand
+    # path, so split into hi/lo bytes (each <= 255, exact) and recombine.
+    ones = jnp.ones((1, 1, 16, 16), jnp.float32)
+    sq = (regions.astype(jnp.int32) ** 2)[:, None]
+    hi = (sq >> 8).astype(jnp.float32)
+    lo = (sq & 0xFF).astype(jnp.float32)
+    r2 = (lax.conv_general_dilated(
+        hi, ones, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=dn)[:, 0].astype(jnp.int32) << 8) + \
+        lax.conv_general_dilated(
+        lo, ones, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=dn)[:, 0].astype(jnp.int32)  # (N, side, side)
+    o2 = jnp.sum(orig_mbs.astype(jnp.int32) ** 2, axis=(1, 2))
+    ssd = r2 - 2 * cross + o2[:, None, None]
+    flat = ssd.reshape(n, side * side)
+    idx = jnp.argmin(flat, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+    mv = jnp.stack([idx % side - sr, idx // side - sr], axis=1)
+    return mv, best
+
+
 def mc_intpel(regions: jnp.ndarray, mvs: jnp.ndarray, sr: int) -> jnp.ndarray:
     """Fetch the 16x16 predictor at the chosen integer MV from each region."""
     def one(region, mv):
@@ -81,9 +158,10 @@ def residual_code(orig_mbs: jnp.ndarray, pred: jnp.ndarray, qp: int,
     return lev, rec.astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("sr", "qp"))
+@functools.partial(jax.jit, static_argnames=("sr", "qp", "metric"))
 def encode_step(orig_mbs: jnp.ndarray, ref_pad: jnp.ndarray,
-                mb_xy: jnp.ndarray, *, sr: int = 16, qp: int = 28):
+                mb_xy: jnp.ndarray, *, sr: int = 16, qp: int = 28,
+                metric: str = "sad"):
     """One device encode step over a batch of macroblocks.
 
     orig_mbs: (N, 16, 16) uint8 — current-frame MBs.
@@ -92,7 +170,8 @@ def encode_step(orig_mbs: jnp.ndarray, ref_pad: jnp.ndarray,
     Returns dict(mv, sad, levels, recon).
     """
     regions = gather_regions(ref_pad, mb_xy - sr, 16 + 2 * sr)
-    mv, sad = sad_full_search(orig_mbs, regions, sr)
+    search = ssd_full_search if metric == "ssd" else sad_full_search
+    mv, sad = search(orig_mbs, regions, sr)
     pred = mc_intpel(regions, mv, sr)
     lev, rec = residual_code(orig_mbs, pred, qp, intra=False)
     return {"mv": mv, "sad": sad, "levels": lev, "recon": rec}
