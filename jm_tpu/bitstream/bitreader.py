@@ -131,3 +131,16 @@ class BitReader:
             if n > limit:
                 raise ValueError("runaway zero run in bitstream")
         return n
+
+
+# Python reference implementation retained under this name; the module-level
+# `BitReader` resolves to the native C implementation when jm_native is
+# importable (identical API, fuzz-tested equivalent in tests/test_native.py).
+PyBitReader = BitReader
+try:
+    from ..native import BitReader as _native_br
+    from ..native import available as _native_ok
+    if _native_ok and _native_br is not None:
+        BitReader = _native_br
+except Exception:  # pragma: no cover - native build missing
+    pass

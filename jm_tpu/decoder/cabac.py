@@ -190,6 +190,16 @@ class CabacEngine:
         return sym
 
 
+PyCabacEngine = CabacEngine
+try:
+    from ..native import CabacEngine as _native_eng
+    from ..native import available as _native_ok
+    if _native_ok and _native_eng is not None:
+        CabacEngine = _native_eng
+except Exception:  # pragma: no cover
+    pass
+
+
 def _init_group(tab_i, tab_p, slice_type_intra: bool, model: int,
                 qp: int) -> np.ndarray:
     """Initialize one context group: returns (..., 2) int32 [state, mps]."""

@@ -1,0 +1,33 @@
+"""Build jm_native in-place into jm_tpu/native/.
+
+Usage: python native/build.py   (or imported by jm_tpu.native on demand)
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sysconfig
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+OUT_DIR = HERE.parent / "jm_tpu" / "native"
+
+
+def build() -> Path:
+    OUT_DIR.mkdir(exist_ok=True)
+    suffix = sysconfig.get_config_var("EXT_SUFFIX")
+    out = OUT_DIR / f"jm_native{suffix}"
+    src = HERE / "jm_native.cpp"
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    include = sysconfig.get_paths()["include"]
+    cmd = [
+        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+        f"-I{include}", str(src), "-o", str(out),
+    ]
+    subprocess.run(cmd, check=True)
+    return out
+
+
+if __name__ == "__main__":
+    print(build())
