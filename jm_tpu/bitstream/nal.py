@@ -42,6 +42,9 @@ class NalUnit:
     rbsp: bytes                 # emulation-prevention removed, header stripped
     # MVC extension header fields (nal_unit_type 14/20), None otherwise
     mvc_ext: dict | None = None
+    # RTP transport: missing sequence numbers right before this unit
+    # (ldecod's nalu->lost_packets); always 0 for Annex-B input
+    lost_before: int = 0
 
     @property
     def is_slice(self) -> bool:

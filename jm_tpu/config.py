@@ -83,6 +83,7 @@ class EncoderParams:
     DistortionSSIM: int = 0
     DistortionMSSSIM: int = 0
     SSIMOverlapSize: int = 8
+    OutFileMode: int = 0         # 0 Annex-B, 1 RTP dump (lencod rtp.c)
     ignored: dict = field(default_factory=dict)
 
     _INT_FIELDS = {
@@ -92,7 +93,7 @@ class EncoderParams:
         "SearchRange", "SymbolMode", "ProfileIDC", "LevelIDC",
         "NumberBFrames", "Transform8x8Mode", "RateControlEnable",
         "Bitrate", "InitialQP", "DistortionSSIM",
-        "DistortionMSSSIM", "SSIMOverlapSize",
+        "DistortionMSSSIM", "SSIMOverlapSize", "OutFileMode",
     }
     _STR_FIELDS = {"InputFile", "OutputFile", "ReconFile", "StatsFile"}
     _ALIASES = {
@@ -149,14 +150,16 @@ class DecoderParams:
     OutputFile: str = "test_dec.yuv"
     RefFile: str = ""
     WriteUV: int = 1
+    FileFormat: int = 0          # 0 Annex-B, 1 RTP dump (ldecod rtp.c)
+    ConcealMode: int = 0         # 0 off, 1 frame copy, 2 motion copy
     ignored: dict = field(default_factory=dict)
 
     def apply(self, kv: dict[str, str]) -> None:
         for name, val in kv.items():
             if name in ("InputFile", "OutputFile", "RefFile"):
                 setattr(self, name, val.strip('"'))
-            elif name == "WriteUV":
-                self.WriteUV = int(val)
+            elif name in ("WriteUV", "FileFormat", "ConcealMode"):
+                setattr(self, name, int(val))
             else:
                 self.ignored[name] = val
 

@@ -62,7 +62,11 @@ def main(argv=None) -> int:
     t0 = time.time()
     dec = H264Decoder()
     with open(prm.InputFile, "rb") as fh:
-        frames = dec.decode_annexb(fh.read())
+        data = fh.read()
+    if prm.FileFormat == 1:            # RTP dump container (ldecod rtp.c)
+        from ..bitstream.rtp import rtp_to_annexb
+        data = rtp_to_annexb(data)
+    frames = dec.decode_annexb(data)
     frames.sort(key=lambda f: f.poc)
     dt = time.time() - t0
     for m in dec.sei_messages:

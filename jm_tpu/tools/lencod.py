@@ -114,6 +114,9 @@ def main(argv=None) -> int:
         if prm.ReconFile:
             recon += rec.Y.tobytes() + rec.U.tobytes() + rec.V.tobytes()
 
+    if prm.OutFileMode == 1:           # RTP dump container (lencod rtp.c)
+        from ..bitstream.rtp import annexb_to_rtp
+        out = annexb_to_rtp(bytes(out))
     with open(prm.OutputFile, "wb") as fh:
         fh.write(out)
     if prm.ReconFile:
