@@ -62,6 +62,8 @@ class EncoderConfig:
     frame_rate: float = 30.0
     rc_initial_qp: int = 0       # 0: derive from bpp
     transform8x8: bool = False   # High-profile adaptive 8x8 transform
+    sei_user_data: bytes | None = None   # user_data_unregistered on IDR
+    sei_recovery_point: bool = False     # recovery point on open-GOP I
 
 
 class Encoder:
@@ -205,6 +207,18 @@ class Encoder:
         if is_idr:
             payload += annexb_bytes(3, NalUnitType.SPS, write_sps(self.sps))
             payload += annexb_bytes(3, NalUnitType.PPS, write_pps(self.pps))
+        sei_msgs = []
+        if is_idr and cfg.sei_user_data is not None:
+            from .sei_write import user_data_unregistered
+            sei_msgs.append(user_data_unregistered(cfg.sei_user_data))
+        if is_intra and not is_idr and cfg.sei_recovery_point:
+            # open-GOP random access point (lencod.c:999 EnableOpenGOP)
+            from .sei_write import recovery_point
+            sei_msgs.append(recovery_point(0, exact_match=True))
+        if sei_msgs:
+            from .sei_write import build_sei_rbsp
+            payload += annexb_bytes(0, NalUnitType.SEI,
+                                    build_sei_rbsp(sei_msgs))
         common = dict(slice_type=stype, frame_num=self.frame_num, idr=is_idr,
                       qp=qp, idr_pic_id=self.idr_pic_id,
                       num_ref_idx_l0=self.num_ref_active,

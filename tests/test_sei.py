@@ -49,3 +49,61 @@ def test_ff_escaped_size():
 def test_garbage_sei_does_not_crash():
     msgs = parse_sei_rbsp(b"\x06\x20\x01")   # truncated payload
     assert isinstance(msgs, list)
+
+
+# ---- writer round-trips (jm_tpu/encoder/sei_write.py vs lencod/src/sei.c)
+
+
+def test_sei_writer_roundtrip_all_types():
+    from jm_tpu.encoder import sei_write as W
+    msgs = [
+        W.recovery_point(3, exact_match=False, broken_link=True),
+        W.user_data_unregistered(b"payload-data", uuid=bytes(range(16))),
+        W.user_data_registered_itu_t_t35(0xB5, b"t35!"),
+        W.scene_info(7, transition_type=2),
+        W.pan_scan_rect(1, [(-8, 8, -4, 4), (0, 16, 0, 9)],
+                        repetition_period=2),
+        W.frame_packing_arrangement(0, 3),
+    ]
+    rbsp = W.build_sei_rbsp(msgs)
+    parsed = parse_sei_rbsp(rbsp)
+    assert [m.payload_type for m in parsed] == [6, 5, 4, 9, 2, 45]
+    rp = parsed[0].fields
+    assert rp == {"recovery_frame_cnt": 3, "exact_match_flag": False,
+                  "broken_link_flag": True, "changing_slice_group_idc": 0}
+    assert parsed[1].fields["uuid"] == bytes(range(16)).hex()
+    assert parsed[1].fields["data"] == b"payload-data"
+    assert parsed[2].fields == {"country_code": 0xB5, "data": b"t35!"}
+    assert parsed[3].fields["scene_id"] == 7
+    assert parsed[4].fields["rects"] == [(-8, 8, -4, 4), (0, 16, 0, 9)]
+    fp = parsed[5].fields
+    assert fp["type"] == 3 and fp["current_frame_is_frame0"]
+
+
+def test_encoder_emits_sei(golden_dir):
+    from jm_tpu.encoder.encoder import Encoder, EncoderConfig
+    rng = np.random.default_rng(5)
+    w, h = 64, 48
+    enc = Encoder(EncoderConfig(width=w, height=h, qp=30, num_b=1,
+                                intra_period=2, sei_user_data=b"marker#1",
+                                sei_recovery_point=True))
+    out = b""
+    for i in range(6):
+        Y = rng.integers(0, 255, (h, w), np.uint8)
+        U = rng.integers(0, 255, (h // 2, w // 2), np.uint8)
+        V = rng.integers(0, 255, (h // 2, w // 2), np.uint8)
+        out += enc.encode_frame(Y, U, V)
+    out += enc.flush()
+    d = H264Decoder()
+    frames = d.decode_annexb(out)
+    assert len(frames) == 6
+    uds = [m for m in d.sei_messages
+           if m.payload_type == USER_DATA_UNREGISTERED]
+    rps = [m for m in d.sei_messages if m.payload_type == RECOVERY_POINT]
+    assert uds and uds[0].fields["data"] == b"marker#1"
+    assert rps and rps[0].fields["recovery_frame_cnt"] == 0
+    # encoder recon must match our decode exactly (SEI must not perturb)
+    rec = sorted(enc.results, key=lambda r: r["disp"])
+    frames.sort(key=lambda f: f.poc)
+    for r, f in zip(rec, frames):
+        assert np.array_equal(r["frame"].Y, f.Y)
