@@ -32,7 +32,9 @@ class DecodedFrame:
 
 
 class H264Decoder:
-    def __init__(self) -> None:
+    def __init__(self, conceal_mode: int = 0) -> None:
+        """conceal_mode: 0 = strict (raise on loss), 1 = frame copy,
+        2 = motion copy (ldecod ConcealMode, configfile.h:44)."""
         self.sps_map: dict[int, object] = {}
         self.pps_map: dict[int, object] = {}
         self.dpb: DPB | None = None
@@ -40,6 +42,10 @@ class H264Decoder:
         self._cur = None       # in-flight picture state
         self._outputs: list[DecodedFrame] = []
         self.sei_messages = []  # parsed SEI (jm_tpu.decoder.sei)
+        self.conceal_mode = conceal_mode
+        self.concealed_count = 0
+        self._prev_ref_frame_num = None
+        self._prev_poc = 0
 
     # ------------------------------------------------------------------
 
@@ -86,9 +92,13 @@ class H264Decoder:
 
         if hdr.first_mb_in_slice == 0:
             self._finish_picture()
+            poc = self.poc_ctx.compute(hdr, sps)
+            if (self.conceal_mode and not hdr.is_idr
+                    and self._prev_ref_frame_num is not None
+                    and self.dpb is not None and self.dpb.frames):
+                self._conceal_frame_num_gap(hdr, sps, poc)
             pic = PictureData(sps.pic_width_in_mbs, sps.frame_height_in_mbs,
                               sps.chroma_format_idc)
-            poc = self.poc_ctx.compute(hdr, sps)
             self._cur = {
                 "pic": pic, "sps": sps, "pps": pps, "poc": poc,
                 "headers": [], "slice_params": [], "n_slices": 0,
@@ -134,7 +144,18 @@ class H264Decoder:
             parser = MBParserCABAC(pic, ctx, br)
         else:
             parser = MBParser(pic, ctx, br)
-        parser.parse_slice_data()
+        if self.conceal_mode:
+            try:
+                parser.parse_slice_data()
+            except Exception:
+                # corrupted slice payload: drop the picture and synthesize
+                # it from the DPB (ldecod ei_flag + erc path)
+                self._cur = None
+                if self.dpb is not None and self.dpb.frames:
+                    self._store_concealed(hdr.frame_num, cur["poc"])
+                return
+        else:
+            parser.parse_slice_data()
         cur["headers"].append((hdr, lst, lst1))
 
         # record per-MB ref uids for deblock strength
@@ -148,6 +169,34 @@ class H264Decoder:
                 pid = np.where(ridx >= 0,
                                uid[np.clip(ridx, 0, len(frames_l) - 1)], -1)
                 pid_arr[mask] = pid
+
+    # ---- error concealment (D17) -------------------------------------
+
+    def _conceal_frame_num_gap(self, hdr, sps, cur_poc: int) -> None:
+        """Gap in frame_num (spec 7.4.3 gaps_in_frame_num; ldecod
+        conceal_lost_frames mbuffer.c:1837): synthesize the missing
+        reference frames so later pictures keep decoding."""
+        max_fn = sps.max_frame_num
+        prev = self._prev_ref_frame_num
+        gap = (hdr.frame_num - prev - 1) % max_fn
+        if hdr.frame_num == prev or gap == 0 or gap > 16:
+            return
+        # POC interpolation between the last decoded and current picture
+        step = (cur_poc - self._prev_poc) / (gap + 1)
+        for k in range(1, gap + 1):
+            fn = (prev + k) % max_fn
+            poc = int(round(self._prev_poc + step * k))
+            self._store_concealed(fn, poc)
+
+    def _store_concealed(self, frame_num: int, poc: int) -> None:
+        from .conceal import conceal_lost_frame
+        f = conceal_lost_frame(self.dpb.frames, frame_num, poc,
+                               self.conceal_mode)
+        self.dpb.store(f)
+        self.concealed_count += 1
+        self._prev_ref_frame_num = frame_num
+        self._prev_poc = poc
+        self._outputs.append(DecodedFrame(poc, f.Y, f.U, f.V))
 
     # ------------------------------------------------------------------
 
@@ -192,6 +241,9 @@ class H264Decoder:
                                  else None),
                        idr=hdr0.is_idr,
                        long_term_flag=hdr0.long_term_reference_flag)
+        if frame.is_ref:
+            self._prev_ref_frame_num = hdr0.frame_num
+        self._prev_poc = cur["poc"]
         self._outputs.append(DecodedFrame(cur["poc"], Y, U, V))
 
 

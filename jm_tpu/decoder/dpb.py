@@ -25,6 +25,7 @@ class Frame:
     V: np.ndarray
     is_ref: bool = True
     is_long_term: bool = False
+    concealed: bool = False  # synthesized by error concealment (D17)
     long_term_frame_idx: int = -1
     uid: int = -1            # unique decode-order id (deblock ref comparison)
     # (mv_l0, ref_idx_l0, mv_l1, ref_idx_l1) SoA for temporal/spatial direct

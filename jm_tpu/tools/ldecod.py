@@ -60,7 +60,7 @@ def main(argv=None) -> int:
         setattr(prm, k, v)
 
     t0 = time.time()
-    dec = H264Decoder()
+    dec = H264Decoder(conceal_mode=prm.ConcealMode)
     with open(prm.InputFile, "rb") as fh:
         data = fh.read()
     if prm.FileFormat == 1:            # RTP dump container (ldecod rtp.c)
