@@ -90,7 +90,7 @@ class H264Decoder:
             if self.dpb is None:
                 self.dpb = DPB(sps)
 
-        if hdr.first_mb_in_slice == 0:
+        if self._is_new_picture(hdr):
             self._finish_picture()
             poc = self.poc_ctx.compute(hdr, sps)
             if (self.conceal_mode and not hdr.is_idr
@@ -102,7 +102,13 @@ class H264Decoder:
             self._cur = {
                 "pic": pic, "sps": sps, "pps": pps, "poc": poc,
                 "headers": [], "slice_params": [], "n_slices": 0,
+                "mb_succ": None,
             }
+            if pps.num_slice_groups_minus1 > 0:
+                from ..common.fmo import mb_to_slice_group_map, next_mb_arrays
+                gmap = mb_to_slice_group_map(pps, sps,
+                                             hdr.slice_group_change_cycle)
+                self._cur["mb_succ"] = next_mb_arrays(gmap)
         cur = self._cur
         pic = cur["pic"]
 
@@ -127,7 +133,7 @@ class H264Decoder:
 
         sid = cur["n_slices"]
         cur["n_slices"] += 1
-        ctx = SliceContext(hdr, sps, pps, sid)
+        ctx = SliceContext(hdr, sps, pps, sid, mb_succ=cur["mb_succ"])
         if hdr.slice_type == SliceType.B:
             from .b_slice import compute_mvscale
             col = lst1[0]
@@ -169,6 +175,29 @@ class H264Decoder:
                 pid = np.where(ridx >= 0,
                                uid[np.clip(ridx, 0, len(frames_l) - 1)], -1)
                 pid_arr[mask] = pid
+
+    def _is_new_picture(self, hdr) -> bool:
+        """ldecod/src/image.c:2276 is_new_picture: a slice opens a new
+        picture when the header's picture-identifying fields differ from
+        the in-flight picture's first slice (FMO slices need not start at
+        MB 0, so first_mb_in_slice == 0 is not the boundary test)."""
+        if self._cur is None:
+            return True
+        h0 = self._cur["headers"][0][0] if self._cur["headers"] else None
+        if h0 is None:
+            return False
+
+        def poc_key(h):
+            return (getattr(h, "pic_order_cnt_lsb", 0),
+                    getattr(h, "delta_pic_order_cnt_bottom", 0),
+                    tuple(getattr(h, "delta_pic_order_cnt", ()) or ()))
+
+        return (hdr.frame_num != h0.frame_num
+                or hdr.pic_parameter_set_id != h0.pic_parameter_set_id
+                or hdr.is_idr != h0.is_idr
+                or (hdr.is_idr and hdr.idr_pic_id != h0.idr_pic_id)
+                or poc_key(hdr) != poc_key(h0)
+                or (hdr.nal_ref_idc == 0) != (h0.nal_ref_idc == 0))
 
     # ---- error concealment (D17) -------------------------------------
 

@@ -114,9 +114,15 @@ class SliceContext:
     pps: PPS
     slice_id: int
     qp: int = 0
+    # FMO: succ[addr] = next MB of this slice's group (common/fmo.py);
+    # None = raster order (single slice group)
+    mb_succ: object = None
 
     def __post_init__(self) -> None:
         self.qp = self.header.qp(self.pps)
+
+    def next_mb(self, addr: int) -> int:
+        return addr + 1 if self.mb_succ is None else int(self.mb_succ[addr])
 
 
 class MBParser:
@@ -544,12 +550,13 @@ class MBParser:
         stype = h.slice_type
         n = pic.n_mbs
 
+        nxt = self.ctx.next_mb
         if stype == SliceType.I:
             while True:
                 pic.slice_id[addr] = self.ctx.slice_id
                 mb_type = br.ue()
                 self._parse_intra_mb(addr, mb_type)
-                addr += 1
+                addr = nxt(addr)
                 if addr >= n or not br.more_rbsp_data():
                     break
         elif stype in (SliceType.P, SliceType.B):
@@ -564,7 +571,7 @@ class MBParser:
                         self._parse_b_skip(addr)
                     else:
                         self._parse_p_skip(addr)
-                    addr += 1
+                    addr = nxt(addr)
                 if addr >= n or not br.more_rbsp_data():
                     break
                 pic.slice_id[addr] = self.ctx.slice_id
@@ -577,7 +584,7 @@ class MBParser:
                         self._parse_b_mb(addr, mb_type)
                 else:
                     self._parse_p_mb(addr, mb_type)
-                addr += 1
+                addr = nxt(addr)
                 if not br.more_rbsp_data():
                     break
         else:

@@ -820,6 +820,6 @@ class MBParserCABAC:
                         self._parse_intra_mb(addr, t - 23)
             else:
                 raise NotImplementedError(f"slice type {stype} CABAC")
-            addr += 1
+            addr = self.ctx.next_mb(addr)
             if self.eng.terminate() or addr >= n:
                 break

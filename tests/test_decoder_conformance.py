@@ -42,6 +42,10 @@ def _load_yuv(path, n_frames, chroma=420):
     ("high8x8c.264", "high8x8c_rec.yuv", 9),
     ("y422.264", "y422_rec.yuv", 3),      # High 4:2:2 CABAC + B + 8x8 T
     ("y422c.264", "y422c_rec.yuv", 3),    # 4:2:2 CAVLC IPP
+    ("fmo_t1.264", "fmo_t1_rec.yuv", 3),     # FMO dispersed, 2 groups
+    ("fmo_t3.264", "fmo_t3_rec.yuv", 3),     # FMO box-out
+    ("fmo_t5d1.264", "fmo_t5d1_rec.yuv", 3),  # FMO wipe, reverse direction
+    ("fmo_t6.264", "fmo_t6_rec.yuv", 3),     # FMO explicit (sg6conf)
 ])
 def test_bit_exact_vs_jm(golden_dir, stream, recon, n):
     frames = sorted(decode_file(str(golden_dir / stream)), key=lambda f: f.poc)
