@@ -84,6 +84,13 @@ class EncoderParams:
     DistortionMSSSIM: int = 0
     SSIMOverlapSize: int = 8
     OutFileMode: int = 0         # 0 Annex-B, 1 RTP dump (lencod rtp.c)
+    SliceMode: int = 0
+    SliceArgument: int = 0
+    num_slice_groups_minus1: int = 0
+    slice_group_map_type: int = 0
+    slice_group_change_direction_flag: int = 0
+    slice_group_change_rate_minus1: int = 0
+    SliceGroupConfigFileName: str = ""
     ignored: dict = field(default_factory=dict)
 
     _INT_FIELDS = {
@@ -94,8 +101,12 @@ class EncoderParams:
         "NumberBFrames", "Transform8x8Mode", "RateControlEnable",
         "Bitrate", "InitialQP", "DistortionSSIM",
         "DistortionMSSSIM", "SSIMOverlapSize", "OutFileMode",
+        "SliceMode", "SliceArgument", "num_slice_groups_minus1",
+        "slice_group_map_type", "slice_group_change_direction_flag",
+        "slice_group_change_rate_minus1",
     }
-    _STR_FIELDS = {"InputFile", "OutputFile", "ReconFile", "StatsFile"}
+    _STR_FIELDS = {"InputFile", "OutputFile", "ReconFile", "StatsFile",
+                   "SliceGroupConfigFileName"}
     _ALIASES = {
         "DistortionMS_SSIM": "DistortionMSSSIM",   # reference cfg name
         "LoopFilterDisable": "DisableLoopFilter",
@@ -126,9 +137,40 @@ class EncoderParams:
         if unsupported:
             raise NotImplementedError("; ".join(unsupported))
 
+    def _read_sg_config(self):
+        """SliceGroupConfigFileName contents for map types 0/2/6 (the
+        reference's read_slice_group_info, lencod/src/configfile.c:2049):
+        bare integers, one per line, comments after values allowed."""
+        vals = []
+        with open(self.SliceGroupConfigFileName, encoding="latin-1") as fh:
+            for line in fh:
+                tok = line.split("#")[0].strip().split()
+                if tok and tok[0].lstrip("-").isdigit():
+                    vals.append(int(tok[0]))
+        return vals
+
     def to_encoder_config(self):
         from .encoder.encoder import EncoderConfig
+        sg = {}
+        if self.num_slice_groups_minus1 > 0:
+            t = self.slice_group_map_type
+            sg = dict(num_slice_groups=self.num_slice_groups_minus1 + 1,
+                      slice_group_map_type=t,
+                      sg_change_direction=self.slice_group_change_direction_flag,
+                      sg_change_rate_minus1=self.slice_group_change_rate_minus1)
+            if t in (0, 2, 6) and self.SliceGroupConfigFileName:
+                v = self._read_sg_config()
+                if t == 0:
+                    sg["sg_run_length"] = tuple(
+                        x + 1 for x in v[:self.num_slice_groups_minus1 + 1])
+                elif t == 2:
+                    sg["sg_top_left"] = tuple(v[0::2])
+                    sg["sg_bottom_right"] = tuple(v[1::2])
+                else:
+                    sg["sg_ids"] = tuple(v)
         return EncoderConfig(
+            slice_mode=self.SliceMode, slice_argument=self.SliceArgument,
+            **sg,
             width=self.SourceWidth, height=self.SourceHeight,
             qp=self.QPISlice, intra_period=self.IntraPeriod,
             search_range=self.SearchRange,

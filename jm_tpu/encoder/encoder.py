@@ -64,6 +64,18 @@ class EncoderConfig:
     transform8x8: bool = False   # High-profile adaptive 8x8 transform
     sei_user_data: bytes | None = None   # user_data_unregistered on IDR
     sei_recovery_point: bool = False     # recovery point on open-GOP I
+    # multi-slice (lencod SliceMode/SliceArgument) and FMO (fmo.c)
+    slice_mode: int = 0          # 0 one slice/picture, 1 fixed MBs/slice
+    slice_argument: int = 0      # MBs per slice for slice_mode 1
+    num_slice_groups: int = 1    # >1 enables FMO (Baseline/Extended only)
+    slice_group_map_type: int = 0
+    sg_run_length: tuple = ()            # type 0 (run_length_minus1 + 1)
+    sg_top_left: tuple = ()              # type 2
+    sg_bottom_right: tuple = ()          # type 2
+    sg_ids: tuple = ()                   # type 6 explicit map
+    sg_change_direction: int = 0         # types 3-5
+    sg_change_rate_minus1: int = 0       # types 3-5
+    sg_change_cycle: int = 1             # types 3-5 (written per slice)
 
 
 class Encoder:
@@ -98,6 +110,31 @@ class Encoder:
         self.pps = PPS(num_ref_idx_l0_default_active_minus1=cfg.num_ref - 1,
                        entropy_coding_mode_flag=1 if cfg.entropy == "cabac" else 0,
                        transform_8x8_mode_flag=1 if cfg.transform8x8 else 0)
+        # FMO slice groups (lencod/src/fmo.c FmoInit; Baseline/Extended only)
+        self.group_map = None
+        if cfg.num_slice_groups > 1:
+            if profile not in (66, 88):
+                raise ValueError(
+                    f"FMO is not allowed in profile {profile} "
+                    "(lencod: Baseline/Extended only)")
+            p = self.pps
+            p.num_slice_groups_minus1 = cfg.num_slice_groups - 1
+            t = p.slice_group_map_type = cfg.slice_group_map_type
+            if t == 0:
+                runs = cfg.sg_run_length or (1,) * cfg.num_slice_groups
+                p.run_length_minus1 = [r - 1 for r in runs]
+            elif t == 2:
+                p.top_left = list(cfg.sg_top_left)
+                p.bottom_right = list(cfg.sg_bottom_right)
+            elif t in (3, 4, 5):
+                p.slice_group_change_direction_flag = cfg.sg_change_direction
+                p.slice_group_change_rate_minus1 = cfg.sg_change_rate_minus1
+            elif t == 6:
+                p.slice_group_id = list(cfg.sg_ids)
+            from ..common.fmo import mb_to_slice_group_map
+            self.group_map = mb_to_slice_group_map(p, self.sps,
+                                                   cfg.sg_change_cycle)
+        self.slice_plan = self._build_slice_plan()
         self.frame_idx = 0            # anchors encoded (coding order)
         self.frame_num = 0
         self.idr_pic_id = 0
@@ -116,6 +153,30 @@ class Encoder:
         self._idr_disp = 0            # display index of last IDR (poc base)
 
     # ------------------------------------------------------------------
+
+    def _build_slice_plan(self) -> list[list[int]]:
+        """Decode-order MB address lists, one per slice: slice groups in
+        group order (each in raster-restricted order), optionally split
+        into fixed-size slices (SliceMode 1, slice.c:524 size check
+        replaced by an up-front partition)."""
+        cfg = self.cfg
+        n = self.mb_w * self.mb_h
+        if self.group_map is None:
+            groups = [list(range(n))]
+        else:
+            groups = [
+                [int(a) for a in np.flatnonzero(self.group_map == g)]
+                for g in range(cfg.num_slice_groups)]
+        slices = []
+        for addrs in groups:
+            if not addrs:
+                continue
+            if cfg.slice_mode == 1 and cfg.slice_argument > 0:
+                k = cfg.slice_argument
+                slices.extend(addrs[i:i + k] for i in range(0, len(addrs), k))
+            else:
+                slices.append(addrs)
+        return slices
 
     def encode_frame(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> bytes:
         """Push one display-order frame. With num_b == 0 the coded picture
@@ -222,14 +283,18 @@ class Encoder:
         common = dict(slice_type=stype, frame_num=self.frame_num, idr=is_idr,
                       qp=qp, idr_pic_id=self.idr_pic_id,
                       num_ref_idx_l0=self.num_ref_active,
-                      poc_lsb=poc % 256)
-        if cfg.entropy == "cabac":
-            from .syntax_cabac import serialize_slice_cabac
-            rbsp = serialize_slice_cabac(pic, self.sps, self.pps, **common)
-        else:
-            rbsp = serialize_slice(pic, self.sps, self.pps, **common)
+                      poc_lsb=poc % 256,
+                      slice_group_change_cycle=cfg.sg_change_cycle)
         nal_type = NalUnitType.IDR if is_idr else NalUnitType.SLICE
-        payload += annexb_bytes(3, nal_type, rbsp)
+        for addrs in self.slice_plan:
+            if cfg.entropy == "cabac":
+                from .syntax_cabac import serialize_slice_cabac
+                rbsp = serialize_slice_cabac(pic, self.sps, self.pps,
+                                             mb_addrs=addrs, **common)
+            else:
+                rbsp = serialize_slice(pic, self.sps, self.pps,
+                                       mb_addrs=addrs, **common)
+            payload += annexb_bytes(3, nal_type, rbsp)
 
         if is_idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
@@ -277,13 +342,18 @@ class Encoder:
 
         common = dict(slice_type=SliceType.B, frame_num=self.frame_num,
                       idr=False, qp=qp_b, poc_lsb=poc % 256,
-                      num_ref_idx_l0=1, num_ref_idx_l1=1, is_ref=False)
-        if cfg.entropy == "cabac":
-            from .syntax_cabac import serialize_slice_cabac
-            rbsp = serialize_slice_cabac(pic, self.sps, self.pps, **common)
-        else:
-            rbsp = serialize_slice(pic, self.sps, self.pps, **common)
-        payload = annexb_bytes(0, NalUnitType.SLICE, rbsp)
+                      num_ref_idx_l0=1, num_ref_idx_l1=1, is_ref=False,
+                      slice_group_change_cycle=cfg.sg_change_cycle)
+        payload = b""
+        for addrs in self.slice_plan:
+            if cfg.entropy == "cabac":
+                from .syntax_cabac import serialize_slice_cabac
+                rbsp = serialize_slice_cabac(pic, self.sps, self.pps,
+                                             mb_addrs=addrs, **common)
+            else:
+                rbsp = serialize_slice(pic, self.sps, self.pps,
+                                       mb_addrs=addrs, **common)
+            payload += annexb_bytes(0, NalUnitType.SLICE, rbsp)
         if self.rc is not None:
             mad = float(np.abs(np.asarray(Y, np.int32) -
                                recY.astype(np.int32)).mean())
@@ -366,15 +436,16 @@ class _FrameEncoder:
             self.qsads1 = [ME.full_search_quadrant_sads(
                 self.origY, self.refs_list1[0].luma_planes[0],
                 self.mb_w, self.mb_h, sr, ip.PAD)]
-        for addr in range(self.pic.n_mbs):
-            self.pic.slice_id[addr] = 0
-            self.pic.qp[addr] = self.qp
-            if self.stype == SliceType.I:
-                self._encode_intra_mb(addr)
-            elif self.stype == SliceType.B:
-                self._encode_b_mb(addr)
-            else:
-                self._encode_p_mb(addr)
+        for sid, addrs in enumerate(self.enc.slice_plan):
+            for addr in addrs:
+                self.pic.slice_id[addr] = sid
+                self.pic.qp[addr] = self.qp
+                if self.stype == SliceType.I:
+                    self._encode_intra_mb(addr)
+                elif self.stype == SliceType.B:
+                    self._encode_b_mb(addr)
+                else:
+                    self._encode_p_mb(addr)
         return self.pic
 
     # ---- intra ------------------------------------------------------------

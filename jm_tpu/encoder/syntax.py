@@ -74,7 +74,25 @@ def write_pps(pps) -> bytes:
     bw.flag(pps.bottom_field_pic_order_in_frame_present_flag)
     bw.ue(pps.num_slice_groups_minus1)
     if pps.num_slice_groups_minus1 > 0:
-        raise NotImplementedError("FMO write: later phase")
+        # FMO slice-group syntax (spec 7.3.2.2; lencod/src/parset.c:877)
+        t = pps.slice_group_map_type
+        bw.ue(t)
+        if t == 0:
+            for r in pps.run_length_minus1:
+                bw.ue(r)
+        elif t == 2:
+            for tl, br_ in zip(pps.top_left, pps.bottom_right):
+                bw.ue(tl)
+                bw.ue(br_)
+        elif t in (3, 4, 5):
+            bw.flag(pps.slice_group_change_direction_flag)
+            bw.ue(pps.slice_group_change_rate_minus1)
+        elif t == 6:
+            ids = pps.slice_group_id
+            bw.ue(len(ids) - 1)
+            nbits = max(1, pps.num_slice_groups_minus1.bit_length())
+            for g in ids:
+                bw.u(g, nbits)
     bw.ue(pps.num_ref_idx_l0_default_active_minus1)
     bw.ue(pps.num_ref_idx_l1_default_active_minus1)
     bw.flag(pps.weighted_pred_flag)
@@ -99,7 +117,8 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
                        qp: int, first_mb: int = 0, poc_lsb: int = 0,
                        num_ref_idx_l0: int = 1, cabac_init_idc: int = 0,
                        num_ref_idx_l1: int = 1, is_ref: bool = True,
-                       direct_spatial: bool = True) -> None:
+                       direct_spatial: bool = True,
+                       slice_group_change_cycle: int = 0) -> None:
     """Spec 7.3.3 slice header (frame, no FMO/field; B adds
     direct_spatial_mv_pred_flag + list1 actives; non-reference slices omit
     dec_ref_pic_marking — lencod/src/header.c:116 SliceHeader)."""
@@ -140,6 +159,13 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
         bw.ue(0)
         bw.se(0)
         bw.se(0)
+    if pps.num_slice_groups_minus1 > 0 and \
+            pps.slice_group_map_type in (3, 4, 5):
+        import math
+        units = sps.pic_width_in_mbs * sps.frame_height_in_mbs
+        rate = pps.slice_group_change_rate_minus1 + 1
+        nbits = max(1, math.ceil(math.log2(units // rate + 1 + 1)))
+        bw.u(slice_group_change_cycle, nbits)
 
 
 class MBWriter:
@@ -358,15 +384,22 @@ class MBWriter:
 def serialize_slice(pic, sps, pps, *, slice_type: SliceType, frame_num: int,
                     idr: bool, qp: int, poc_lsb: int = 0, idr_pic_id: int = 0,
                     num_ref_idx_l0: int = 1, num_ref_idx_l1: int = 1,
-                    is_ref: bool = True) -> bytes:
-    """Serialize one slice covering the whole picture; returns RBSP."""
+                    is_ref: bool = True, mb_addrs=None,
+                    slice_group_change_cycle: int = 0) -> bytes:
+    """Serialize one slice; mb_addrs = MB addresses in decode order
+    (default: the whole picture in raster order); returns RBSP."""
+    if mb_addrs is None:
+        mb_addrs = range(pic.n_mbs)
+    mb_addrs = list(mb_addrs)
     bw = BitWriter()
     write_slice_header(bw, sps, pps, slice_type=slice_type,
                        frame_num=frame_num, idr=idr, idr_pic_id=idr_pic_id,
                        qp=qp, poc_lsb=poc_lsb, num_ref_idx_l0=num_ref_idx_l0,
-                       num_ref_idx_l1=num_ref_idx_l1, is_ref=is_ref)
+                       num_ref_idx_l1=num_ref_idx_l1, is_ref=is_ref,
+                       first_mb=mb_addrs[0],
+                       slice_group_change_cycle=slice_group_change_cycle)
     w = MBWriter(bw, pic, sps, pps, qp)
-    for addr in range(pic.n_mbs):
+    for addr in mb_addrs:
         w.write_mb(addr, slice_type, num_ref_idx_l0, num_ref_idx_l1)
     w.finish(slice_type)
     bw.rbsp_trailing_bits()

@@ -652,23 +652,29 @@ class MBWriterCABAC:
 def serialize_slice_cabac(pic, sps, pps, *, slice_type, frame_num, idr, qp,
                           poc_lsb=0, idr_pic_id=0, num_ref_idx_l0=1,
                           cabac_init_idc=0, num_ref_idx_l1=1,
-                          is_ref=True) -> bytes:
+                          is_ref=True, mb_addrs=None,
+                          slice_group_change_cycle=0) -> bytes:
     from .syntax import write_slice_header
+    if mb_addrs is None:
+        mb_addrs = range(pic.n_mbs)
+    mb_addrs = list(mb_addrs)
     bw = BitWriter()
     write_slice_header(bw, sps, pps, slice_type=slice_type,
                        frame_num=frame_num, idr=idr, idr_pic_id=idr_pic_id,
                        qp=qp, poc_lsb=poc_lsb, num_ref_idx_l0=num_ref_idx_l0,
                        cabac_init_idc=cabac_init_idc,
-                       num_ref_idx_l1=num_ref_idx_l1, is_ref=is_ref)
+                       num_ref_idx_l1=num_ref_idx_l1, is_ref=is_ref,
+                       first_mb=mb_addrs[0],
+                       slice_group_change_cycle=slice_group_change_cycle)
     # cabac_alignment_one_bit
     while not bw.byte_aligned():
         bw.u(1, 1)
     w = MBWriterCABAC(bw, pic, sps, pps, slice_type, qp, cabac_init_idc,
                       num_ref=num_ref_idx_l0)
     w.num_ref_l1 = num_ref_idx_l1
-    n = pic.n_mbs
-    for addr in range(n):
+    last = mb_addrs[-1]
+    for addr in mb_addrs:
         w.write_mb(addr)
-        w.eng.terminate(1 if addr == n - 1 else 0)
+        w.eng.terminate(1 if addr == last else 0)
     bw.align_zero()
     return bw.get_bytes()

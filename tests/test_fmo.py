@@ -71,3 +71,70 @@ def test_next_mb_arrays():
         while succ[walk[-1]] < n:
             walk.append(int(succ[walk[-1]]))
         assert walk == list(addrs)
+
+
+# ---- encoder: multi-slice + FMO round trips (E5/E33) ------------------
+
+
+def _foreman_like(n=3, w=176, h=144):
+    yy, xx = np.mgrid[0:h + 16, 0:w + 16]
+    base = (120 + 70 * np.sin(xx / 11.0) * np.cos(yy / 8.0)).astype(np.uint8)
+    out = []
+    for i in range(n):
+        Y = base[i * 3:i * 3 + h, i * 2:i * 2 + w].copy()
+        out.append((Y, Y[::2, ::2] // 2 + 60, Y[1::2, 1::2] // 3 + 90))
+    return out
+
+
+def _roundtrip(**kw):
+    from jm_tpu.decoder.decoder import H264Decoder
+    from jm_tpu.encoder.encoder import Encoder, EncoderConfig
+    frames = _foreman_like()
+    enc = Encoder(EncoderConfig(width=176, height=144, qp=30, **kw))
+    out = b""
+    for Y, U, V in frames:
+        out += enc.encode_frame(Y, U, V)
+    out += enc.flush()
+    rec = [r["frame"] for r in sorted(enc.results, key=lambda r: r["disp"])]
+    dec = sorted(H264Decoder().decode_annexb(out), key=lambda f: f.poc)
+    assert len(dec) == len(rec)
+    for a, b in zip(rec, dec):
+        assert np.array_equal(a.Y, b.Y) and np.array_equal(a.U, b.U) \
+            and np.array_equal(a.V, b.V)
+    return enc
+
+
+def test_encode_multi_slice_cavlc():
+    enc = _roundtrip(slice_mode=1, slice_argument=30)
+    assert len(enc.slice_plan) == 4          # 99 MBs -> 30+30+30+9
+
+
+def test_encode_multi_slice_cabac():
+    _roundtrip(slice_mode=1, slice_argument=40, entropy="cabac")
+
+
+def test_encode_fmo_types():
+    _roundtrip(num_slice_groups=3, slice_group_map_type=0,
+               sg_run_length=(25, 21, 11))
+    _roundtrip(num_slice_groups=2, slice_group_map_type=1)
+    _roundtrip(num_slice_groups=2, slice_group_map_type=2,
+               sg_top_left=(24,), sg_bottom_right=(60,))
+    _roundtrip(num_slice_groups=2, slice_group_map_type=3,
+               sg_change_rate_minus1=20, sg_change_cycle=2)
+    _roundtrip(num_slice_groups=2, slice_group_map_type=5,
+               sg_change_rate_minus1=20, sg_change_cycle=3,
+               sg_change_direction=1)
+
+
+def test_encode_fmo_plus_multi_slice():
+    enc = _roundtrip(num_slice_groups=2, slice_group_map_type=1,
+                     slice_mode=1, slice_argument=25)
+    assert len(enc.slice_plan) == 4
+
+
+def test_fmo_rejected_outside_baseline():
+    import pytest
+    from jm_tpu.encoder.encoder import Encoder, EncoderConfig
+    with pytest.raises(ValueError):
+        Encoder(EncoderConfig(width=64, height=48, entropy="cabac",
+                              num_slice_groups=2, slice_group_map_type=1))
