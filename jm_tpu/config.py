@@ -84,6 +84,7 @@ class EncoderParams:
     DistortionMSSSIM: int = 0
     SSIMOverlapSize: int = 8
     OutFileMode: int = 0         # 0 Annex-B, 1 RTP dump (lencod rtp.c)
+    RandomIntraMBRefresh: int = 0
     SliceMode: int = 0
     SliceArgument: int = 0
     num_slice_groups_minus1: int = 0
@@ -102,6 +103,7 @@ class EncoderParams:
         "Bitrate", "InitialQP", "DistortionSSIM",
         "DistortionMSSSIM", "SSIMOverlapSize", "OutFileMode",
         "SliceMode", "SliceArgument", "num_slice_groups_minus1",
+        "RandomIntraMBRefresh",
         "slice_group_map_type", "slice_group_change_direction_flag",
         "slice_group_change_rate_minus1",
     }
@@ -170,6 +172,7 @@ class EncoderParams:
                     sg["sg_ids"] = tuple(v)
         return EncoderConfig(
             slice_mode=self.SliceMode, slice_argument=self.SliceArgument,
+            intra_mb_refresh=self.RandomIntraMBRefresh,
             **sg,
             width=self.SourceWidth, height=self.SourceHeight,
             qp=self.QPISlice, intra_period=self.IntraPeriod,

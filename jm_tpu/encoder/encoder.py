@@ -65,6 +65,8 @@ class EncoderConfig:
     sei_user_data: bytes | None = None   # user_data_unregistered on IDR
     sei_recovery_point: bool = False     # recovery point on open-GOP I
     # multi-slice (lencod SliceMode/SliceArgument) and FMO (fmo.c)
+    intra_mb_refresh: int = 0    # forced-intra MBs per P picture (E34,
+                                 # lencod RandomIntraMBRefresh/intrarefresh.c)
     slice_mode: int = 0          # 0 one slice/picture, 1 fixed MBs/slice
     slice_argument: int = 0      # MBs per slice for slice_mode 1
     num_slice_groups: int = 1    # >1 enables FMO (Baseline/Extended only)
@@ -151,6 +153,26 @@ class Encoder:
         self._pending = []            # (disp, Y, U, V) awaiting next anchor
         self.display_idx = 0          # next display index (absolute)
         self._idr_disp = 0            # display index of last IDR (poc base)
+        # cyclic pseudo-random intra refresh (lencod/src/intrarefresh.c:34
+        # RandomIntraInit): a seeded permutation of MB addresses consumed
+        # intra_mb_refresh at a time, reshuffled each cycle
+        self._refresh_perm = []
+        self._refresh_pos = 0
+        self._refresh_rng = np.random.default_rng(1)
+
+    def _refresh_set(self) -> set:
+        k = self.cfg.intra_mb_refresh
+        if k <= 0:
+            return set()
+        out = set()
+        while len(out) < min(k, self.mb_w * self.mb_h):
+            if self._refresh_pos >= len(self._refresh_perm):
+                self._refresh_perm = list(
+                    self._refresh_rng.permutation(self.mb_w * self.mb_h))
+                self._refresh_pos = 0
+            out.add(int(self._refresh_perm[self._refresh_pos]))
+            self._refresh_pos += 1
+        return out
 
     # ------------------------------------------------------------------
 
@@ -239,6 +261,8 @@ class Encoder:
 
         self.num_ref_active = max(1, min(cfg.num_ref, len(self.refs)))
         fe = _FrameEncoder(self, stype, Y, U, V)
+        if stype == SliceType.P:
+            fe.forced_intra = self._refresh_set()
         fe.qp = qp
         fe.qpc = chroma_qp(qp, self.pps.chroma_qp_index_offset)
         fe.lam = lambda_me(qp)
@@ -402,6 +426,7 @@ class _FrameEncoder:
         self.recU = np.zeros_like(self.origU)
         self.recV = np.zeros_like(self.origV)
         self.ref = enc.refs[0] if stype == SliceType.P else None
+        self.forced_intra: set = set()   # intra refresh (E34)
 
     # ---- helpers ----------------------------------------------------------
 
@@ -704,6 +729,13 @@ class _FrameEncoder:
         mbx, mby = addr % self.mb_w, addr // self.mb_w
         px, py = mbx * 16, mby * 16
         origY_mb, origU_mb, origV_mb = self._mb_orig(addr)
+        if addr in self.forced_intra:      # intra refresh (E34)
+            _c, mode16, predi16 = self._eval_i16(addr, origY_mb)
+            pic.ref_idx[addr] = -1
+            cbp_luma = self._encode_i16(addr, origY_mb, mode16, predi16)
+            cbp_chroma = self._encode_chroma_intra(addr)
+            pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma
+            return
         o = origY_mb.astype(np.int32)
         nref = len(self.refs_list)
         pred16 = self.pctx.mv_pred(addr, 0, 0, 4, 4, 0)

@@ -138,3 +138,18 @@ def test_fmo_rejected_outside_baseline():
     with pytest.raises(ValueError):
         Encoder(EncoderConfig(width=64, height=48, entropy="cabac",
                               num_slice_groups=2, slice_group_map_type=1))
+
+
+def test_intra_refresh(monkeypatch=None):
+    """E34: RandomIntraMBRefresh forces >= K intra MBs per P picture."""
+    from jm_tpu.decoder.mb_parse import MB_INTER
+    enc = _roundtrip(intra_mb_refresh=12)
+    # inspect the stored motion SoA of the last P frame: forced-intra MBs
+    # have ref_idx -1 on every quadrant
+    got = 0
+    for r in enc.results:
+        if r["type"] != "P":
+            continue
+        _mv, ref_idx = r["frame"].motion[0], r["frame"].motion[1]
+        got = max(got, int((ref_idx[:, 0] < 0).sum()))
+    assert got >= 12
