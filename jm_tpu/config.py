@@ -85,6 +85,8 @@ class EncoderParams:
     SSIMOverlapSize: int = 8
     OutFileMode: int = 0         # 0 Annex-B, 1 RTP dump (lencod rtp.c)
     RandomIntraMBRefresh: int = 0
+    WeightedPrediction: int = 0
+    WeightedBiprediction: int = 0
     SliceMode: int = 0
     SliceArgument: int = 0
     num_slice_groups_minus1: int = 0
@@ -103,7 +105,7 @@ class EncoderParams:
         "Bitrate", "InitialQP", "DistortionSSIM",
         "DistortionMSSSIM", "SSIMOverlapSize", "OutFileMode",
         "SliceMode", "SliceArgument", "num_slice_groups_minus1",
-        "RandomIntraMBRefresh",
+        "RandomIntraMBRefresh", "WeightedPrediction", "WeightedBiprediction",
         "slice_group_map_type", "slice_group_change_direction_flag",
         "slice_group_change_rate_minus1",
     }
@@ -173,6 +175,8 @@ class EncoderParams:
         return EncoderConfig(
             slice_mode=self.SliceMode, slice_argument=self.SliceArgument,
             intra_mb_refresh=self.RandomIntraMBRefresh,
+            weighted_pred=self.WeightedPrediction,
+            weighted_bipred=self.WeightedBiprediction,
             **sg,
             width=self.SourceWidth, height=self.SourceHeight,
             qp=self.QPISlice, intra_period=self.IntraPeriod,

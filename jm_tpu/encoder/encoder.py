@@ -67,6 +67,8 @@ class EncoderConfig:
     # multi-slice (lencod SliceMode/SliceArgument) and FMO (fmo.c)
     intra_mb_refresh: int = 0    # forced-intra MBs per P picture (E34,
                                  # lencod RandomIntraMBRefresh/intrarefresh.c)
+    weighted_pred: int = 0       # P explicit WP (lencod WeightedPrediction)
+    weighted_bipred: int = 0     # B WP: 0 off, 1 explicit, 2 implicit
     slice_mode: int = 0          # 0 one slice/picture, 1 fixed MBs/slice
     slice_argument: int = 0      # MBs per slice for slice_mode 1
     num_slice_groups: int = 1    # >1 enables FMO (Baseline/Extended only)
@@ -92,8 +94,9 @@ class Encoder:
         self.mb_w = cfg.width // 16
         self.mb_h = cfg.height // 16
         use_b = cfg.num_b > 0
+        use_wp = cfg.weighted_pred or cfg.weighted_bipred
         profile = 100 if cfg.transform8x8 else \
-            (77 if (cfg.entropy == "cabac" or use_b) else 66)
+            (77 if (cfg.entropy == "cabac" or use_b or use_wp) else 66)
         # B pictures need both anchors resident in the decoder DPB, so the
         # sliding window must hold at least two references
         self.dpb_size = max(cfg.num_ref, 2) if use_b else cfg.num_ref
@@ -111,7 +114,9 @@ class Encoder:
             frame_mbs_only_flag=1, direct_8x8_inference_flag=1)
         self.pps = PPS(num_ref_idx_l0_default_active_minus1=cfg.num_ref - 1,
                        entropy_coding_mode_flag=1 if cfg.entropy == "cabac" else 0,
-                       transform_8x8_mode_flag=1 if cfg.transform8x8 else 0)
+                       transform_8x8_mode_flag=1 if cfg.transform8x8 else 0,
+                       weighted_pred_flag=1 if cfg.weighted_pred else 0,
+                       weighted_bipred_idc=cfg.weighted_bipred)
         # FMO slice groups (lencod/src/fmo.c FmoInit; Baseline/Extended only)
         self.group_map = None
         if cfg.num_slice_groups > 1:
@@ -261,8 +266,15 @@ class Encoder:
 
         self.num_ref_active = max(1, min(cfg.num_ref, len(self.refs)))
         fe = _FrameEncoder(self, stype, Y, U, V)
+        wp_l0 = None
         if stype == SliceType.P:
             fe.forced_intra = self._refresh_set()
+            if cfg.weighted_pred:
+                from .wp_est import build_wp_params, estimate_explicit
+                refs = self.refs[:self.num_ref_active]
+                wp_l0 = estimate_explicit(Y, U, V, refs)
+                fe.wp = build_wp_params(SliceType.P, self.pps, refs, [],
+                                        poc, wp_l0=wp_l0)
         fe.qp = qp
         fe.qpc = chroma_qp(qp, self.pps.chroma_qp_index_offset)
         fe.lam = lambda_me(qp)
@@ -307,7 +319,7 @@ class Encoder:
         common = dict(slice_type=stype, frame_num=self.frame_num, idr=is_idr,
                       qp=qp, idr_pic_id=self.idr_pic_id,
                       num_ref_idx_l0=self.num_ref_active,
-                      poc_lsb=poc % 256,
+                      poc_lsb=poc % 256, wp_l0=wp_l0,
                       slice_group_change_cycle=cfg.sg_change_cycle)
         nal_type = NalUnitType.IDR if is_idr else NalUnitType.SLICE
         for addrs in self.slice_plan:
@@ -353,6 +365,15 @@ class Encoder:
         fe.lam4 = lambda_mode4(qp_b)
         fe.refs_list = [prev_anchor]
         fe.refs_list1 = [next_anchor]
+        wp_l0 = wp_l1 = None
+        if cfg.weighted_bipred:
+            from .wp_est import build_wp_params, estimate_explicit
+            if cfg.weighted_bipred == 1:
+                wp_l0 = estimate_explicit(Y, U, V, [prev_anchor])
+                wp_l1 = estimate_explicit(Y, U, V, [next_anchor])
+            fe.wp = build_wp_params(SliceType.B, self.pps, [prev_anchor],
+                                    [next_anchor], poc,
+                                    wp_l0=wp_l0, wp_l1=wp_l1)
         mv0, r0, mv1, r1, rp0, rp1 = next_anchor.motion
         fe.b_col = ColMotion(mv0, r0, mv1, r1, self.mb_w,
                              next_anchor.is_long_term, rp0, rp1)
@@ -367,6 +388,7 @@ class Encoder:
         common = dict(slice_type=SliceType.B, frame_num=self.frame_num,
                       idr=False, qp=qp_b, poc_lsb=poc % 256,
                       num_ref_idx_l0=1, num_ref_idx_l1=1, is_ref=False,
+                      wp_l0=wp_l0, wp_l1=wp_l1,
                       slice_group_change_cycle=cfg.sg_change_cycle)
         payload = b""
         for addrs in self.slice_plan:
@@ -427,6 +449,7 @@ class _FrameEncoder:
         self.recV = np.zeros_like(self.origV)
         self.ref = enc.refs[0] if stype == SliceType.P else None
         self.forced_intra: set = set()   # intra refresh (E34)
+        self.wp = None                   # decoder-exact WPParams (E31)
 
     # ---- helpers ----------------------------------------------------------
 
@@ -772,6 +795,8 @@ class _FrameEncoder:
         skip_pred = ip.mc_luma_block(planes0, px * 4 + int(skip_mv[0]),
                                      py * 4 + int(skip_mv[1]), 16, 16,
                                      self.w, self.h)
+        if self.wp is not None:
+            skip_pred = self.wp.uni(skip_pred, 0, 0, 0)
         cost_skip = int(np.abs(o - skip_pred).sum())
         if cost_skip <= cost_inter:
             best_mode = 0
@@ -806,20 +831,26 @@ class _FrameEncoder:
         for blk in range(16):
             byy, bxx = divmod(blk, 4)
             q = (byy // 2) * 2 + (bxx // 2)
-            rf = self.refs_list[pic.ref_idx[addr, q]]
+            r = int(pic.ref_idx[addr, q])
+            rf = self.refs_list[r]
             mvx, mvy = int(pic.mv[addr, blk, 0]), int(pic.mv[addr, blk, 1])
             x4 = (px + bxx * 4) * 4 + mvx
             y4 = (py + byy * 4) * 4 + mvy
-            pred_y[byy * 4:byy * 4 + 4, bxx * 4:bxx * 4 + 4] = \
-                ip.mc_luma_block(rf.luma_planes, x4, y4, 4, 4, self.w, self.h)
+            yb = ip.mc_luma_block(rf.luma_planes, x4, y4, 4, 4,
+                                  self.w, self.h)
             cx8 = (px // 2 + bxx * 2) * 8 + mvx
             cy8 = (py // 2 + byy * 2) * 8 + mvy
-            pred_u[byy * 2:byy * 2 + 2, bxx * 2:bxx * 2 + 2] = \
-                ip.mc_chroma_block(rf.chroma_pad[0], cx8, cy8, 2, 2,
-                                   self.w // 2, self.h // 2)
-            pred_v[byy * 2:byy * 2 + 2, bxx * 2:bxx * 2 + 2] = \
-                ip.mc_chroma_block(rf.chroma_pad[1], cx8, cy8, 2, 2,
-                                   self.w // 2, self.h // 2)
+            ub = ip.mc_chroma_block(rf.chroma_pad[0], cx8, cy8, 2, 2,
+                                    self.w // 2, self.h // 2)
+            vb = ip.mc_chroma_block(rf.chroma_pad[1], cx8, cy8, 2, 2,
+                                    self.w // 2, self.h // 2)
+            if self.wp is not None:
+                yb = self.wp.uni(yb, 0, r, 0)
+                ub = self.wp.uni(ub, 0, r, 1)
+                vb = self.wp.uni(vb, 0, r, 2)
+            pred_y[byy * 4:byy * 4 + 4, bxx * 4:bxx * 4 + 4] = yb
+            pred_u[byy * 2:byy * 2 + 2, bxx * 2:bxx * 2 + 2] = ub
+            pred_v[byy * 2:byy * 2 + 2, bxx * 2:bxx * 2 + 2] = vb
 
         # ---- residual ----
         cbp_luma = self._code_luma_inter(addr, o, pred_y)
@@ -920,22 +951,35 @@ class _FrameEncoder:
         pred_y = np.zeros((16, 16), np.int32)
         pred_u = np.zeros((8, 8), np.int32)
         pred_v = np.zeros((8, 8), np.int32)
+        wp = self.wp
         for blk in range(16):
             byy, bxx = divmod(blk, 4)
             q = (byy // 2) * 2 + (bxx // 2)
             pd = int(pic.pdir[addr, q])
+            r0 = int(pic.ref_idx[addr, q])
+            r1 = int(pic.ref_idx_l1[addr, q])
             if pd in (0, 2):
                 y0, u0, v0 = self._mc_blk_b(
-                    self.refs_list[pic.ref_idx[addr, q]], px, py, bxx, byy,
+                    self.refs_list[r0], px, py, bxx, byy,
                     pic.mv[addr, blk])
             if pd in (1, 2):
                 y1, u1, v1 = self._mc_blk_b(
-                    self.refs_list1[pic.ref_idx_l1[addr, q]], px, py,
+                    self.refs_list1[r1], px, py,
                     bxx, byy, pic.mv_l1[addr, blk])
             if pd == 0:
                 yb, ub, vb = y0, u0, v0
+                if wp is not None:
+                    yb, ub, vb = (wp.uni(yb, 0, r0, 0), wp.uni(ub, 0, r0, 1),
+                                  wp.uni(vb, 0, r0, 2))
             elif pd == 1:
                 yb, ub, vb = y1, u1, v1
+                if wp is not None:
+                    yb, ub, vb = (wp.uni(yb, 1, r1, 0), wp.uni(ub, 1, r1, 1),
+                                  wp.uni(vb, 1, r1, 2))
+            elif wp is not None:
+                yb = wp.bi(y0, y1, r0, r1, 0)
+                ub = wp.bi(u0, u1, r0, r1, 1)
+                vb = wp.bi(v0, v1, r0, r1, 2)
             else:
                 yb = (y0 + y1 + 1) >> 1
                 ub = (u0 + u1 + 1) >> 1

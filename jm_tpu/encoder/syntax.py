@@ -112,13 +112,45 @@ def write_pps(pps) -> bytes:
     return bw.get_bytes()
 
 
+def _write_pred_weight_table(bw: BitWriter, slice_type, wp_l0, wp_l1,
+                             num_l0: int, num_l1: int) -> None:
+    """Inverse of the decoder's _read_pred_weight_table (header.py:137);
+    table entries are {luma: (w, o), chroma: ((w, o), (w, o))}. 4:2:0."""
+    from .wp_est import CHROMA_DENOM, LUMA_DENOM
+    bw.ue(LUMA_DENOM)
+    bw.ue(CHROMA_DENOM)
+    dl, dc = 1 << LUMA_DENOM, 1 << CHROMA_DENOM
+    for table, nref, is_l1 in ((wp_l0, num_l0, False), (wp_l1, num_l1, True)):
+        if is_l1 and slice_type != SliceType.B:
+            break
+        for r in range(nref):
+            e = table[r] if r < len(table) else {
+                "luma": (dl, 0), "chroma": ((dc, 0), (dc, 0))}
+            lw, lo = e["luma"]
+            if (lw, lo) != (dl, 0):
+                bw.flag(1)
+                bw.se(lw)
+                bw.se(lo)
+            else:
+                bw.flag(0)
+            cws = [tuple(c) for c in e["chroma"]]
+            if any(c != (dc, 0) for c in cws):
+                bw.flag(1)
+                for cw, co in cws:
+                    bw.se(cw)
+                    bw.se(co)
+            else:
+                bw.flag(0)
+
+
 def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
                        frame_num: int, idr: bool, idr_pic_id: int = 0,
                        qp: int, first_mb: int = 0, poc_lsb: int = 0,
                        num_ref_idx_l0: int = 1, cabac_init_idc: int = 0,
                        num_ref_idx_l1: int = 1, is_ref: bool = True,
                        direct_spatial: bool = True,
-                       slice_group_change_cycle: int = 0) -> None:
+                       slice_group_change_cycle: int = 0,
+                       wp_l0=None, wp_l1=None) -> None:
     """Spec 7.3.3 slice header (frame, no FMO/field; B adds
     direct_spatial_mv_pred_flag + list1 actives; non-reference slices omit
     dec_ref_pic_marking — lencod/src/header.c:116 SliceHeader)."""
@@ -146,6 +178,11 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
         bw.flag(0)  # ref_pic_list_modification_flag_l0
         if slice_type == SliceType.B:
             bw.flag(0)  # ref_pic_list_modification_flag_l1
+    if (pps.weighted_pred_flag and slice_type == SliceType.P) or \
+            (pps.weighted_bipred_idc == 1 and slice_type == SliceType.B):
+        # pred_weight_table (spec 7.3.3.2; lencod/src/header.c:438)
+        _write_pred_weight_table(bw, slice_type, wp_l0 or [], wp_l1 or [],
+                                 num_ref_idx_l0, num_ref_idx_l1)
     if is_ref:
         if idr:
             bw.flag(0)  # no_output_of_prior_pics
@@ -385,7 +422,8 @@ def serialize_slice(pic, sps, pps, *, slice_type: SliceType, frame_num: int,
                     idr: bool, qp: int, poc_lsb: int = 0, idr_pic_id: int = 0,
                     num_ref_idx_l0: int = 1, num_ref_idx_l1: int = 1,
                     is_ref: bool = True, mb_addrs=None,
-                    slice_group_change_cycle: int = 0) -> bytes:
+                    slice_group_change_cycle: int = 0,
+                    wp_l0=None, wp_l1=None) -> bytes:
     """Serialize one slice; mb_addrs = MB addresses in decode order
     (default: the whole picture in raster order); returns RBSP."""
     if mb_addrs is None:
@@ -397,7 +435,8 @@ def serialize_slice(pic, sps, pps, *, slice_type: SliceType, frame_num: int,
                        qp=qp, poc_lsb=poc_lsb, num_ref_idx_l0=num_ref_idx_l0,
                        num_ref_idx_l1=num_ref_idx_l1, is_ref=is_ref,
                        first_mb=mb_addrs[0],
-                       slice_group_change_cycle=slice_group_change_cycle)
+                       slice_group_change_cycle=slice_group_change_cycle,
+                       wp_l0=wp_l0, wp_l1=wp_l1)
     w = MBWriter(bw, pic, sps, pps, qp)
     for addr in mb_addrs:
         w.write_mb(addr, slice_type, num_ref_idx_l0, num_ref_idx_l1)

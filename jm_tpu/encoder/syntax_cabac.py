@@ -653,7 +653,8 @@ def serialize_slice_cabac(pic, sps, pps, *, slice_type, frame_num, idr, qp,
                           poc_lsb=0, idr_pic_id=0, num_ref_idx_l0=1,
                           cabac_init_idc=0, num_ref_idx_l1=1,
                           is_ref=True, mb_addrs=None,
-                          slice_group_change_cycle=0) -> bytes:
+                          slice_group_change_cycle=0,
+                          wp_l0=None, wp_l1=None) -> bytes:
     from .syntax import write_slice_header
     if mb_addrs is None:
         mb_addrs = range(pic.n_mbs)
@@ -665,7 +666,8 @@ def serialize_slice_cabac(pic, sps, pps, *, slice_type, frame_num, idr, qp,
                        cabac_init_idc=cabac_init_idc,
                        num_ref_idx_l1=num_ref_idx_l1, is_ref=is_ref,
                        first_mb=mb_addrs[0],
-                       slice_group_change_cycle=slice_group_change_cycle)
+                       slice_group_change_cycle=slice_group_change_cycle,
+                       wp_l0=wp_l0, wp_l1=wp_l1)
     # cabac_alignment_one_bit
     while not bw.byte_aligned():
         bw.u(1, 1)

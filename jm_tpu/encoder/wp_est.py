@@ -1,0 +1,69 @@
+"""Encoder weighted-prediction estimation (E31).
+
+Capability parity with lencod/src/weighted_prediction.c (InitWP:27,
+EstimateWPPSliceAlg0:229, EstimateWPBSliceAlg0, TestWPPSliceAlg0) — the
+default DC-ratio estimator: denom 5, weight = round(32 * dc_org/dc_ref)
+clipped to [-128,127], offset 0 (select_offset=0), per component.
+Implicit-B weights are POC-derived at decode; the encoder reuses the
+decoder's WPParams (jm_tpu/decoder/wp.py) so applied prediction is
+decode-exact by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LUMA_DENOM = 5
+CHROMA_DENOM = 5
+
+
+def estimate_explicit(origY, origU, origV, refs) -> list[dict]:
+    """Per-reference {luma: (w,o), chroma: ((w,o),(w,o))} tables, the
+    layout the decoder's slice-header parser produces (header.py wp_l0)."""
+    default = 1 << LUMA_DENOM
+    dco = (float(np.asarray(origY, np.float64).sum()),
+           float(np.asarray(origU, np.float64).sum()),
+           float(np.asarray(origV, np.float64).sum()))
+    out = []
+    for f in refs:
+        ws = []
+        for comp, plane in enumerate((f.Y, f.U, f.V)):
+            dcr = float(np.asarray(plane, np.float64).sum())
+            w = default if dcr == 0.0 else int(default * dco[comp] / dcr + 0.5)
+            ws.append(max(-128, min(127, w)))
+        out.append({"luma": (ws[0], 0),
+                    "chroma": ((ws[1], 0), (ws[2], 0))})
+    return out
+
+
+def is_nontrivial(tables: list[dict]) -> bool:
+    """True when any weight departs from the default (JM's wp test gate)."""
+    default = 1 << LUMA_DENOM
+    for e in tables:
+        if e["luma"] != (default, 0):
+            return True
+        if any(c != (default, 0) for c in e["chroma"]):
+            return True
+    return False
+
+
+class _WPHeader:
+    """Minimal header stand-in feeding the decoder's WPParams."""
+
+    def __init__(self, slice_type, wp_l0, wp_l1):
+        from ..common.types import SliceType
+        self.slice_type = slice_type
+        self.luma_log2_weight_denom = LUMA_DENOM
+        self.chroma_log2_weight_denom = CHROMA_DENOM
+        self.wp_l0 = wp_l0 or []
+        self.wp_l1 = wp_l1 or []
+        _ = SliceType  # keep import local semantics explicit
+
+
+def build_wp_params(slice_type, pps, lst0, lst1, cur_poc,
+                    wp_l0=None, wp_l1=None):
+    """Decoder-exact WPParams for the encoder's prediction path."""
+    from ..decoder.wp import WPParams
+    hdr = _WPHeader(slice_type, wp_l0, wp_l1)
+    wp = WPParams(hdr, pps, lst0, lst1, cur_poc)
+    return wp if wp.mode else None
