@@ -87,6 +87,9 @@ class EncoderParams:
     RandomIntraMBRefresh: int = 0
     WeightedPrediction: int = 0
     WeightedBiprediction: int = 0
+    EnableVUISupport: int = 0
+    NumberLeakyBuckets: int = 0
+    LeakyBucketParamFile: str = "leakybucketparam.cfg"
     SliceMode: int = 0
     SliceArgument: int = 0
     num_slice_groups_minus1: int = 0
@@ -106,11 +109,12 @@ class EncoderParams:
         "DistortionMSSSIM", "SSIMOverlapSize", "OutFileMode",
         "SliceMode", "SliceArgument", "num_slice_groups_minus1",
         "RandomIntraMBRefresh", "WeightedPrediction", "WeightedBiprediction",
+        "EnableVUISupport", "NumberLeakyBuckets",
         "slice_group_map_type", "slice_group_change_direction_flag",
         "slice_group_change_rate_minus1",
     }
     _STR_FIELDS = {"InputFile", "OutputFile", "ReconFile", "StatsFile",
-                   "SliceGroupConfigFileName"}
+                   "SliceGroupConfigFileName", "LeakyBucketParamFile"}
     _ALIASES = {
         "DistortionMS_SSIM": "DistortionMSSSIM",   # reference cfg name
         "LoopFilterDisable": "DisableLoopFilter",
@@ -177,6 +181,7 @@ class EncoderParams:
             intra_mb_refresh=self.RandomIntraMBRefresh,
             weighted_pred=self.WeightedPrediction,
             weighted_bipred=self.WeightedBiprediction,
+            enable_vui=bool(self.EnableVUISupport),
             **sg,
             width=self.SourceWidth, height=self.SourceHeight,
             qp=self.QPISlice, intra_period=self.IntraPeriod,

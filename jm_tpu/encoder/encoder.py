@@ -69,6 +69,7 @@ class EncoderConfig:
                                  # lencod RandomIntraMBRefresh/intrarefresh.c)
     weighted_pred: int = 0       # P explicit WP (lencod WeightedPrediction)
     weighted_bipred: int = 0     # B WP: 0 off, 1 explicit, 2 implicit
+    enable_vui: bool = False     # write VUI timing info into the SPS (E26)
     slice_mode: int = 0          # 0 one slice/picture, 1 fixed MBs/slice
     slice_argument: int = 0      # MBs per slice for slice_mode 1
     num_slice_groups: int = 1    # >1 enables FMO (Baseline/Extended only)
@@ -100,9 +101,19 @@ class Encoder:
         # B pictures need both anchors resident in the decoder DPB, so the
         # sliding window must hold at least two references
         self.dpb_size = max(cfg.num_ref, 2) if use_b else cfg.num_ref
+        # Annex-A conformance (E39): auto-upgrade the level when the
+        # configured one cannot carry this frame size / rate / DPB
+        from ..common.conformance import level_check, minimum_level
+        level = cfg.level_idc
+        try:
+            level_check(self.mb_w, self.mb_h, cfg.frame_rate, level,
+                        max(cfg.num_ref, 2 if use_b else 1))
+        except ValueError:
+            level = minimum_level(self.mb_w, self.mb_h, cfg.frame_rate,
+                                  max(cfg.num_ref, 2 if use_b else 1))
         self.sps = SPS(
             profile_idc=profile,
-            level_idc=cfg.level_idc,
+            level_idc=level,
             log2_max_frame_num_minus4=4,
             # poc type 0 (explicit lsb) so B pictures can precede their
             # list-1 anchor in display order (spec 8.2.1.1)
@@ -112,6 +123,16 @@ class Encoder:
             pic_width_in_mbs_minus1=self.mb_w - 1,
             pic_height_in_map_units_minus1=self.mb_h - 1,
             frame_mbs_only_flag=1, direct_8x8_inference_flag=1)
+        if cfg.enable_vui:
+            # timing info (lencod GenerateVUI_parameters_rbsp:1048): frame
+            # rate as time_scale / (2 * num_units_in_tick)
+            self.sps.vui_parameters_present_flag = 1
+            self.sps.vui = {
+                "num_units_in_tick": 1000,
+                "time_scale": int(round(cfg.frame_rate * 2000)),
+                "fixed_frame_rate": 1,
+                "pic_struct_present": 0,
+            }
         self.pps = PPS(num_ref_idx_l0_default_active_minus1=cfg.num_ref - 1,
                        entropy_coding_mode_flag=1 if cfg.entropy == "cabac" else 0,
                        transform_8x8_mode_flag=1 if cfg.transform8x8 else 0,

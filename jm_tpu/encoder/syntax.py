@@ -61,9 +61,92 @@ def write_sps(sps) -> bytes:
         bw.ue(sps.frame_crop_right_offset)
         bw.ue(sps.frame_crop_top_offset)
         bw.ue(sps.frame_crop_bottom_offset)
-    bw.flag(0)  # vui_parameters_present
+    vui = getattr(sps, "vui", None)
+    if vui:
+        bw.flag(1)
+        _write_vui(bw, vui)
+    else:
+        bw.flag(0)  # vui_parameters_present
     bw.rbsp_trailing_bits()
     return bw.get_bytes()
+
+
+def _write_vui(bw: BitWriter, v: dict) -> None:
+    """Inverse of the decoder's _parse_vui (parset.py:161); mirrors
+    lencod/src/parset.c GenerateVUI_parameters_rbsp:1048 field order."""
+    if "aspect_ratio_idc" in v:
+        bw.flag(1)
+        bw.u(v["aspect_ratio_idc"], 8)
+        if v["aspect_ratio_idc"] == 255:
+            bw.u(v["sar_width"], 16)
+            bw.u(v["sar_height"], 16)
+    else:
+        bw.flag(0)
+    if "overscan_appropriate" in v:
+        bw.flag(1)
+        bw.flag(v["overscan_appropriate"])
+    else:
+        bw.flag(0)
+    if "video_format" in v:
+        bw.flag(1)
+        bw.u(v["video_format"], 3)
+        bw.flag(v.get("video_full_range", 0))
+        if "colour_primaries" in v:
+            bw.flag(1)
+            bw.u(v["colour_primaries"], 8)
+            bw.u(v["transfer_characteristics"], 8)
+            bw.u(v["matrix_coefficients"], 8)
+        else:
+            bw.flag(0)
+    else:
+        bw.flag(0)
+    if "chroma_sample_loc_type_top" in v:
+        bw.flag(1)
+        bw.ue(v["chroma_sample_loc_type_top"])
+        bw.ue(v["chroma_sample_loc_type_bottom"])
+    else:
+        bw.flag(0)
+    if "num_units_in_tick" in v:
+        bw.flag(1)
+        bw.u(v["num_units_in_tick"], 32)
+        bw.u(v["time_scale"], 32)
+        bw.flag(v.get("fixed_frame_rate", 1))
+    else:
+        bw.flag(0)
+
+    def hrd(h):
+        bw.ue(h["cpb_cnt"] - 1)
+        bw.u(h["bit_rate_scale"], 4)
+        bw.u(h["cpb_size_scale"], 4)
+        for br_v, cpb_v, cbr_v in h["cpb"]:
+            bw.ue(br_v)
+            bw.ue(cpb_v)
+            bw.flag(cbr_v)
+        bw.u(h["initial_cpb_removal_delay_length"] - 1, 5)
+        bw.u(h["cpb_removal_delay_length"] - 1, 5)
+        bw.u(h["dpb_output_delay_length"] - 1, 5)
+        bw.u(h["time_offset_length"], 5)
+
+    for key in ("nal_hrd", "vcl_hrd"):
+        if key in v:
+            bw.flag(1)
+            hrd(v[key])
+        else:
+            bw.flag(0)
+    if "nal_hrd" in v or "vcl_hrd" in v:
+        bw.flag(v.get("low_delay_hrd", 0))
+    bw.flag(v.get("pic_struct_present", 0))
+    if "max_dec_frame_buffering" in v:
+        bw.flag(1)
+        bw.flag(v.get("motion_vectors_over_pic_boundaries", 1))
+        bw.ue(v.get("max_bytes_per_pic_denom", 0))
+        bw.ue(v.get("max_bits_per_mb_denom", 0))
+        bw.ue(v.get("log2_max_mv_length_horizontal", 16))
+        bw.ue(v.get("log2_max_mv_length_vertical", 16))
+        bw.ue(v.get("max_num_reorder_frames", 0))
+        bw.ue(v["max_dec_frame_buffering"])
+    else:
+        bw.flag(0)
 
 
 def write_pps(pps) -> bytes:

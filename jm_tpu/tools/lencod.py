@@ -114,6 +114,15 @@ def main(argv=None) -> int:
         if prm.ReconFile:
             recon += rec.Y.tobytes() + rec.U.tobytes() + rec.V.tobytes()
 
+    if prm.NumberLeakyBuckets > 0:     # HRD leaky-bucket params (E38)
+        from ..encoder.leaky_bucket import calc_buffer, write_buffer
+        per_pic = [r["bits"] for r in sorted(enc.results,
+                                             key=lambda r: r["disp"])]
+        buckets = calc_buffer(per_pic, prm.FrameRate,
+                              n_buckets=prm.NumberLeakyBuckets)
+        write_buffer(prm.LeakyBucketParamFile, buckets)
+        print(f" Leaky bucket params ({len(buckets)}) written to "
+              f"{prm.LeakyBucketParamFile}")
     if prm.OutFileMode == 1:           # RTP dump container (lencod rtp.c)
         from ..bitstream.rtp import annexb_to_rtp
         out = annexb_to_rtp(bytes(out))
