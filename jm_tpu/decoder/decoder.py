@@ -46,6 +46,13 @@ class H264Decoder:
         self.concealed_count = 0
         self._prev_ref_frame_num = None
         self._prev_poc = 0
+        # D20 decoder statistics (ldecod/src/dec_statistics.c twin):
+        # bits per NAL type, MB class / skip histograms, slice counts
+        self.stats = {
+            "nal_bits": {}, "nal_count": {},
+            "mb_intra4": 0, "mb_intra16": 0, "mb_intra8": 0, "mb_ipcm": 0,
+            "mb_inter": 0, "mb_skip": 0, "slices": 0, "pictures": 0,
+        }
 
     # ------------------------------------------------------------------
 
@@ -55,6 +62,10 @@ class H264Decoder:
         a stream may be fed incrementally."""
         start = len(self._outputs)
         for nal in split_annexb(data):
+            t = int(nal.nal_unit_type)
+            self.stats["nal_bits"][t] = (self.stats["nal_bits"].get(t, 0)
+                                         + 8 * (len(nal.rbsp) + 1))
+            self.stats["nal_count"][t] = self.stats["nal_count"].get(t, 0) + 1
             self._handle_nal(nal)
         self._finish_picture()
         return self._outputs[start:]
@@ -273,6 +284,18 @@ class H264Decoder:
         if frame.is_ref:
             self._prev_ref_frame_num = hdr0.frame_num
         self._prev_poc = cur["poc"]
+        st = self.stats
+        st["pictures"] += 1
+        st["slices"] += cur["n_slices"]
+        from .mb_parse import MB_I4, MB_I16, MB_INTER, MB_IPCM
+        cls = pic.mb_class
+        i4 = cls == MB_I4      # intra 8x8 = I4 class + 8x8 transform flag
+        st["mb_intra4"] += int((i4 & ~pic.transform8x8).sum())
+        st["mb_intra8"] += int((i4 & pic.transform8x8).sum())
+        st["mb_intra16"] += int((cls == MB_I16).sum())
+        st["mb_ipcm"] += int((cls == MB_IPCM).sum())
+        st["mb_inter"] += int((cls == MB_INTER).sum())
+        st["mb_skip"] += int(pic.skip.sum())
         self._outputs.append(DecodedFrame(cur["poc"], Y, U, V))
 
 

@@ -200,5 +200,28 @@ class PocContext:
             self.prev_frame_num = h.frame_num
             self.prev_frame_num_offset = fno
             return poc
-        else:
-            raise NotImplementedError("poc_type 1 TODO (phase P6)")
+        else:  # pic_order_cnt_type 1 (spec 8.2.1.2; ldecod decode_poc:720)
+            ncyc = len(sps.offset_for_ref_frame)
+            if h.is_idr:
+                fno = 0
+            elif self.prev_frame_num > h.frame_num:
+                fno = self.prev_frame_num_offset + sps.max_frame_num
+            else:
+                fno = self.prev_frame_num_offset
+            abs_fn = (fno + h.frame_num) if ncyc else 0
+            if h.nal_ref_idc == 0 and abs_fn > 0:
+                abs_fn -= 1
+            if abs_fn > 0:
+                cyc, in_cyc = divmod(abs_fn - 1, ncyc)
+                expected = cyc * sum(sps.offset_for_ref_frame) + \
+                    sum(sps.offset_for_ref_frame[:in_cyc + 1])
+            else:
+                expected = 0
+            if h.nal_ref_idc == 0:
+                expected += sps.offset_for_non_ref_pic
+            top = expected + h.delta_pic_order_cnt[0]
+            bottom = (top + sps.offset_for_top_to_bottom_field
+                      + h.delta_pic_order_cnt[1])
+            self.prev_frame_num = h.frame_num
+            self.prev_frame_num_offset = fno
+            return min(top, bottom)

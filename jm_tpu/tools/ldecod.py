@@ -108,7 +108,17 @@ def main(argv=None) -> int:
                              f" {psnr(rv, f.V):7.3f}")
             print(line)
     n = len(frames)
+    st = dec.stats
     print("-" * 48)
+    print(f" Slices: {st['slices']}  MBs: I4 {st['mb_intra4']} "
+          f"I8 {st['mb_intra8']} I16 {st['mb_intra16']} "
+          f"inter {st['mb_inter']} skip {st['mb_skip']} "
+          f"ipcm {st['mb_ipcm']}")
+    for t in sorted(st["nal_bits"]):
+        name = {1: "slice", 5: "IDR", 6: "SEI", 7: "SPS", 8: "PPS"}.get(
+            t, f"nal{t}")
+        print(f"  {name:>6}: {st['nal_count'][t]:4d} NALUs "
+          f"{st['nal_bits'][t]:8d} bits")
     print(f" Total Frames: {n:3d}  decode time: {dt:7.3f} sec "
           f"({n / dt if dt > 0 else 0.0:.2f} fps)")
     return 0

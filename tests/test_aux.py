@@ -67,3 +67,20 @@ def test_vui_write_parse_roundtrip():
     ts, nu = sps.vui["time_scale"], sps.vui["num_units_in_tick"]
     assert ts / (2 * nu) == 25.0
     assert sps.vui["fixed_frame_rate"]
+
+
+def test_decoder_statistics(golden_dir=None):
+    import pathlib
+    from jm_tpu.decoder.decoder import H264Decoder
+    g = pathlib.Path(__file__).parent / "golden"
+    d = H264Decoder()
+    frames = d.decode_annexb((g / "cabac_pp.264").read_bytes())
+    st = d.stats
+    assert st["pictures"] == len(frames) == 3
+    assert st["slices"] >= 3
+    total_mbs = st["mb_intra4"] + st["mb_intra8"] + st["mb_intra16"] + \
+        st["mb_inter"] + st["mb_ipcm"]
+    assert total_mbs == 3 * 99
+    assert st["nal_count"][7] == 1 and st["nal_count"][8] == 1
+    assert sum(st["nal_bits"].values()) >= 8 * len(
+        (g / "cabac_pp.264").read_bytes()) - 200 * 8
