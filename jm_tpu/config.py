@@ -75,6 +75,7 @@ class EncoderParams:
     ProfileIDC: int = 66
     LevelIDC: int = 30
     NumberBFrames: int = 0
+    HierarchicalCoding: int = 0
     Transform8x8Mode: int = 0
     DisableLoopFilter: int = 0   # via LoopFilterDisable
     RateControlEnable: int = 0
@@ -104,7 +105,7 @@ class EncoderParams:
         "QPISlice", "QPPSlice", "QPBSlice", "IntraPeriod",
         "NumberReferenceFrames",
         "SearchRange", "SymbolMode", "ProfileIDC", "LevelIDC",
-        "NumberBFrames", "Transform8x8Mode", "RateControlEnable",
+        "NumberBFrames", "HierarchicalCoding", "Transform8x8Mode", "RateControlEnable",
         "Bitrate", "InitialQP", "DistortionSSIM",
         "DistortionMSSSIM", "SSIMOverlapSize", "OutFileMode",
         "SliceMode", "SliceArgument", "num_slice_groups_minus1",
@@ -191,6 +192,7 @@ class EncoderParams:
             deblock=not self.DisableLoopFilter,
             entropy="cabac" if self.SymbolMode else "cavlc",
             num_b=self.NumberBFrames, qp_b=self.QPBSlice,
+            hierarchical=1 if self.HierarchicalCoding else 0,
             transform8x8=bool(self.Transform8x8Mode),
             rc_enable=bool(self.RateControlEnable),
             rc_bitrate=self.Bitrate, frame_rate=self.FrameRate,

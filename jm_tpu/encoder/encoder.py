@@ -55,6 +55,8 @@ class EncoderConfig:
     deblock: bool = True
     entropy: str = "cavlc"       # "cavlc" | "cabac" (cabac => Main profile)
     num_b: int = 0               # B pictures between anchors (IbbP..)
+    hierarchical: int = 0        # dyadic B pyramid with reference Bs (E3,
+                                 # lencod HierarchicalCoding/explicit_gop.c)
     qp_b: int | None = None      # B-picture QP (default qp + 2)
     qp_p: int | None = None      # P-anchor QP (default qp)
     rc_enable: bool = False      # JVT-G012 rate control (jm_tpu.ratectl)
@@ -99,8 +101,15 @@ class Encoder:
         profile = 100 if cfg.transform8x8 else \
             (77 if (cfg.entropy == "cabac" or use_b or use_wp) else 66)
         # B pictures need both anchors resident in the decoder DPB, so the
-        # sliding window must hold at least two references
+        # sliding window must hold at least two references; a dyadic
+        # pyramid keeps one reference B per level alive as well
         self.dpb_size = max(cfg.num_ref, 2) if use_b else cfg.num_ref
+        if use_b and cfg.hierarchical:
+            import math
+            levels = max(1, math.ceil(math.log2(cfg.num_b + 1)))
+            # both mini-GOP anchors + one reference B per pyramid level
+            # must survive the sliding window until the leaves are coded
+            self.dpb_size = max(self.dpb_size, levels + 2)
         # Annex-A conformance (E39): auto-upgrade the level when the
         # configured one cannot carry this frame size / rate / DPB
         from ..common.conformance import level_check, minimum_level
@@ -257,8 +266,34 @@ class Encoder:
         prev_anchor = self.refs[0]
         out = self._emit_anchor(Y, U, V, disp)
         next_anchor = self.refs[0]
-        for bdisp, bY, bU, bV in bs:
-            out += self._emit_b(bY, bU, bV, bdisp, prev_anchor, next_anchor)
+        if self.cfg.hierarchical and bs:
+            out += self._emit_b_pyramid(bs, 0, len(bs) - 1, 1)
+        else:
+            for bdisp, bY, bU, bV in bs:
+                out += self._emit_b(bY, bU, bV, bdisp, prev_anchor,
+                                    next_anchor)
+        return out
+
+    def _emit_b_pyramid(self, bs, lo: int, hi: int, layer: int) -> bytes:
+        """Dyadic B pyramid (lencod pred_struct.c temporal layers /
+        explicit_gop.c B-strings): the middle picture of each interval is
+        coded first as a *reference* B; leaves are non-reference. L0/L1
+        references are the nearest DPB entries by POC, matching the
+        decoder's default ref_lists_b order so no reorder commands are
+        needed."""
+        if lo > hi:
+            return b""
+        mid = (lo + hi) // 2
+        disp, Y, U, V = bs[mid]
+        poc = 2 * (disp - self._idr_disp)
+        l0 = max((f for f in self.refs if f.poc < poc),
+                 key=lambda f: f.poc)
+        l1 = min((f for f in self.refs if f.poc > poc),
+                 key=lambda f: f.poc)
+        out = self._emit_b(Y, U, V, disp, l0, l1,
+                           as_ref=(hi > lo), layer=layer)
+        out += self._emit_b_pyramid(bs, lo, mid - 1, layer + 1)
+        out += self._emit_b_pyramid(bs, mid + 1, hi, layer + 1)
         return out
 
     def _emit_anchor(self, Y, U, V, disp: int) -> bytes:
@@ -369,8 +404,10 @@ class Encoder:
         return payload
 
     def _emit_b(self, Y, U, V, disp: int, prev_anchor: Frame,
-                next_anchor: Frame) -> bytes:
-        """Encode one non-reference B picture between two anchors."""
+                next_anchor: Frame, as_ref: bool = False,
+                layer: int = 1) -> bytes:
+        """Encode one B picture between two references (non-reference by
+        default; reference B inside a hierarchical pyramid)."""
         from ..decoder.b_slice import ColMotion
         cfg = self.cfg
         poc = 2 * (disp - self._idr_disp)
@@ -378,6 +415,7 @@ class Encoder:
             qp_b = self.rc.pict_qp("B")
         else:
             qp_b = cfg.qp_b if cfg.qp_b is not None else cfg.qp + 2
+            qp_b = min(51, qp_b + max(0, layer - 1))  # temporal-layer offset
 
         fe = _FrameEncoder(self, SliceType.B, Y, U, V)
         fe.qp = qp_b
@@ -404,11 +442,19 @@ class Encoder:
         if cfg.deblock:
             self._deblock(recY, recU, recV, pic)
         frame = Frame(poc=poc, frame_num=self.frame_num,
-                      Y=recY, U=recU, V=recV, is_ref=False)
+                      Y=recY, U=recU, V=recV, is_ref=as_ref)
+        if as_ref:
+            frame.uid = self._uid
+            self._uid += 1
+            frame.motion = (pic.mv.copy(), pic.ref_idx.copy(),
+                            pic.mv_l1.copy(), pic.ref_idx_l1.copy(),
+                            pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())
+            self.refs.insert(0, frame)
+            del self.refs[self.dpb_size:]
 
         common = dict(slice_type=SliceType.B, frame_num=self.frame_num,
                       idr=False, qp=qp_b, poc_lsb=poc % 256,
-                      num_ref_idx_l0=1, num_ref_idx_l1=1, is_ref=False,
+                      num_ref_idx_l0=1, num_ref_idx_l1=1, is_ref=as_ref,
                       wp_l0=wp_l0, wp_l1=wp_l1,
                       slice_group_change_cycle=cfg.sg_change_cycle)
         payload = b""
@@ -420,7 +466,10 @@ class Encoder:
             else:
                 rbsp = serialize_slice(pic, self.sps, self.pps,
                                        mb_addrs=addrs, **common)
-            payload += annexb_bytes(0, NalUnitType.SLICE, rbsp)
+            payload += annexb_bytes(2 if as_ref else 0,
+                                    NalUnitType.SLICE, rbsp)
+        if as_ref:
+            self.frame_num = (self.frame_num + 1) % self.sps.max_frame_num
         if self.rc is not None:
             mad = float(np.abs(np.asarray(Y, np.int32) -
                                recY.astype(np.int32)).mean())
