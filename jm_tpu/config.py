@@ -71,6 +71,9 @@ class EncoderParams:
     IntraPeriod: int = 0
     NumberReferenceFrames: int = 1
     SearchRange: int = 16
+    InterSearch8x4: int = 0
+    InterSearch4x8: int = 0
+    InterSearch4x4: int = 0
     SymbolMode: int = 0          # 0 CAVLC, 1 CABAC
     ProfileIDC: int = 66
     LevelIDC: int = 30
@@ -105,6 +108,7 @@ class EncoderParams:
         "QPISlice", "QPPSlice", "QPBSlice", "IntraPeriod",
         "NumberReferenceFrames",
         "SearchRange", "SymbolMode", "ProfileIDC", "LevelIDC",
+        "InterSearch8x4", "InterSearch4x8", "InterSearch4x4",
         "NumberBFrames", "HierarchicalCoding", "Transform8x8Mode", "RateControlEnable",
         "Bitrate", "InitialQP", "DistortionSSIM",
         "DistortionMSSSIM", "SSIMOverlapSize", "OutFileMode",
@@ -183,6 +187,8 @@ class EncoderParams:
             weighted_pred=self.WeightedPrediction,
             weighted_bipred=self.WeightedBiprediction,
             enable_vui=bool(self.EnableVUISupport),
+            sub8x8=bool(self.InterSearch8x4 or self.InterSearch4x8
+                        or self.InterSearch4x4),
             **sg,
             width=self.SourceWidth, height=self.SourceHeight,
             qp=self.QPISlice, intra_period=self.IntraPeriod,

@@ -81,6 +81,8 @@ class PictureData:
         # inter motion: final MVs quarter-pel, per 4x4 raster block
         self.mv = np.zeros((n, 16, 2), np.int32)
         self.ref_idx = np.full((n, 4), -1, np.int8)        # per 8x8, -1 intra
+        # P8x8 sub-partition per quadrant: 0=8x8 1=8x4 2=4x8 3=4x4
+        self.sub_mode = np.zeros((n, 4), np.int8)
         # IPCM raw samples
         self.ipcm_luma = {}
         self.ipcm_chroma = {}
@@ -351,6 +353,7 @@ class MBParser:
             sub_types = [br.ue() for _ in range(4)]
             if any(t > 3 for t in sub_types):
                 raise ValueError("invalid sub_mb_type")
+            pic.sub_mode[addr] = sub_types
             refs = [0, 0, 0, 0]
             if mb_type == 3 and nref > 1:
                 refs = [br.te(nref - 1) for _ in range(4)]

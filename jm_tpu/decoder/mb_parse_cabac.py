@@ -572,6 +572,7 @@ class MBParserCABAC:
                         pic.mvd[addr, 0, yy * 4 + xx] = (mvdx, mvdy)
         else:
             sub_types = [self.read_sub_mb_type_p() for _ in range(4)]
+            self.pic.sub_mode[addr] = sub_types
             refs = [0] * 4
             for q in range(4):
                 qx, qy = (q % 2) * 2, (q // 2) * 2

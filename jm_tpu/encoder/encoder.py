@@ -72,6 +72,9 @@ class EncoderConfig:
     weighted_pred: int = 0       # P explicit WP (lencod WeightedPrediction)
     weighted_bipred: int = 0     # B WP: 0 off, 1 explicit, 2 implicit
     enable_vui: bool = False     # write VUI timing info into the SPS (E26)
+    sub8x8: bool = False         # P8x8 sub-partitions 8x4/4x8/4x4 (E7)
+    subpel_satd: bool = True     # Hadamard SATD in fractional ME (E16,
+                                 # JM MEDistortionHPel/QPel=2 default)
     slice_mode: int = 0          # 0 one slice/picture, 1 fixed MBs/slice
     slice_argument: int = 0      # MBs per slice for slice_mode 1
     num_slice_groups: int = 1    # >1 enables FMO (Baseline/Extended only)
@@ -850,12 +853,44 @@ class _FrameEncoder:
                     qmv, cost = ME.subpel_refine(
                         blk, self.refs_list[r].luma_planes,
                         px + bx * 4, py + by * 4, imv[0], self.w, self.h,
-                        pred16, self.lam, extra_bits=ref_bits)
+                        pred16, self.lam, extra_bits=ref_bits,
+                        use_satd=cfg.subpel_satd)
                     if best is None or cost < best[0]:
                         best = (cost, r, qmv)
                 total += best[0]
                 commit.append((bx, by, bw, bh, quads, best[1], best[2]))
             candidates[mode] = (total, commit)
+
+        # ---- P8x8 sub-partition refinement (E7, mode_decision_P8x8.c) ----
+        sub_commit = None
+        if cfg.sub8x8:
+            total3 = self.lam * self.MODE_BITS[3]
+            sub_commit = []
+            for (bx, by, _bw, _bh, quads, r, qmv8) in candidates[3][1]:
+                planes = self.refs_list[r].luma_planes
+                best_q = None
+                for sm, parts in ME.SUB_PARTS.items():
+                    mvs, cost_q = [], self.lam * ME.SUB_MODE_BITS[sm]
+                    for (sx, sy, sw, sh) in parts:
+                        blk = self.origY[py + (by + sy) * 4:
+                                         py + (by + sy + sh) * 4,
+                                         px + (bx + sx) * 4:
+                                         px + (bx + sx + sw) * 4]
+                        qmv, c = ME.subpel_refine(
+                            blk, planes, px + (bx + sx) * 4,
+                            py + (by + sy) * 4, qmv8, self.w, self.h,
+                            pred16, self.lam, use_satd=cfg.subpel_satd,
+                            qpel_start=True)
+                        mvs.append(qmv)
+                        cost_q += c
+                    if best_q is None or cost_q < best_q[0]:
+                        best_q = (cost_q, sm, mvs)
+                total3 += best_q[0]
+                sub_commit.append((bx, by, quads[0], r, best_q[1], best_q[2]))
+            if total3 < candidates[3][0]:
+                candidates[3] = (total3, candidates[3][1])
+            else:
+                sub_commit = None
         best_mode = min(candidates, key=lambda m: candidates[m][0])
         cost_inter, commit = candidates[best_mode]
 
@@ -885,14 +920,25 @@ class _FrameEncoder:
         # ---- commit motion (partition order, exact predictors) ----
         pic.mb_class[addr] = MB_INTER
         pic.inter_mode[addr] = best_mode
-        for (bx, by, bw, bh, quads, r, qmv) in commit:
-            for yy in range(by, by + bh):
-                for xx in range(bx, bx + bw):
-                    pic.mv[addr, yy * 4 + xx] = qmv
-            for q in quads:
+        if best_mode == 3 and sub_commit is not None:
+            for (bx, by, q, r, sm, mvs) in sub_commit:
+                pic.sub_mode[addr, q] = sm
                 pic.ref_idx[addr, q] = r
                 pic.ref_pic_id[addr, q] = self.refs_list[r].uid
                 pic.pdir[addr, q] = 0
+                for (sx, sy, sw, sh), qmv in zip(ME.SUB_PARTS[sm], mvs):
+                    for yy in range(by + sy, by + sy + sh):
+                        for xx in range(bx + sx, bx + sx + sw):
+                            pic.mv[addr, yy * 4 + xx] = qmv
+        else:
+            for (bx, by, bw, bh, quads, r, qmv) in commit:
+                for yy in range(by, by + bh):
+                    for xx in range(bx, bx + bw):
+                        pic.mv[addr, yy * 4 + xx] = qmv
+                for q in quads:
+                    pic.ref_idx[addr, q] = r
+                    pic.ref_pic_id[addr, q] = self.refs_list[r].uid
+                    pic.pdir[addr, q] = 0
 
         # ---- prediction assembly (mirrors decoder recon granularity) ----
         pred_y = np.zeros((16, 16), np.int64)
@@ -951,7 +997,10 @@ class _FrameEncoder:
         rec4 = RN.recon_luma_4x4(pred_blocks, scan4, self.qp)
         rec4_16 = rec4.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
         use8 = False
-        if self.enc.cfg.transform8x8:
+        # 8x8 transform needs every partition >= 8x8 (spec 7.4.5.1)
+        allow8 = (int(pic.inter_mode[addr]) != 3
+                  or not pic.sub_mode[addr].any())
+        if self.enc.cfg.transform8x8 and allow8:
             q8 = res.reshape(2, 8, 2, 8).transpose(0, 2, 1, 3).reshape(4, 8, 8)
             w8 = RN.np_forward8x8(q8)
             lev8 = RN.np_quant_8x8(w8, self.qp, False)
@@ -1097,7 +1146,8 @@ class _FrameEncoder:
             imv, _ = ME.best_int_mv(csum[None], sr)
             pred_mv = self.pctx.mv_pred(addr, 0, 0, 4, 4, 0, lst)
             qmv, cost = ME.subpel_refine(origY_mb, planes, px, py, imv[0],
-                                         self.w, self.h, pred_mv, self.lam)
+                                         self.w, self.h, pred_mv, self.lam,
+                                         use_satd=self.enc.cfg.subpel_satd)
             return qmv, cost, pred_mv
 
         mv0, cost_l0, pm0 = best16(self.qsads[0], f0.luma_planes, 0)

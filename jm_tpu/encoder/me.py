@@ -29,6 +29,32 @@ def mv_bits(mvd_x: int, mvd_y: int) -> int:
     return se_len(int(mvd_x)) + se_len(int(mvd_y))
 
 
+_H4 = np.array([[1, 1, 1, 1],
+                [1, 1, -1, -1],
+                [1, -1, -1, 1],
+                [1, -1, 1, -1]], np.int32)
+
+
+def satd(diff: np.ndarray) -> int:
+    """4x4 Hadamard SATD of a residual block (lencod/src/me_distortion.c
+    HadamardSAD4x4:175): sum |H d H^T| >> 1, tiled over the block."""
+    bh, bw = diff.shape
+    d = diff.reshape(bh // 4, 4, bw // 4, 4).transpose(0, 2, 1, 3)
+    t = np.einsum("ij,bcjk,lk->bcil", _H4, d.astype(np.int64), _H4)
+    return int(np.abs(t).sum() >> 1)
+
+
+# P8x8 sub-partition geometry: sub_mode -> [(sx, sy, sw, sh)] in 4x4 units
+SUB_PARTS = {
+    0: [(0, 0, 2, 2)],
+    1: [(0, 0, 2, 1), (0, 1, 2, 1)],
+    2: [(0, 0, 1, 2), (1, 0, 1, 2)],
+    3: [(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)],
+}
+# sub_mb_type header bits (ue) + per-part mvd overhead handled by caller
+SUB_MODE_BITS = {0: 1, 1: 3, 2: 3, 3: 5}
+
+
 def full_search_quadrant_sads(orig: np.ndarray, ref_pad: np.ndarray,
                               mb_w: int, mb_h: int, sr: int,
                               pad: int) -> np.ndarray:
@@ -74,12 +100,15 @@ def full_search_int(orig: np.ndarray, ref_pad: np.ndarray, mb_w: int,
 
 def subpel_refine(orig_blk: np.ndarray, planes, px: int, py: int,
                   int_mv: np.ndarray, w: int, h: int, pred_mv: np.ndarray,
-                  lam: int, extra_bits: int = 0) -> tuple[np.ndarray, int]:
+                  lam: int, extra_bits: int = 0,
+                  use_satd: bool = False,
+                  qpel_start: bool = False) -> tuple[np.ndarray, int]:
     """Quarter-pel refinement around the integer MV for one block.
 
     orig_blk: (bh, bw) block at pixel position (px, py). Two-stage (half
     then quarter) 8-neighbor search with cost lam * (bits(mvd) + extra).
-    Returns (qpel mv (2,), cost).
+    use_satd selects Hadamard distortion for the fractional stage (the
+    reference's MEDistortionHPel/QPel = 2 default). Returns (qpel mv, cost).
     """
     o = orig_blk.astype(np.int32)
     bh, bw = o.shape
@@ -87,11 +116,15 @@ def subpel_refine(orig_blk: np.ndarray, planes, px: int, py: int,
     def cost_at(mvq):
         blk = P.mc_luma_block(planes, px * 4 + int(mvq[0]),
                               py * 4 + int(mvq[1]), bw, bh, w, h)
-        sad = int(np.abs(o - blk).sum())
-        return sad + lam * (mv_bits(int(mvq[0] - pred_mv[0]),
-                                    int(mvq[1] - pred_mv[1])) + extra_bits)
+        d = o - blk
+        dist = satd(d) if use_satd else int(np.abs(d).sum())
+        return dist + lam * (mv_bits(int(mvq[0] - pred_mv[0]),
+                                     int(mvq[1] - pred_mv[1])) + extra_bits)
 
-    center = np.array([int_mv[0] * 4, int_mv[1] * 4], np.int32)
+    if qpel_start:
+        center = np.asarray(int_mv, np.int32).copy()
+    else:
+        center = np.array([int_mv[0] * 4, int_mv[1] * 4], np.int32)
     best, bcost = center, cost_at(center)
     for step in (2, 1):
         cand_center = best.copy()

