@@ -80,6 +80,7 @@ class EncoderParams:
     NumberBFrames: int = 0
     HierarchicalCoding: int = 0
     Transform8x8Mode: int = 0
+    RDOptimization: int = 0
     DisableLoopFilter: int = 0   # via LoopFilterDisable
     RateControlEnable: int = 0
     Bitrate: int = 45020
@@ -109,7 +110,8 @@ class EncoderParams:
         "NumberReferenceFrames",
         "SearchRange", "SymbolMode", "ProfileIDC", "LevelIDC",
         "InterSearch8x4", "InterSearch4x8", "InterSearch4x4",
-        "NumberBFrames", "HierarchicalCoding", "Transform8x8Mode", "RateControlEnable",
+        "NumberBFrames", "HierarchicalCoding", "Transform8x8Mode",
+        "RDOptimization", "RateControlEnable",
         "Bitrate", "InitialQP", "DistortionSSIM",
         "DistortionMSSSIM", "SSIMOverlapSize", "OutFileMode",
         "SliceMode", "SliceArgument", "num_slice_groups_minus1",
@@ -200,6 +202,7 @@ class EncoderParams:
             num_b=self.NumberBFrames, qp_b=self.QPBSlice,
             hierarchical=1 if self.HierarchicalCoding else 0,
             transform8x8=bool(self.Transform8x8Mode),
+            rdo=1 if self.RDOptimization else 0,
             rc_enable=bool(self.RateControlEnable),
             rc_bitrate=self.Bitrate, frame_rate=self.FrameRate,
             rc_initial_qp=self.InitialQP)

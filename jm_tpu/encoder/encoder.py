@@ -72,6 +72,8 @@ class EncoderConfig:
     weighted_pred: int = 0       # P explicit WP (lencod WeightedPrediction)
     weighted_bipred: int = 0     # B WP: 0 off, 1 explicit, 2 implicit
     enable_vui: bool = False     # write VUI timing info into the SPS (E26)
+    rdo: int = 0                 # 0 = cost-based (md_low), 1 = trial-encode
+                                 # RD with exact bit counting (md_high, E8)
     sub8x8: bool = False         # P8x8 sub-partitions 8x4/4x8/4x4 (E7)
     subpel_satd: bool = True     # Hadamard SATD in fractional ME (E16,
                                  # JM MEDistortionHPel/QPel=2 default)
@@ -789,6 +791,28 @@ class _FrameEncoder:
     def _encode_intra_mb(self, addr):
         pic = self.pic
         origY_mb = self._mb_orig(addr)[0]
+        if self.enc.cfg.rdo:
+            from .rdo import MBState, count_mb_bits, lambda_mode, mb_ssd
+            lam = lambda_mode(self.qp)
+            base = MBState(self, addr)
+            _c, cbp_luma4 = self._encode_i4_mb(addr, origY_mb)
+            cbp_chroma = self._encode_chroma_intra(addr)
+            pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma4
+            j4 = mb_ssd(self, addr) + lam * count_mb_bits(
+                self, addr, self.stype)
+            s4 = MBState(self, addr)
+            base.restore()
+            _c16, m16, p16 = self._eval_i16(addr, origY_mb)
+            pic.i4_modes[addr] = -1
+            cbp_luma = self._encode_i16(addr, origY_mb, m16, p16)
+            cbp_chroma = self._encode_chroma_intra(addr)
+            pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma
+            j16 = mb_ssd(self, addr) + lam * count_mb_bits(
+                self, addr, self.stype)
+            if j4 <= j16:
+                s4.restore()
+            pic.qp[addr] = self.qp
+            return
         cost16, mode16, pred16 = self._eval_i16(addr, origY_mb)
         # try I4 on a scratch state; to avoid state snapshots, decide with a
         # cheap estimate first: run I4 fully only if its lower bound can win.
@@ -891,11 +915,14 @@ class _FrameEncoder:
                 candidates[3] = (total3, candidates[3][1])
             else:
                 sub_commit = None
+        skip_mv = self.pctx.skip_mv(addr)
+        if self.enc.cfg.rdo:
+            self._p_mode_rd(addr, candidates, sub_commit, skip_mv)
+            return
         best_mode = min(candidates, key=lambda m: candidates[m][0])
         cost_inter, commit = candidates[best_mode]
 
         # skip candidate (16x16, ref 0, predicted mv, zero bits)
-        skip_mv = self.pctx.skip_mv(addr)
         planes0 = self.refs_list[0].luma_planes
         skip_pred = ip.mc_luma_block(planes0, px * 4 + int(skip_mv[0]),
                                      py * 4 + int(skip_mv[1]), 16, 16,
@@ -917,7 +944,61 @@ class _FrameEncoder:
             pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma
             return
 
-        # ---- commit motion (partition order, exact predictors) ----
+        self._commit_inter_p(addr, best_mode, commit, sub_commit, skip_mv)
+
+    def _p_mode_rd(self, addr, candidates, sub_commit, skip_mv):
+        """md_high tier (E8): trial-encode the leading candidates and pick
+        by J = SSD + lambda_mode * bits (exact CAVLC marginal bits;
+        rdopt.c RDCost_for_macroblocks twin over the SoA state)."""
+        from .rdo import MBState, count_mb_bits, lambda_mode, mb_ssd
+        pic = self.pic
+        lam = lambda_mode(self.qp)
+        base = MBState(self, addr)
+        best = None
+
+        def consider():
+            nonlocal best
+            bits = count_mb_bits(self, addr, SliceType.P)
+            j = mb_ssd(self, addr) + lam * bits
+            if best is None or j < best[0]:
+                best = (j, MBState(self, addr))
+
+        # inter partitions, best 3 by pre-cost
+        for m in sorted(candidates, key=lambda k: candidates[k][0])[:3]:
+            base.restore()
+            self._commit_inter_p(addr, m, candidates[m][1],
+                                 sub_commit if m == 3 else None, skip_mv)
+            consider()
+        # forced P_SKIP (prediction only, zero residual)
+        base.restore()
+        self._commit_inter_p(addr, 0,
+                             [(0, 0, 4, 4, (0, 1, 2, 3), 0, skip_mv.copy())],
+                             None, skip_mv, no_residual=True)
+        consider()
+        # intra trials
+        origY_mb = self._mb_orig(addr)[0]
+        base.restore()
+        _c, m16, p16 = self._eval_i16(addr, origY_mb)
+        pic.ref_idx[addr] = -1
+        cbp_luma = self._encode_i16(addr, origY_mb, m16, p16)
+        cbp_chroma = self._encode_chroma_intra(addr)
+        pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma
+        consider()
+        base.restore()
+        pic.ref_idx[addr] = -1
+        _c4, cbp_luma4 = self._encode_i4_mb(addr, origY_mb)
+        cbp_chroma = self._encode_chroma_intra(addr)
+        pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma4
+        consider()
+        best[1].restore()
+
+    def _commit_inter_p(self, addr, best_mode, commit, sub_commit, skip_mv,
+                        no_residual=False):
+        """Commit chosen P motion, assemble prediction, code residual."""
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        px, py = mbx * 16, mby * 16
+        o = self._mb_orig(addr)[0].astype(np.int32)
         pic.mb_class[addr] = MB_INTER
         pic.inter_mode[addr] = best_mode
         if best_mode == 3 and sub_commit is not None:
@@ -967,6 +1048,18 @@ class _FrameEncoder:
             pred_y[byy * 4:byy * 4 + 4, bxx * 4:bxx * 4 + 4] = yb
             pred_u[byy * 2:byy * 2 + 2, bxx * 2:bxx * 2 + 2] = ub
             pred_v[byy * 2:byy * 2 + 2, bxx * 2:bxx * 2 + 2] = vb
+
+        if no_residual:
+            # forced P_SKIP trial: reconstruction is the prediction
+            cy, cx = py // 2, px // 2
+            self.recY[py:py + 16, px:px + 16] = np.clip(pred_y, 0, 255)
+            self.recU[cy:cy + 8, cx:cx + 8] = np.clip(pred_u, 0, 255)
+            self.recV[cy:cy + 8, cx:cx + 8] = np.clip(pred_v, 0, 255)
+            pic.cbp[addr] = 0
+            if (best_mode == 0 and pic.ref_idx[addr, 0] == 0
+                    and (pic.mv[addr, 0] == skip_mv).all()):
+                pic.skip[addr] = True
+            return
 
         # ---- residual ----
         cbp_luma = self._code_luma_inter(addr, o, pred_y)
