@@ -81,6 +81,7 @@ class EncoderParams:
     HierarchicalCoding: int = 0
     Transform8x8Mode: int = 0
     RDOptimization: int = 0
+    EnableIPCM: int = 0
     DisableLoopFilter: int = 0   # via LoopFilterDisable
     RateControlEnable: int = 0
     Bitrate: int = 45020
@@ -111,7 +112,7 @@ class EncoderParams:
         "SearchRange", "SymbolMode", "ProfileIDC", "LevelIDC",
         "InterSearch8x4", "InterSearch4x8", "InterSearch4x4",
         "NumberBFrames", "HierarchicalCoding", "Transform8x8Mode",
-        "RDOptimization", "RateControlEnable",
+        "RDOptimization", "EnableIPCM", "RateControlEnable",
         "Bitrate", "InitialQP", "DistortionSSIM",
         "DistortionMSSSIM", "SSIMOverlapSize", "OutFileMode",
         "SliceMode", "SliceArgument", "num_slice_groups_minus1",
@@ -203,6 +204,7 @@ class EncoderParams:
             hierarchical=1 if self.HierarchicalCoding else 0,
             transform8x8=bool(self.Transform8x8Mode),
             rdo=1 if self.RDOptimization else 0,
+            enable_ipcm=self.EnableIPCM,
             rc_enable=bool(self.RateControlEnable),
             rc_bitrate=self.Bitrate, frame_rate=self.FrameRate,
             rc_initial_qp=self.InitialQP)

@@ -308,8 +308,9 @@ class MBParser:
         pic.ipcm_luma[addr] = luma
         pic.ipcm_chroma[addr] = chroma
         pic.qp[addr] = self.qp
-        # PCM MBs count as 16 nnz for nC prediction and bS
+        # PCM MBs count as 16 nnz for nC prediction and bS (both planes)
         pic.luma_nnz[addr] = 16
+        pic.chroma_nnz[addr] = 16
         pic.chroma_nnz[addr] = 16
 
     def _read_qp_delta(self, addr: int) -> None:

@@ -483,7 +483,33 @@ class MBParserCABAC:
     def _parse_intra_mb(self, addr, imb_type):
         pic, eng = self.pic, self.eng
         if imb_type == 25:
-            raise NotImplementedError("IPCM CABAC parse: later phase")
+            # I_PCM in CABAC (ldecod readIPCM_CABAC cabac.c:2388 +
+            # init_decoding_engine_IPCM mb_read.c:613): our engine holds
+            # exactly a 9-bit window, so the reference's whole-byte
+            # lookahead rewind reduces to aligning the raw reader, reading
+            # the samples, and restarting the arithmetic engine (contexts
+            # are NOT reinitialized)
+            import numpy as np
+            from .cabac import CabacEngine
+            br = self.eng.br
+            pic.mb_class[addr] = MB_IPCM
+            br.align()
+            pic.ipcm_luma[addr] = np.array(
+                [br.u(8) for _ in range(256)], np.uint8).reshape(16, 16)
+            cf = self.ctx.sps.chroma_format_idc
+            if cf == 1:
+                pic.ipcm_chroma[addr] = np.array(
+                    [br.u(8) for _ in range(128)], np.uint8).reshape(2, 8, 8)
+            elif cf == 0:
+                pic.ipcm_chroma[addr] = None
+            else:
+                raise NotImplementedError("IPCM for 4:2:2/4:4:4 TODO")
+            pic.qp[addr] = self.qp
+            pic.luma_nnz[addr] = 16
+            pic.chroma_nnz[addr] = 16
+            self.last_dquant = 0
+            self.eng = CabacEngine(br)
+            return
         if imb_type == 0:
             pic.mb_class[addr] = MB_I4
             if self.ctx.pps.transform_8x8_mode_flag:

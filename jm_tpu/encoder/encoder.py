@@ -74,6 +74,8 @@ class EncoderConfig:
     enable_vui: bool = False     # write VUI timing info into the SPS (E26)
     rdo: int = 0                 # 0 = cost-based (md_low), 1 = trial-encode
                                  # RD with exact bit counting (md_high, E8)
+    enable_ipcm: int = 0         # 1: IPCM as RD candidate, 2: force IPCM
+                                 # (lencod EnableIPCM, mode_decision.c:132)
     sub8x8: bool = False         # P8x8 sub-partitions 8x4/4x8/4x4 (E7)
     subpel_satd: bool = True     # Hadamard SATD in fractional ME (E16,
                                  # JM MEDistortionHPel/QPel=2 default)
@@ -791,6 +793,9 @@ class _FrameEncoder:
     def _encode_intra_mb(self, addr):
         pic = self.pic
         origY_mb = self._mb_orig(addr)[0]
+        if self.enc.cfg.enable_ipcm >= 2:        # forced IPCM (EnableIPCM=2)
+            self._commit_ipcm(addr)
+            return
         if self.enc.cfg.rdo:
             from .rdo import MBState, count_mb_bits, lambda_mode, mb_ssd
             lam = lambda_mode(self.qp)
@@ -811,6 +816,15 @@ class _FrameEncoder:
                 self, addr, self.stype)
             if j4 <= j16:
                 s4.restore()
+            if self.enc.cfg.enable_ipcm:
+                j_best = min(j4, j16)
+                s_best = MBState(self, addr)
+                base.restore()
+                self._commit_ipcm(addr)
+                j_pcm = mb_ssd(self, addr) + lam * count_mb_bits(
+                    self, addr, self.stype)
+                if j_pcm >= j_best:
+                    s_best.restore()
             pic.qp[addr] = self.qp
             return
         cost16, mode16, pred16 = self._eval_i16(addr, origY_mb)
@@ -849,6 +863,9 @@ class _FrameEncoder:
         mbx, mby = addr % self.mb_w, addr // self.mb_w
         px, py = mbx * 16, mby * 16
         origY_mb, origU_mb, origV_mb = self._mb_orig(addr)
+        if cfg.enable_ipcm >= 2:           # forced IPCM (EnableIPCM=2)
+            self._commit_ipcm(addr)
+            return
         if addr in self.forced_intra:      # intra refresh (E34)
             _c, mode16, predi16 = self._eval_i16(addr, origY_mb)
             pic.ref_idx[addr] = -1
@@ -946,6 +963,31 @@ class _FrameEncoder:
 
         self._commit_inter_p(addr, best_mode, commit, sub_commit, skip_mv)
 
+    def _commit_ipcm(self, addr):
+        """I_PCM commit: raw samples, recon == samples (clamped to the
+        pre-FRExt minimum of 1, lencod.c:1146 min_IPCM_value)."""
+        from ..decoder.mb_parse import MB_IPCM
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        px, py = mbx * 16, mby * 16
+        oY, oU, oV = self._mb_orig(addr)
+        minv = 1 if self.enc.sps.profile_idc < 100 else 0
+        Y = np.maximum(oY, minv).astype(np.uint8)
+        U = np.maximum(oU, minv).astype(np.uint8)
+        V = np.maximum(oV, minv).astype(np.uint8)
+        pic.mb_class[addr] = MB_IPCM
+        pic.ipcm_luma[addr] = Y
+        pic.ipcm_chroma[addr] = np.stack([U, V])
+        pic.luma_nnz[addr] = 16
+        pic.chroma_nnz[addr] = 16
+        pic.qp[addr] = self.qp
+        pic.ref_idx[addr] = -1
+        pic.cbp[addr] = 0
+        self.recY[py:py + 16, px:px + 16] = Y
+        cy, cx = py // 2, px // 2
+        self.recU[cy:cy + 8, cx:cx + 8] = U
+        self.recV[cy:cy + 8, cx:cx + 8] = V
+
     def _p_mode_rd(self, addr, candidates, sub_commit, skip_mv):
         """md_high tier (E8): trial-encode the leading candidates and pick
         by J = SSD + lambda_mode * bits (exact CAVLC marginal bits;
@@ -990,6 +1032,12 @@ class _FrameEncoder:
         cbp_chroma = self._encode_chroma_intra(addr)
         pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma4
         consider()
+        if self.enc.cfg.enable_ipcm:
+            base.restore()
+            self._commit_ipcm(addr)
+            if self.enc.cfg.enable_ipcm >= 2:
+                return
+            consider()
         best[1].restore()
 
     def _commit_inter_p(self, addr, best_mode, commit, sub_commit, skip_mv,
@@ -1217,6 +1265,11 @@ class _FrameEncoder:
                                        prepare_direct_params,
                                        spatial_direct_quadrant)
         pic = self.pic
+        if self.enc.cfg.enable_ipcm >= 2:  # forced IPCM (EnableIPCM=2)
+            self._commit_ipcm(addr)
+            pic.pdir[addr] = -1
+            pic.ref_idx_l1[addr] = -1
+            return
         sr = self.enc.cfg.search_range
         mbx, mby = addr % self.mb_w, addr // self.mb_w
         px, py = mbx * 16, mby * 16

@@ -347,6 +347,16 @@ class MBWriter:
         pic, bw = self.pic, self.bw
         base = (intra_base if intra_base is not None
                 else (5 if p_slice else 0))
+        if pic.mb_class[addr] == 3:          # I_PCM (mb_read.c:649 twin)
+            bw.ue(base + 25)
+            bw.align_zero()                  # pcm_alignment_zero_bit
+            for v in pic.ipcm_luma[addr].ravel():
+                bw.u(int(v), 8)
+            ch = pic.ipcm_chroma[addr]
+            if ch is not None:
+                for v in ch.ravel():
+                    bw.u(int(v), 8)
+            return
         if pic.mb_class[addr] == 1:          # I_NxN (4x4)
             bw.ue(base + 0)
             if self.pps.transform_8x8_mode_flag:

@@ -474,8 +474,54 @@ class MBWriterCABAC:
         self.qp = int(self.pic.qp[addr])
         return dq
 
+    def _write_ipcm(self, addr, p_slice: bool, b_slice: bool):
+        """I_PCM in CABAC (lencod macroblock.c writeIPCMData:1965): encode
+        the mb_type prefix, terminate(1) flushes the arithmetic coder,
+        then aligned raw samples, then a fresh engine (contexts kept)."""
+        pic, eng = self.pic, self.eng
+        if b_slice:
+            ctx = self.ctxs.mb_type[2]
+            la, ua = self._left_mb(addr), self._up_mb(addr)
+            a = 1 if (la >= 0 and not (pic.skip[la] or pic.b_direct[la])) \
+                else 0
+            b = 1 if (ua >= 0 and not (pic.skip[ua] or pic.b_direct[ua])) \
+                else 0
+            eng.decision(ctx, a + b, 1)
+            eng.decision(ctx, 4, 1)
+            eng.decision(ctx, 5, 1)
+            eng.decision(ctx, 6, 1)  # raw 12+8
+            eng.decision(ctx, 6, 0)
+            eng.decision(ctx, 6, 1)  # +2 -> raw 22 (remapped to 23)
+            eng.decision(ctx, 6, 1)  # +1 -> 24 (I16/IPCM escape)
+            eng.terminate(1)
+        elif p_slice:
+            ctx = self.ctxs.mb_type[1]
+            eng.decision(ctx, 4, 1)
+            eng.decision(ctx, 7, 1)
+            eng.terminate(1)
+        else:
+            ctx = self.ctxs.mb_type[0]
+            la, ua = self._left_mb(addr), self._up_mb(addr)
+            a = 1 if (la >= 0 and pic.mb_class[la] != MB_I4) else 0
+            b = 1 if (ua >= 0 and pic.mb_class[ua] != MB_I4) else 0
+            eng.decision(ctx, a + b, 1)
+            eng.terminate(1)
+        bw = self.eng.bw
+        bw.align_zero()              # pcm_alignment_zero_bit
+        for v in pic.ipcm_luma[addr].ravel():
+            bw.u(int(v), 8)
+        ch = pic.ipcm_chroma[addr]
+        if ch is not None:
+            for v in ch.ravel():
+                bw.u(int(v), 8)
+        self.eng = CabacEncoder(bw)
+        self.last_dquant = 0
+
     def _write_intra_mb(self, addr, p_slice: bool, b_slice: bool = False):
         pic = self.pic
+        if pic.mb_class[addr] == MB_IPCM:
+            self._write_ipcm(addr, p_slice, b_slice)
+            return
         if pic.mb_class[addr] == MB_I4:
             imb = 0
         else:

@@ -53,3 +53,33 @@ def test_rdo_cabac_roundtrips():
 def test_rdo_i_slice_roundtrips():
     bits, _ = _run(rdo=1, intra_period=1)
     assert bits > 0
+
+
+def test_ipcm_forced_and_rd(tmp_path):
+    """IPCM encode/decode (EnableIPCM): forced mode and RD candidate,
+    CAVLC + CABAC (engine restart). JM interop verified with /verify."""
+    rng = np.random.default_rng(3)
+    noise = [(rng.integers(0, 256, (48, 64), np.uint8),
+              rng.integers(0, 256, (24, 32), np.uint8),
+              rng.integers(0, 256, (24, 32), np.uint8)) for _ in range(3)]
+
+    def run(**kw):
+        enc = Encoder(EncoderConfig(width=64, height=48, qp=6, **kw))
+        out = b""
+        for Y, U, V in noise:
+            out += enc.encode_frame(Y, U, V)
+        out += enc.flush()
+        rec = [r["frame"] for r in sorted(enc.results,
+                                          key=lambda r: r["disp"])]
+        d = H264Decoder()
+        dec = sorted(d.decode_annexb(out), key=lambda f: f.poc)
+        for a, b in zip(rec, dec):
+            assert np.array_equal(a.Y, b.Y) and np.array_equal(a.U, b.U)
+        return d.stats["mb_ipcm"]
+
+    assert run(enable_ipcm=2) == 36               # every MB forced
+    assert run(enable_ipcm=2, entropy="cabac") == 36
+    assert run(enable_ipcm=2, entropy="cabac", num_b=1) == 36
+    # RD candidate: noise at low QP is exactly where IPCM wins
+    assert run(enable_ipcm=1, rdo=1) > 0
+    assert run(enable_ipcm=1, rdo=1, entropy="cabac") > 0
