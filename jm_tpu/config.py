@@ -82,6 +82,7 @@ class EncoderParams:
     Transform8x8Mode: int = 0
     RDOptimization: int = 0
     EnableIPCM: int = 0
+    RDPictureDecision: int = 0
     DisableLoopFilter: int = 0   # via LoopFilterDisable
     RateControlEnable: int = 0
     Bitrate: int = 45020
@@ -112,7 +113,7 @@ class EncoderParams:
         "SearchRange", "SymbolMode", "ProfileIDC", "LevelIDC",
         "InterSearch8x4", "InterSearch4x8", "InterSearch4x4",
         "NumberBFrames", "HierarchicalCoding", "Transform8x8Mode",
-        "RDOptimization", "EnableIPCM", "RateControlEnable",
+        "RDOptimization", "EnableIPCM", "RDPictureDecision", "RateControlEnable",
         "Bitrate", "InitialQP", "DistortionSSIM",
         "DistortionMSSSIM", "SSIMOverlapSize", "OutFileMode",
         "SliceMode", "SliceArgument", "num_slice_groups_minus1",
@@ -205,6 +206,7 @@ class EncoderParams:
             transform8x8=bool(self.Transform8x8Mode),
             rdo=1 if self.RDOptimization else 0,
             enable_ipcm=self.EnableIPCM,
+            rd_picture_decision=bool(self.RDPictureDecision),
             rc_enable=bool(self.RateControlEnable),
             rc_bitrate=self.Bitrate, frame_rate=self.FrameRate,
             rc_initial_qp=self.InitialQP)

@@ -76,6 +76,8 @@ class EncoderConfig:
                                  # RD with exact bit counting (md_high, E8)
     enable_ipcm: int = 0         # 1: IPCM as RD candidate, 2: force IPCM
                                  # (lencod EnableIPCM, mode_decision.c:132)
+    rd_picture_decision: bool = False  # multi-pass QP+-1 picture RD (E4,
+                                       # lencod RDPictureDecision/image_mp.c)
     sub8x8: bool = False         # P8x8 sub-partitions 8x4/4x8/4x4 (E7)
     subpel_satd: bool = True     # Hadamard SATD in fractional ME (E16,
                                  # JM MEDistortionHPel/QPel=2 default)
@@ -328,26 +330,52 @@ class Encoder:
             qp = cfg.qp if (is_intra or cfg.qp_p is None) else cfg.qp_p
 
         self.num_ref_active = max(1, min(cfg.num_ref, len(self.refs)))
-        fe = _FrameEncoder(self, stype, Y, U, V)
         wp_l0 = None
+        wp = None
+        forced_intra = set()
         if stype == SliceType.P:
-            fe.forced_intra = self._refresh_set()
+            forced_intra = self._refresh_set()
             if cfg.weighted_pred:
                 from .wp_est import build_wp_params, estimate_explicit
                 refs = self.refs[:self.num_ref_active]
                 wp_l0 = estimate_explicit(Y, U, V, refs)
-                fe.wp = build_wp_params(SliceType.P, self.pps, refs, [],
-                                        poc, wp_l0=wp_l0)
-        fe.qp = qp
-        fe.qpc = chroma_qp(qp, self.pps.chroma_qp_index_offset)
-        fe.lam = lambda_me(qp)
-        fe.lam4 = lambda_mode4(qp)
-        pic = fe.encode()
+                wp = build_wp_params(SliceType.P, self.pps, refs, [],
+                                     poc, wp_l0=wp_l0)
 
-        # closed-loop recon for the DPB: deblocked copy
-        recY, recU, recV = fe.recY.copy(), fe.recU.copy(), fe.recV.copy()
-        if cfg.deblock:
-            self._deblock(recY, recU, recV, pic)
+        # multi-pass RD picture decision (E4, lencod image_mp.c
+        # frame_picture_mp_* + rdpicdecision.c rd_pic_decision): trial the
+        # picture at QP and QP+-1, keep the minimum frame-level J
+        qps = [qp]
+        if cfg.rd_picture_decision and self.frame_idx > 0 \
+                and self.rc is None:
+            qps = [qp, max(0, qp - 1), min(51, qp + 1)]
+        best = None
+        for q in qps:
+            fe = _FrameEncoder(self, stype, Y, U, V)
+            fe.forced_intra = forced_intra
+            fe.wp = wp
+            fe.qp = q
+            fe.qpc = chroma_qp(q, self.pps.chroma_qp_index_offset)
+            fe.lam = lambda_me(q)
+            fe.lam4 = lambda_mode4(q)
+            pic = fe.encode()
+            recY, recU, recV = fe.recY.copy(), fe.recU.copy(), fe.recV.copy()
+            if cfg.deblock:
+                self._deblock(recY, recU, recV, pic)
+            slice_bytes = self._serialize_anchor_slices(
+                pic, stype, q, poc, is_idr, wp_l0)
+            if len(qps) == 1:
+                best = (0.0, q, pic, recY, recU, recV, slice_bytes)
+                break
+            from .rdo import lambda_mode
+            ssd = (np.square(np.asarray(Y, np.int64) - recY).sum()
+                   + np.square(np.asarray(U, np.int64) - recU).sum()
+                   + np.square(np.asarray(V, np.int64) - recV).sum())
+            j = float(ssd) + lambda_mode(qp) * 8 * len(slice_bytes)
+            if best is None or j < best[0]:
+                best = (j, q, pic, recY, recU, recV, slice_bytes)
+        _j, qp, pic, recY, recU, recV, slice_bytes = best
+
         frame = Frame(poc=poc, frame_num=self.frame_num,
                       Y=recY, U=recU, V=recV)
         frame.uid = self._uid
@@ -379,21 +407,7 @@ class Encoder:
             from .sei_write import build_sei_rbsp
             payload += annexb_bytes(0, NalUnitType.SEI,
                                     build_sei_rbsp(sei_msgs))
-        common = dict(slice_type=stype, frame_num=self.frame_num, idr=is_idr,
-                      qp=qp, idr_pic_id=self.idr_pic_id,
-                      num_ref_idx_l0=self.num_ref_active,
-                      poc_lsb=poc % 256, wp_l0=wp_l0,
-                      slice_group_change_cycle=cfg.sg_change_cycle)
-        nal_type = NalUnitType.IDR if is_idr else NalUnitType.SLICE
-        for addrs in self.slice_plan:
-            if cfg.entropy == "cabac":
-                from .syntax_cabac import serialize_slice_cabac
-                rbsp = serialize_slice_cabac(pic, self.sps, self.pps,
-                                             mb_addrs=addrs, **common)
-            else:
-                rbsp = serialize_slice(pic, self.sps, self.pps,
-                                       mb_addrs=addrs, **common)
-            payload += annexb_bytes(3, nal_type, rbsp)
+        payload += slice_bytes
 
         if is_idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
@@ -409,6 +423,27 @@ class Encoder:
                              "bits": len(payload) * 8, "frame": frame,
                              "qp": qp})
         return payload
+
+    def _serialize_anchor_slices(self, pic, stype, qp, poc, is_idr,
+                                 wp_l0) -> bytes:
+        cfg = self.cfg
+        common = dict(slice_type=stype, frame_num=self.frame_num, idr=is_idr,
+                      qp=qp, idr_pic_id=self.idr_pic_id,
+                      num_ref_idx_l0=self.num_ref_active,
+                      poc_lsb=poc % 256, wp_l0=wp_l0,
+                      slice_group_change_cycle=cfg.sg_change_cycle)
+        nal_type = NalUnitType.IDR if is_idr else NalUnitType.SLICE
+        out = b""
+        for addrs in self.slice_plan:
+            if cfg.entropy == "cabac":
+                from .syntax_cabac import serialize_slice_cabac
+                rbsp = serialize_slice_cabac(pic, self.sps, self.pps,
+                                             mb_addrs=addrs, **common)
+            else:
+                rbsp = serialize_slice(pic, self.sps, self.pps,
+                                       mb_addrs=addrs, **common)
+            out += annexb_bytes(3, nal_type, rbsp)
+        return out
 
     def _emit_b(self, Y, U, V, disp: int, prev_anchor: Frame,
                 next_anchor: Frame, as_ref: bool = False,

@@ -83,3 +83,20 @@ def test_ipcm_forced_and_rd(tmp_path):
     # RD candidate: noise at low QP is exactly where IPCM wins
     assert run(enable_ipcm=1, rdo=1) > 0
     assert run(enable_ipcm=1, rdo=1, entropy="cabac") > 0
+
+
+def test_rd_picture_decision():
+    """E4 multi-pass picture coding (RDPictureDecision): QP+-1 trials,
+    frame-level J pick; per-picture QP may differ from the nominal."""
+    frames = _seq()
+    enc = Encoder(EncoderConfig(width=112, height=80, qp=30,
+                                rd_picture_decision=True))
+    out = b""
+    for Y, U, V in frames:
+        out += enc.encode_frame(Y, U, V)
+    rec = [r["frame"] for r in sorted(enc.results, key=lambda r: r["disp"])]
+    dec = sorted(H264Decoder().decode_annexb(out), key=lambda f: f.poc)
+    for a, b in zip(rec, dec):
+        assert np.array_equal(a.Y, b.Y)
+    qps = {r["qp"] for r in enc.results}
+    assert qps <= {29, 30, 31}
