@@ -79,6 +79,7 @@ class EncoderParams:
     LevelIDC: int = 30
     NumberBFrames: int = 0
     HierarchicalCoding: int = 0
+    LongTermPeriod: int = 0
     Transform8x8Mode: int = 0
     RDOptimization: int = 0
     EnableIPCM: int = 0
@@ -112,7 +113,7 @@ class EncoderParams:
         "NumberReferenceFrames",
         "SearchRange", "SymbolMode", "ProfileIDC", "LevelIDC",
         "InterSearch8x4", "InterSearch4x8", "InterSearch4x4",
-        "NumberBFrames", "HierarchicalCoding", "Transform8x8Mode",
+        "NumberBFrames", "HierarchicalCoding", "LongTermPeriod", "Transform8x8Mode",
         "RDOptimization", "EnableIPCM", "RDPictureDecision", "RateControlEnable",
         "Bitrate", "InitialQP", "DistortionSSIM",
         "DistortionMSSSIM", "SSIMOverlapSize", "OutFileMode",
@@ -203,6 +204,7 @@ class EncoderParams:
             entropy="cabac" if self.SymbolMode else "cavlc",
             num_b=self.NumberBFrames, qp_b=self.QPBSlice,
             hierarchical=1 if self.HierarchicalCoding else 0,
+            long_term_period=self.LongTermPeriod,
             transform8x8=bool(self.Transform8x8Mode),
             rdo=1 if self.RDOptimization else 0,
             enable_ipcm=self.EnableIPCM,

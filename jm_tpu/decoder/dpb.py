@@ -95,6 +95,7 @@ class DPB:
             elif op.op == 3:  # short-term -> long-term
                 pic_num = frame.frame_num - (op.value1 + 1)
                 target = pic_num if pic_num >= 0 else pic_num + max_fn
+                self._unmark_lt_idx(op.value2)
                 for f in self.frames:
                     if not f.is_long_term and f.frame_num == target:
                         f.is_long_term = True
@@ -107,8 +108,16 @@ class DPB:
             elif op.op == 5:  # reset
                 self.frames.clear()
             elif op.op == 6:  # current -> long-term
+                self._unmark_lt_idx(op.value1)
                 frame.is_long_term = True
                 frame.long_term_frame_idx = op.value1
+
+    def _unmark_lt_idx(self, idx: int) -> None:
+        """spec 8.2.5.4.3/.6: a frame already holding this long-term index
+        is marked unused for reference."""
+        for f in list(self.frames):
+            if f.is_long_term and f.long_term_frame_idx == idx:
+                self.frames.remove(f)
 
     # ---- reference list construction (spec 8.2.4.2) -----------------------
 

@@ -78,6 +78,8 @@ class EncoderConfig:
                                  # (lencod EnableIPCM, mode_decision.c:132)
     rd_picture_decision: bool = False  # multi-pass QP+-1 picture RD (E4,
                                        # lencod RDPictureDecision/image_mp.c)
+    long_term_period: int = 0    # mark every Nth anchor long-term via MMCO
+                                 # (E24, lencod mmco.c adaptive marking)
     sub8x8: bool = False         # P8x8 sub-partitions 8x4/4x8/4x4 (E7)
     subpel_satd: bool = True     # Hadamard SATD in fractional ME (E16,
                                  # JM MEDistortionHPel/QPel=2 default)
@@ -119,6 +121,8 @@ class Encoder:
             # both mini-GOP anchors + one reference B per pyramid level
             # must survive the sliding window until the leaves are coded
             self.dpb_size = max(self.dpb_size, levels + 2)
+        if cfg.long_term_period > 0:
+            self.dpb_size = min(16, self.dpb_size + 1)  # LT anchor slot
         # Annex-A conformance (E39): auto-upgrade the level when the
         # configured one cannot carry this frame size / rate / DPB
         from ..common.conformance import level_check, minimum_level
@@ -220,6 +224,30 @@ class Encoder:
 
     # ------------------------------------------------------------------
 
+    def _ref_list_p(self) -> list:
+        """List-0 mirror of the decoder's ref_list_p (dpb.py): short-term
+        by PicNum descending (== insertion order here), long-term tail by
+        index."""
+        st = [f for f in self.refs if not f.is_long_term]
+        lt = sorted((f for f in self.refs if f.is_long_term),
+                    key=lambda f: f.long_term_frame_idx)
+        return (st + lt)[:self.num_ref_active]
+
+    def _store_ref(self, frame: Frame, long_term: bool = False) -> None:
+        """Mirror of DPB.store bookkeeping (sliding window spares
+        long-term frames; a new long-term index evicts its old holder)."""
+        if long_term:
+            for f in list(self.refs):
+                if f.is_long_term and f.long_term_frame_idx == 0:
+                    self.refs.remove(f)
+            frame.is_long_term = True
+            frame.long_term_frame_idx = 0
+        self.refs.insert(0, frame)
+        st = [f for f in self.refs if not f.is_long_term]
+        while len(self.refs) > self.dpb_size and st:
+            oldest = st.pop()
+            self.refs.remove(oldest)
+
     def _build_slice_plan(self) -> list[list[int]]:
         """Decode-order MB address lists, one per slice: slice groups in
         group order (each in raster-restricted order), optionally split
@@ -295,6 +323,8 @@ class Encoder:
         mid = (lo + hi) // 2
         disp, Y, U, V = bs[mid]
         poc = 2 * (disp - self._idr_disp)
+        # nearest references by POC (long-term anchors allowed: _emit_b
+        # emits reorder commands when the pick is not at default index 0)
         l0 = max((f for f in self.refs if f.poc < poc),
                  key=lambda f: f.poc)
         l1 = min((f for f in self.refs if f.poc > poc),
@@ -337,10 +367,17 @@ class Encoder:
             forced_intra = self._refresh_set()
             if cfg.weighted_pred:
                 from .wp_est import build_wp_params, estimate_explicit
-                refs = self.refs[:self.num_ref_active]
+                refs = self._ref_list_p()
                 wp_l0 = estimate_explicit(Y, U, V, refs)
                 wp = build_wp_params(SliceType.P, self.pps, refs, [],
                                      poc, wp_l0=wp_l0)
+        # long-term marking policy (E24): every Nth anchor becomes the
+        # long-term anchor (IDR via long_term_reference_flag, P via MMCO
+        # op 4 (cap index) + op 6 (current -> long-term idx 0))
+        lt_mark = (cfg.long_term_period > 0
+                   and self.frame_idx % cfg.long_term_period == 0)
+        long_term_flag = 1 if (lt_mark and is_idr) else 0
+        mmco_ops = ((4, 1), (6, 0)) if (lt_mark and not is_idr) else None
 
         # multi-pass RD picture decision (E4, lencod image_mp.c
         # frame_picture_mp_* + rdpicdecision.c rd_pic_decision): trial the
@@ -363,7 +400,8 @@ class Encoder:
             if cfg.deblock:
                 self._deblock(recY, recU, recV, pic)
             slice_bytes = self._serialize_anchor_slices(
-                pic, stype, q, poc, is_idr, wp_l0)
+                pic, stype, q, poc, is_idr, wp_l0,
+                long_term_flag=long_term_flag, mmco_ops=mmco_ops)
             if len(qps) == 1:
                 best = (0.0, q, pic, recY, recU, recV, slice_bytes)
                 break
@@ -387,8 +425,7 @@ class Encoder:
                         pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())
         if is_idr:
             self.refs = []
-        self.refs.insert(0, frame)
-        del self.refs[self.dpb_size:]
+        self._store_ref(frame, long_term=lt_mark)
 
         # serialize
         payload = b""
@@ -424,13 +461,29 @@ class Encoder:
                              "qp": qp})
         return payload
 
+    def _ref_mod_ops(self, default_list, target):
+        """One ref_pic_list_modification command putting `target` at
+        index 0 (spec 8.2.4.3), or None when it already is."""
+        if default_list and default_list[0] is target:
+            return None
+        if target.is_long_term:
+            return [(2, target.long_term_frame_idx)]
+        max_fn = self.sps.max_frame_num
+        cur = self.frame_num
+        t = target.frame_num if target.frame_num <= cur \
+            else target.frame_num - max_fn
+        diff = cur - t
+        return [(0, diff - 1)] if diff > 0 else [(1, -diff - 1)]
+
     def _serialize_anchor_slices(self, pic, stype, qp, poc, is_idr,
-                                 wp_l0) -> bytes:
+                                 wp_l0, long_term_flag=0,
+                                 mmco_ops=None) -> bytes:
         cfg = self.cfg
         common = dict(slice_type=stype, frame_num=self.frame_num, idr=is_idr,
                       qp=qp, idr_pic_id=self.idr_pic_id,
                       num_ref_idx_l0=self.num_ref_active,
                       poc_lsb=poc % 256, wp_l0=wp_l0,
+                      long_term_flag=long_term_flag, mmco_ops=mmco_ops,
                       slice_group_change_cycle=cfg.sg_change_cycle)
         nal_type = NalUnitType.IDR if is_idr else NalUnitType.SLICE
         out = b""
@@ -491,13 +544,21 @@ class Encoder:
             frame.motion = (pic.mv.copy(), pic.ref_idx.copy(),
                             pic.mv_l1.copy(), pic.ref_idx_l1.copy(),
                             pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())
-            self.refs.insert(0, frame)
-            del self.refs[self.dpb_size:]
+            self._store_ref(frame)
 
+        # the decoder's default B lists are POC-ordered short-term + LT
+        # tail (ref_lists_b); when our chosen anchors are not at index 0
+        # (a long-term anchor dropped out of the short-term ordering),
+        # emit ref_pic_list_modification commands to put them there
+        from ..decoder.b_slice import ref_lists_b
+        d0, d1 = ref_lists_b(self.refs, poc)
+        ref_mod_l0 = self._ref_mod_ops(d0, prev_anchor)
+        ref_mod_l1 = self._ref_mod_ops(d1, next_anchor)
         common = dict(slice_type=SliceType.B, frame_num=self.frame_num,
                       idr=False, qp=qp_b, poc_lsb=poc % 256,
                       num_ref_idx_l0=1, num_ref_idx_l1=1, is_ref=as_ref,
                       wp_l0=wp_l0, wp_l1=wp_l1,
+                      ref_mod_l0=ref_mod_l0, ref_mod_l1=ref_mod_l1,
                       slice_group_change_cycle=cfg.sg_change_cycle)
         payload = b""
         for addrs in self.slice_plan:
@@ -580,7 +641,7 @@ class _FrameEncoder:
     def encode(self) -> PictureData:
         sr = self.enc.cfg.search_range
         if self.stype == SliceType.P:
-            self.refs_list = self.enc.refs[:self.enc.num_ref_active]
+            self.refs_list = self.enc._ref_list_p()
             # fast-full-search tables: per-reference per-quadrant SADs over
             # the whole displacement window (me_fullfast analog)
             self.qsads = [

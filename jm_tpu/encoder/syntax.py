@@ -233,7 +233,9 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
                        num_ref_idx_l1: int = 1, is_ref: bool = True,
                        direct_spatial: bool = True,
                        slice_group_change_cycle: int = 0,
-                       wp_l0=None, wp_l1=None) -> None:
+                       wp_l0=None, wp_l1=None,
+                       long_term_flag: int = 0, mmco_ops=None,
+                       ref_mod_l0=None, ref_mod_l1=None) -> None:
     """Spec 7.3.3 slice header (frame, no FMO/field; B adds
     direct_spatial_mv_pred_flag + list1 actives; non-reference slices omit
     dec_ref_pic_marking — lencod/src/header.c:116 SliceHeader)."""
@@ -258,9 +260,19 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
             bw.ue(num_ref_idx_l0 - 1)
             if slice_type == SliceType.B:
                 bw.ue(num_ref_idx_l1 - 1)
-        bw.flag(0)  # ref_pic_list_modification_flag_l0
-        if slice_type == SliceType.B:
-            bw.flag(0)  # ref_pic_list_modification_flag_l1
+        # ref_pic_list_modification (spec 7.3.3.1): (idc, value) commands
+        for mods, applies in ((ref_mod_l0, True),
+                              (ref_mod_l1, slice_type == SliceType.B)):
+            if not applies:
+                continue
+            if mods:
+                bw.flag(1)
+                for idc, val in mods:
+                    bw.ue(idc)
+                    bw.ue(val)
+                bw.ue(3)
+            else:
+                bw.flag(0)
     if (pps.weighted_pred_flag and slice_type == SliceType.P) or \
             (pps.weighted_bipred_idc == 1 and slice_type == SliceType.B):
         # pred_weight_table (spec 7.3.3.2; lencod/src/header.c:438)
@@ -269,7 +281,19 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
     if is_ref:
         if idr:
             bw.flag(0)  # no_output_of_prior_pics
-            bw.flag(0)  # long_term_reference_flag
+            bw.flag(long_term_flag)
+        elif mmco_ops:
+            # dec_ref_pic_marking, adaptive mode (spec 7.3.3.3;
+            # lencod/src/header.c dec_ref_pic_marking:373)
+            bw.flag(1)
+            for op in mmco_ops:
+                code, v1 = op[0], op[1]
+                bw.ue(code)
+                if code in (1, 2, 3, 4, 6):
+                    bw.ue(v1)
+                if code == 3:
+                    bw.ue(op[2])
+            bw.ue(0)    # end of ops
         else:
             bw.flag(0)  # adaptive_ref_pic_marking_mode_flag (sliding window)
     if pps.entropy_coding_mode_flag and slice_type not in (SliceType.I, SliceType.SI):
@@ -536,7 +560,9 @@ def serialize_slice(pic, sps, pps, *, slice_type: SliceType, frame_num: int,
                     num_ref_idx_l0: int = 1, num_ref_idx_l1: int = 1,
                     is_ref: bool = True, mb_addrs=None,
                     slice_group_change_cycle: int = 0,
-                    wp_l0=None, wp_l1=None) -> bytes:
+                    wp_l0=None, wp_l1=None,
+                    long_term_flag: int = 0, mmco_ops=None,
+                    ref_mod_l0=None, ref_mod_l1=None) -> bytes:
     """Serialize one slice; mb_addrs = MB addresses in decode order
     (default: the whole picture in raster order); returns RBSP."""
     if mb_addrs is None:
@@ -549,7 +575,9 @@ def serialize_slice(pic, sps, pps, *, slice_type: SliceType, frame_num: int,
                        num_ref_idx_l1=num_ref_idx_l1, is_ref=is_ref,
                        first_mb=mb_addrs[0],
                        slice_group_change_cycle=slice_group_change_cycle,
-                       wp_l0=wp_l0, wp_l1=wp_l1)
+                       wp_l0=wp_l0, wp_l1=wp_l1,
+                       long_term_flag=long_term_flag, mmco_ops=mmco_ops,
+                       ref_mod_l0=ref_mod_l0, ref_mod_l1=ref_mod_l1)
     w = MBWriter(bw, pic, sps, pps, qp)
     for addr in mb_addrs:
         w.write_mb(addr, slice_type, num_ref_idx_l0, num_ref_idx_l1)

@@ -729,7 +729,9 @@ def serialize_slice_cabac(pic, sps, pps, *, slice_type, frame_num, idr, qp,
                           cabac_init_idc=0, num_ref_idx_l1=1,
                           is_ref=True, mb_addrs=None,
                           slice_group_change_cycle=0,
-                          wp_l0=None, wp_l1=None) -> bytes:
+                          wp_l0=None, wp_l1=None,
+                          long_term_flag=0, mmco_ops=None,
+                          ref_mod_l0=None, ref_mod_l1=None) -> bytes:
     from .syntax import write_slice_header
     if mb_addrs is None:
         mb_addrs = range(pic.n_mbs)
@@ -742,7 +744,9 @@ def serialize_slice_cabac(pic, sps, pps, *, slice_type, frame_num, idr, qp,
                        num_ref_idx_l1=num_ref_idx_l1, is_ref=is_ref,
                        first_mb=mb_addrs[0],
                        slice_group_change_cycle=slice_group_change_cycle,
-                       wp_l0=wp_l0, wp_l1=wp_l1)
+                       wp_l0=wp_l0, wp_l1=wp_l1,
+                       long_term_flag=long_term_flag, mmco_ops=mmco_ops,
+                       ref_mod_l0=ref_mod_l0, ref_mod_l1=ref_mod_l1)
     # cabac_alignment_one_bit
     while not bw.byte_aligned():
         bw.u(1, 1)
