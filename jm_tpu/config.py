@@ -81,6 +81,7 @@ class EncoderParams:
     HierarchicalCoding: int = 0
     LongTermPeriod: int = 0
     Transform8x8Mode: int = 0
+    YUVFormat: int = 1
     RDOptimization: int = 0
     EnableIPCM: int = 0
     RDPictureDecision: int = 0
@@ -114,7 +115,7 @@ class EncoderParams:
         "SearchRange", "SymbolMode", "ProfileIDC", "LevelIDC",
         "InterSearch8x4", "InterSearch4x8", "InterSearch4x4",
         "NumberBFrames", "HierarchicalCoding", "LongTermPeriod", "Transform8x8Mode",
-        "RDOptimization", "EnableIPCM", "RDPictureDecision", "RateControlEnable",
+        "RDOptimization", "EnableIPCM", "RDPictureDecision", "YUVFormat", "RateControlEnable",
         "Bitrate", "InitialQP", "DistortionSSIM",
         "DistortionMSSSIM", "SSIMOverlapSize", "OutFileMode",
         "SliceMode", "SliceArgument", "num_slice_groups_minus1",
@@ -206,6 +207,7 @@ class EncoderParams:
             hierarchical=1 if self.HierarchicalCoding else 0,
             long_term_period=self.LongTermPeriod,
             transform8x8=bool(self.Transform8x8Mode),
+            chroma_format=self.YUVFormat if self.YUVFormat in (1, 2) else 1,
             rdo=1 if self.RDOptimization else 0,
             enable_ipcm=self.EnableIPCM,
             rd_picture_decision=bool(self.RDPictureDecision),

@@ -54,6 +54,7 @@ class EncoderConfig:
     level_idc: int = 30
     deblock: bool = True
     entropy: str = "cavlc"       # "cavlc" | "cabac" (cabac => Main profile)
+    chroma_format: int = 1       # 1 = 4:2:0, 2 = 4:2:2 (High 4:2:2 profile)
     num_b: int = 0               # B pictures between anchors (IbbP..)
     hierarchical: int = 0        # dyadic B pyramid with reference Bs (E3,
                                  # lencod HierarchicalCoding/explicit_gop.c)
@@ -111,6 +112,8 @@ class Encoder:
         use_wp = cfg.weighted_pred or cfg.weighted_bipred
         profile = 100 if cfg.transform8x8 else \
             (77 if (cfg.entropy == "cabac" or use_b or use_wp) else 66)
+        if cfg.chroma_format == 2:
+            profile = 122              # High 4:2:2
         # B pictures need both anchors resident in the decoder DPB, so the
         # sliding window must hold at least two references; a dyadic
         # pyramid keeps one reference B per level alive as well
@@ -144,6 +147,7 @@ class Encoder:
             max_num_ref_frames=self.dpb_size,
             pic_width_in_mbs_minus1=self.mb_w - 1,
             pic_height_in_map_units_minus1=self.mb_h - 1,
+            chroma_format_idc=cfg.chroma_format,
             frame_mbs_only_flag=1, direct_8x8_inference_flag=1)
         if cfg.enable_vui:
             # timing info (lencod GenerateVUI_parameters_rbsp:1048): frame
@@ -615,7 +619,10 @@ class _FrameEncoder:
         self.qpc = chroma_qp(self.qp, enc.pps.chroma_qp_index_offset)
         self.lam = lambda_me(self.qp)
         self.lam4 = lambda_mode4(self.qp)
-        self.pic = PictureData(self.mb_w, self.mb_h)
+        self.cfi = enc.sps.chroma_format_idc
+        self.crows = 4 if self.cfi == 2 else 2   # chroma 4x4 rows per MB
+        self.ch_mb = self.crows * 4              # chroma MB height
+        self.pic = PictureData(self.mb_w, self.mb_h, self.cfi)
         self.pctx = PredCtx(self.pic)
         self.recY = np.zeros_like(self.origY)
         self.recU = np.zeros_like(self.origU)
@@ -629,9 +636,11 @@ class _FrameEncoder:
     def _mb_orig(self, addr):
         mbx, mby = addr % self.mb_w, addr // self.mb_w
         px, py = mbx * 16, mby * 16
+        cy, ch = mby * self.ch_mb, self.ch_mb
+        cx = px // 2
         return (self.origY[py:py + 16, px:px + 16],
-                self.origU[py // 2:py // 2 + 8, px // 2:px // 2 + 8],
-                self.origV[py // 2:py // 2 + 8, px // 2:px // 2 + 8])
+                self.origU[cy:cy + ch, cx:cx + 8],
+                self.origV[cy:cy + ch, cx:cx + 8])
 
     def _mb_avail(self, naddr, addr):
         return self.pctx.avail(naddr, addr)
@@ -814,7 +823,8 @@ class _FrameEncoder:
     def _encode_chroma_intra(self, addr):
         pic = self.pic
         mbx, mby = addr % self.mb_w, addr // self.mb_w
-        cx, cy = mbx * 8, mby * 8
+        cx, cy = mbx * 8, mby * self.ch_mb
+        ch = self.ch_mb
         avail_l = mbx > 0 and self._mb_avail(addr - 1, addr)
         avail_t = self._mb_avail(addr - self.mb_w, addr)
         avail_tl = mbx > 0 and self._mb_avail(addr - self.mb_w - 1, addr)
@@ -833,8 +843,8 @@ class _FrameEncoder:
             for comp, plane, orig in ((0, self.recU, origU), (1, self.recV, origV)):
                 top = plane[cy - 1, cx:cx + 8].astype(np.int32) if avail_t \
                     else np.zeros(8, np.int32)
-                left = plane[cy:cy + 8, cx - 1].astype(np.int32) if avail_l \
-                    else np.zeros(8, np.int32)
+                left = plane[cy:cy + ch, cx - 1].astype(np.int32) if avail_l \
+                    else np.zeros(ch, np.int32)
                 corner = int(plane[cy - 1, cx - 1]) if avail_tl else 0
                 pred = it.predict_chroma(m, top, left, corner, avail_t, avail_l)
                 sad += int(np.abs(orig.astype(np.int32) - pred).sum())
@@ -846,25 +856,33 @@ class _FrameEncoder:
         return self._code_chroma_residual(addr, preds[0], preds[1], intra=True)
 
     def _code_chroma_residual(self, addr, predU, predV, intra):
-        """Quantize and commit chroma residual; returns cbp_chroma (0/1/2)."""
+        """Quantize and commit chroma residual; returns cbp_chroma (0/1/2).
+        4:2:0: 2x2 DC hadamard; 4:2:2: 2x4 DC hadamard at QPc+3
+        (lencod/src/block.c:954-1160)."""
         pic, qpc = self.pic, self.qpc
         mbx, mby = addr % self.mb_w, addr // self.mb_w
-        cx, cy = mbx * 8, mby * 8
+        crows, ch = self.crows, self.ch_mb
+        nb = 2 * crows
+        cx, cy = mbx * 8, mby * ch
         origU, origV = self._mb_orig(addr)[1:]
         any_ac = False
         any_dc = False
         store = []
         for comp, pred, orig in ((0, predU, origU), (1, predV, origV)):
             res = orig.astype(np.int64) - pred
-            blocks = res.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 4, 4)
+            blocks = res.reshape(crows, 4, 2, 4).transpose(0, 2, 1, 3) \
+                .reshape(nb, 4, 4)
             w = RN.np_forward4x4(blocks)
-            dc = w[:, 0, 0].reshape(2, 2)
-            dc_t = RN.np_hadamard2x2(dc)
-            dc_lev = RN.np_quant_dc(dc_t, qpc, intra)
+            dcs = w[:, 0, 0]
+            if crows == 2:
+                dc_t = RN.np_hadamard2x2(dcs.reshape(2, 2))
+                dc_lev = RN.np_quant_dc(dc_t, qpc, intra).reshape(4)
+            else:
+                dc_lev = RN.quant_dc422(dcs, qpc, intra)
             ac = RN.np_quant_4x4(w, qpc, intra)
             ac_scan = RN.to_scan(ac)
             ac_scan[:, 0] = 0
-            store.append((dc_lev.reshape(4), ac_scan, pred))
+            store.append((dc_lev, ac_scan, pred))
             if (ac_scan[:, 1:] != 0).any():
                 any_ac = True
             if (dc_lev != 0).any():
@@ -879,11 +897,16 @@ class _FrameEncoder:
             pic.chroma_coef[addr, comp, :, :] = 0
             pic.chroma_coef[addr, comp, :, 1:] = ac_scan[:, 1:]
             pic.chroma_nnz[addr, comp] = (ac_scan[:, 1:] != 0).sum(axis=1)
-            pred_blocks = pred.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 4, 4)
-            rec = RN.recon_chroma(pred_blocks, ac_scan, dc_lev, qpc)
-            rec8 = rec.reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
+            pred_blocks = pred.reshape(crows, 4, 2, 4).transpose(0, 2, 1, 3) \
+                .reshape(nb, 4, 4)
+            if crows == 2:
+                rec = RN.recon_chroma(pred_blocks, ac_scan, dc_lev, qpc)
+            else:
+                rec = RN.recon_chroma422(pred_blocks, ac_scan, dc_lev, qpc)
+            rec8 = rec.reshape(crows, 2, 4, 4).transpose(0, 2, 1, 3) \
+                .reshape(ch, 8)
             plane = self.recU if comp == 0 else self.recV
-            plane[cy:cy + 8, cx:cx + 8] = rec8
+            plane[cy:cy + ch, cx:cx + 8] = rec8
         return cbp_chroma
 
     def _encode_intra_mb(self, addr):
@@ -1080,9 +1103,9 @@ class _FrameEncoder:
         pic.ref_idx[addr] = -1
         pic.cbp[addr] = 0
         self.recY[py:py + 16, px:px + 16] = Y
-        cy, cx = py // 2, px // 2
-        self.recU[cy:cy + 8, cx:cx + 8] = U
-        self.recV[cy:cy + 8, cx:cx + 8] = V
+        cy, cx, ch = mby * self.ch_mb, px // 2, self.ch_mb
+        self.recU[cy:cy + ch, cx:cx + 8] = U
+        self.recV[cy:cy + ch, cx:cx + 8] = V
 
     def _p_mode_rd(self, addr, candidates, sub_commit, skip_mv):
         """md_high tier (E8): trial-encode the leading candidates and pick
@@ -1166,9 +1189,10 @@ class _FrameEncoder:
                     pic.pdir[addr, q] = 0
 
         # ---- prediction assembly (mirrors decoder recon granularity) ----
+        cbh = self.ch_mb // 4                # chroma rows per luma 4x4 row
         pred_y = np.zeros((16, 16), np.int64)
-        pred_u = np.zeros((8, 8), np.int64)
-        pred_v = np.zeros((8, 8), np.int64)
+        pred_u = np.zeros((self.ch_mb, 8), np.int64)
+        pred_v = np.zeros((self.ch_mb, 8), np.int64)
         for blk in range(16):
             byy, bxx = divmod(blk, 4)
             q = (byy // 2) * 2 + (bxx // 2)
@@ -1179,26 +1203,21 @@ class _FrameEncoder:
             y4 = (py + byy * 4) * 4 + mvy
             yb = ip.mc_luma_block(rf.luma_planes, x4, y4, 4, 4,
                                   self.w, self.h)
-            cx8 = (px // 2 + bxx * 2) * 8 + mvx
-            cy8 = (py // 2 + byy * 2) * 8 + mvy
-            ub = ip.mc_chroma_block(rf.chroma_pad[0], cx8, cy8, 2, 2,
-                                    self.w // 2, self.h // 2)
-            vb = ip.mc_chroma_block(rf.chroma_pad[1], cx8, cy8, 2, 2,
-                                    self.w // 2, self.h // 2)
+            ub, vb = self._mc_chroma(rf, px, py, bxx, byy, mvx, mvy)
             if self.wp is not None:
                 yb = self.wp.uni(yb, 0, r, 0)
                 ub = self.wp.uni(ub, 0, r, 1)
                 vb = self.wp.uni(vb, 0, r, 2)
             pred_y[byy * 4:byy * 4 + 4, bxx * 4:bxx * 4 + 4] = yb
-            pred_u[byy * 2:byy * 2 + 2, bxx * 2:bxx * 2 + 2] = ub
-            pred_v[byy * 2:byy * 2 + 2, bxx * 2:bxx * 2 + 2] = vb
+            pred_u[byy * cbh:(byy + 1) * cbh, bxx * 2:bxx * 2 + 2] = ub
+            pred_v[byy * cbh:(byy + 1) * cbh, bxx * 2:bxx * 2 + 2] = vb
 
         if no_residual:
             # forced P_SKIP trial: reconstruction is the prediction
-            cy, cx = py // 2, px // 2
+            cy, cx, ch = mby * self.ch_mb, px // 2, self.ch_mb
             self.recY[py:py + 16, px:px + 16] = np.clip(pred_y, 0, 255)
-            self.recU[cy:cy + 8, cx:cx + 8] = np.clip(pred_u, 0, 255)
-            self.recV[cy:cy + 8, cx:cx + 8] = np.clip(pred_v, 0, 255)
+            self.recU[cy:cy + ch, cx:cx + 8] = np.clip(pred_u, 0, 255)
+            self.recV[cy:cy + ch, cx:cx + 8] = np.clip(pred_v, 0, 255)
             pic.cbp[addr] = 0
             if (best_mode == 0 and pic.ref_idx[addr, 0] == 0
                     and (pic.mv[addr, 0] == skip_mv).all()):
@@ -1283,18 +1302,30 @@ class _FrameEncoder:
 
     # ---- B slices ---------------------------------------------------------
 
+    def _mc_chroma(self, ref, px, py, bx, by, mvx, mvy):
+        """Chroma MC for one luma 4x4 (2x2 in 4:2:0, 2x4 in 4:2:2 where the
+        luma quarter-pel vector doubles into eighth-pel — decoder _mc_4x4
+        recon.py twin)."""
+        cx8 = (px // 2 + bx * 2) * 8 + mvx
+        if self.crows == 2:
+            cy8 = (py // 2 + by * 2) * 8 + mvy
+            cbh, chh = 2, self.h // 2
+        else:
+            cy8 = (py + by * 4) * 8 + mvy * 2
+            cbh, chh = 4, self.h
+        ub = ip.mc_chroma_block(ref.chroma_pad[0], cx8, cy8, 2, cbh,
+                                self.w // 2, chh)
+        vb = ip.mc_chroma_block(ref.chroma_pad[1], cx8, cy8, 2, cbh,
+                                self.w // 2, chh)
+        return ub, vb
+
     def _mc_blk_b(self, ref, px, py, bx, by, mv):
-        """4x4 luma + 2x2 chroma MC from one reference (decoder's _mc_4x4)."""
+        """4x4 luma + chroma MC from one reference (decoder's _mc_4x4)."""
         mvx, mvy = int(mv[0]), int(mv[1])
         x4 = (px + bx * 4) * 4 + mvx
         y4 = (py + by * 4) * 4 + mvy
         yb = ip.mc_luma_block(ref.luma_planes, x4, y4, 4, 4, self.w, self.h)
-        cx8 = (px // 2 + bx * 2) * 8 + mvx
-        cy8 = (py // 2 + by * 2) * 8 + mvy
-        ub = ip.mc_chroma_block(ref.chroma_pad[0], cx8, cy8, 2, 2,
-                                self.w // 2, self.h // 2)
-        vb = ip.mc_chroma_block(ref.chroma_pad[1], cx8, cy8, 2, 2,
-                                self.w // 2, self.h // 2)
+        ub, vb = self._mc_chroma(ref, px, py, bx, by, mvx, mvy)
         return yb, ub, vb
 
     def _b_pred_assemble(self, addr):
@@ -1305,9 +1336,10 @@ class _FrameEncoder:
         mbx, mby = addr % self.mb_w, addr // self.mb_w
         px, py = mbx * 16, mby * 16
         pred_y = np.zeros((16, 16), np.int32)
-        pred_u = np.zeros((8, 8), np.int32)
-        pred_v = np.zeros((8, 8), np.int32)
+        pred_u = np.zeros((self.ch_mb, 8), np.int32)
+        pred_v = np.zeros((self.ch_mb, 8), np.int32)
         wp = self.wp
+        cbh = self.ch_mb // 4
         for blk in range(16):
             byy, bxx = divmod(blk, 4)
             q = (byy // 2) * 2 + (bxx // 2)
@@ -1341,8 +1373,8 @@ class _FrameEncoder:
                 ub = (u0 + u1 + 1) >> 1
                 vb = (v0 + v1 + 1) >> 1
             pred_y[byy * 4:byy * 4 + 4, bxx * 4:bxx * 4 + 4] = yb
-            pred_u[byy * 2:byy * 2 + 2, bxx * 2:bxx * 2 + 2] = ub
-            pred_v[byy * 2:byy * 2 + 2, bxx * 2:bxx * 2 + 2] = vb
+            pred_u[byy * cbh:(byy + 1) * cbh, bxx * 2:bxx * 2 + 2] = ub
+            pred_v[byy * cbh:(byy + 1) * cbh, bxx * 2:bxx * 2 + 2] = vb
         return pred_y, pred_u, pred_v
 
     def _commit_inter_residual(self, addr, o, pred_y, pred_u, pred_v):

@@ -44,9 +44,11 @@ class MBState:
                      if hasattr(pic, k)}
         self.recY = fe.recY[self.py:self.py + 16,
                             self.px:self.px + 16].copy()
-        cy, cx = self.py // 2, self.px // 2
-        self.recU = fe.recU[cy:cy + 8, cx:cx + 8].copy()
-        self.recV = fe.recV[cy:cy + 8, cx:cx + 8].copy()
+        ch = fe.ch_mb
+        cy, cx = mby * ch, self.px // 2
+        self._csl = (slice(cy, cy + ch), slice(cx, cx + 8))
+        self.recU = fe.recU[self._csl].copy()
+        self.recV = fe.recV[self._csl].copy()
 
     def restore(self):
         fe, addr = self.fe, self.addr
@@ -54,9 +56,8 @@ class MBState:
         for k, v in self.rows.items():
             getattr(pic, k)[addr] = v
         fe.recY[self.py:self.py + 16, self.px:self.px + 16] = self.recY
-        cy, cx = self.py // 2, self.px // 2
-        fe.recU[cy:cy + 8, cx:cx + 8] = self.recU
-        fe.recV[cy:cy + 8, cx:cx + 8] = self.recV
+        fe.recU[self._csl] = self.recU
+        fe.recV[self._csl] = self.recV
 
 
 def count_mb_bits(fe, addr: int, slice_type) -> int:
@@ -76,8 +77,9 @@ def mb_ssd(fe, addr: int) -> int:
     mbx, mby = addr % fe.mb_w, addr // fe.mb_w
     px, py = mbx * 16, mby * 16
     oY, oU, oV = fe._mb_orig(addr)
-    cy, cx = py // 2, px // 2
+    ch = fe.ch_mb
+    cy, cx = mby * ch, px // 2
     dy = oY.astype(np.int64) - fe.recY[py:py + 16, px:px + 16]
-    du = oU.astype(np.int64) - fe.recU[cy:cy + 8, cx:cx + 8]
-    dv = oV.astype(np.int64) - fe.recV[cy:cy + 8, cx:cx + 8]
+    du = oU.astype(np.int64) - fe.recU[cy:cy + ch, cx:cx + 8]
+    dv = oV.astype(np.int64) - fe.recV[cy:cy + ch, cx:cx + 8]
     return int((dy * dy).sum() + (du * du).sum() + (dv * dv).sum())

@@ -113,6 +113,56 @@ def recon_chroma(pred_blocks, ac_scan, dc_lev, qp_c):
     return np.clip(pred_blocks + r, 0, 255).astype(np.uint8)
 
 
+def np_hadamard4x2(dc_cols: np.ndarray) -> np.ndarray:
+    """Forward 4:2:2 chroma DC hadamard (lcommon/src/transform.c
+    hadamard4x2:220). Input/output (2, 4) in the reference's transposed
+    [column i][row j] layout."""
+    d = dc_cols.astype(np.int64)
+    tmp = np.stack([d[0] + d[1], d[0] - d[1]])          # (2, 4)
+    p0, p1, p2, p3 = tmp[:, 0], tmp[:, 1], tmp[:, 2], tmp[:, 3]
+    t0, t1 = p0 + p3, p1 + p2
+    t2, t3 = p1 - p2, p0 - p3
+    return np.stack([t0 + t1, t3 + t2, t0 - t1, t3 - t2], axis=-1)
+
+
+# 4:2:2 chroma DC transmission scan (ldecod/inc/macroblock.h SCAN_YUV422)
+SCAN_YUV422 = [(0, 0), (0, 1), (1, 0), (0, 2), (0, 3), (1, 1), (1, 2),
+               (1, 3)]
+
+
+def quant_dc422(dc_raster: np.ndarray, qp_c: int, intra: bool) -> np.ndarray:
+    """8 chroma DC levels in transmission scan order from the per-block
+    raster DCs (8,) of one 8x16 component (lencod block.c:1056-1076:
+    hadamard4x2 then DC quant at QPc+3)."""
+    cols = np.stack([dc_raster[0::2], dc_raster[1::2]])   # [col i][row j]
+    f = np_hadamard4x2(cols)
+    lev = np_quant_dc(f, qp_c + 3, intra)                 # (2, 4)
+    return np.array([lev[i, j] for (i, j) in SCAN_YUV422], np.int32)
+
+
+def recon_chroma422(pred_blocks, ac_scan, dc_scan, qp_c):
+    """Decode-mirror 4:2:2 chroma recon for one component: pred_blocks
+    (8,4,4) raster blocks (2 wide x 4 tall), ac_scan (8,16) with [*,0]==0,
+    dc_scan (8,) transmission-scan DC levels (recon.py:225-247 twin)."""
+    d = _np_dequant_4x4(from_scan(ac_scan), np.full((8,), qp_c, np.int64))
+    m3 = np.zeros((2, 4), np.int64)
+    for k, (i0, j0) in enumerate(SCAN_YUV422):
+        m3[i0, j0] = int(dc_scan[k])
+    m4 = np.stack([m3[0] + m3[1], m3[0] - m3[1]])         # (2 cols, 4)
+    m6 = np.stack([m4[:, 0] + m4[:, 2], m4[:, 0] - m4[:, 2],
+                   m4[:, 1] - m4[:, 3], m4[:, 1] + m4[:, 3]], axis=-1)
+    f = np.stack([m6[:, 0] + m6[:, 3], m6[:, 1] + m6[:, 2],
+                  m6[:, 1] - m6[:, 2], m6[:, 0] - m6[:, 3]], axis=-1)
+    qpdc = qp_c + 3
+    scale = int(FLAT_INV_SCALE_4x4[qpdc, 0, 0])
+    dc_s = rshift_rnd_sf((f * scale) << (qpdc // 6), 6)   # (2 cols, 4 rows)
+    for j in range(4):
+        for i in range(2):
+            d[j * 2 + i, 0, 0] = dc_s[i, j]
+    r = (_np_inv4(d) + 32) >> 6
+    return np.clip(pred_blocks + r, 0, 255).astype(np.uint8)
+
+
 def np_forward8x8(x: np.ndarray) -> np.ndarray:
     """Batched forward 8x8 transform (lencod/src/transform8x8.c
     forward_8x8), numpy twin of ops.transform.forward8x8."""

@@ -345,12 +345,15 @@ class MBWriter:
     def _write_chroma_residual(self, addr: int, cbp: int) -> None:
         pic, bw = self.pic, self.bw
         cbp_chroma = cbp >> 4
+        nb = 2 * pic.n_crows
+        dc_nc = -1 if pic.n_crows == 2 else -2   # ChromaDC 4:2:0 / 4:2:2
         if cbp_chroma & 3:
             for comp in range(2):
-                write_residual_block(bw, pic.chroma_dc[addr, comp], -1, 4)
+                write_residual_block(bw, pic.chroma_dc[addr, comp],
+                                     dc_nc, nb)
         if cbp_chroma & 2:
             for comp in range(2):
-                for blk in range(4):
+                for blk in range(nb):
                     nc = self.pctx.nc_chroma(addr, comp, blk)
                     write_residual_block(
                         bw, pic.chroma_coef[addr, comp, blk, 1:], nc, 15)

@@ -63,14 +63,15 @@ class MBWriterCABAC:
         return naddr, (gy % 4) * 4 + (gx % 4)
 
     def _cblk_neighbor(self, addr, cx, cy):
+        crows = self.pic.n_crows
         mbx, mby = addr % self.mb_w, addr // self.mb_w
-        gx, gy = mbx * 2 + cx, mby * 2 + cy
+        gx, gy = mbx * 2 + cx, mby * crows + cy
         if gx < 0 or gy < 0 or gx >= self.mb_w * 2:
             return None
-        naddr = (gy // 2) * self.mb_w + (gx // 2)
+        naddr = (gy // crows) * self.mb_w + (gx // 2)
         if naddr != addr and (naddr > addr or not self.pctx.avail(naddr, addr)):
             return None
-        return naddr, (gy % 2) * 2 + (gx % 2)
+        return naddr, (gy % crows) * 2 + (gx % 2)
 
     # ---- element writers --------------------------------------------------
 
@@ -328,7 +329,7 @@ class MBWriterCABAC:
                     _get_bit(pic.cbp_bits[naddr], 1 + nblk)
             ctx = 2 * ub + lb
             bit0 = 1 + by * 4 + bx
-        elif block_type == CHROMA_DC:
+        elif block_type in (CHROMA_DC, 8):      # 8 = CHROMA_DC_2x4 (4:2:2)
             default = 1 if is_intra else 0
             ub = lb = default
             bit = 17 if comp == 0 else 18
@@ -449,15 +450,17 @@ class MBWriterCABAC:
                                       pic.luma_coef[addr, blk], bx, by)
 
     def _write_chroma_residual(self, addr, cbp):
+        from ..decoder.cabac import CHROMA_DC_2x4
         pic = self.pic
         cc = cbp >> 4
+        dc_type = CHROMA_DC_2x4 if pic.n_crows == 4 else CHROMA_DC
         if cc & 3:
             for comp in range(2):
-                self._write_block(addr, CHROMA_DC, pic.chroma_dc[addr, comp],
+                self._write_block(addr, dc_type, pic.chroma_dc[addr, comp],
                                   comp=comp)
         if cc & 2:
             for comp in range(2):
-                for blk in range(4):
+                for blk in range(2 * pic.n_crows):
                     by, bx = divmod(blk, 2)
                     self._write_block(addr, CHROMA_AC,
                                       pic.chroma_coef[addr, comp, blk, 1:16],

@@ -19,8 +19,12 @@ from ..encoder.encoder import Encoder
 from ..metrics import ms_ssim, psnr, ssim
 
 
-def read_yuv420_frames(path: str, w: int, h: int, n: int, start: int = 0):
-    fsz = w * h * 3 // 2
+def read_yuv420_frames(path: str, w: int, h: int, n: int, start: int = 0,
+                       chroma_format: int = 1):
+    """Planar YUV reader: 4:2:0 (default) or 4:2:2 (chroma w/2 x h)."""
+    ch, cw = (h, w // 2) if chroma_format == 2 else (h // 2, w // 2)
+    csz = ch * cw
+    fsz = w * h + 2 * csz
     frames = []
     with open(path, "rb") as fh:
         fh.seek(start * fsz)
@@ -30,8 +34,8 @@ def read_yuv420_frames(path: str, w: int, h: int, n: int, start: int = 0):
                 break
             a = np.frombuffer(raw, np.uint8)
             frames.append((a[:w * h].reshape(h, w),
-                           a[w * h:w * h * 5 // 4].reshape(h // 2, w // 2),
-                           a[w * h * 5 // 4:].reshape(h // 2, w // 2)))
+                           a[w * h:w * h + csz].reshape(ch, cw),
+                           a[w * h + csz:].reshape(ch, cw)))
     return frames
 
 
@@ -66,7 +70,9 @@ def main(argv=None) -> int:
 
     frames = read_yuv420_frames(prm.InputFile, prm.SourceWidth,
                                 prm.SourceHeight, prm.FramesToBeEncoded,
-                                prm.StartFrame)
+                                prm.StartFrame,
+                                chroma_format=prm.YUVFormat
+                                if prm.YUVFormat in (1, 2) else 1)
     if len(frames) < prm.FramesToBeEncoded:
         print(f"Incorrect FramesToBeEncoded: actual number is "
               f"{len(frames):>6} frames!")

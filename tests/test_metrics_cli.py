@@ -56,11 +56,11 @@ SearchRange =32
 
 def test_encoder_params_precedence_and_ignore():
     p = EncoderParams()
-    p.apply({"QPISlice": "30", "RDOptimization": "1", "SymbolMode": "1",
+    p.apply({"QPISlice": "30", "UseRDOQuant": "1", "SymbolMode": "1",
              "DistortionMS_SSIM": "1"})
     assert p.QPISlice == 30 and p.SymbolMode == 1
     assert p.DistortionMSSSIM == 1
-    assert "RDOptimization" in p.ignored
+    assert "UseRDOQuant" in p.ignored   # not yet implemented param
     p.apply({"QPISlice": "22"})     # later file/override wins
     assert p.QPISlice == 22
     cfg = p.to_encoder_config()
