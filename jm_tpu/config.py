@@ -79,6 +79,7 @@ class EncoderParams:
     LevelIDC: int = 30
     NumberBFrames: int = 0
     HierarchicalCoding: int = 0
+    ExplicitHierarchyFormat: str = ""
     LongTermPeriod: int = 0
     Transform8x8Mode: int = 0
     YUVFormat: int = 1
@@ -125,7 +126,8 @@ class EncoderParams:
         "slice_group_change_rate_minus1",
     }
     _STR_FIELDS = {"InputFile", "OutputFile", "ReconFile", "StatsFile",
-                   "SliceGroupConfigFileName", "LeakyBucketParamFile"}
+                   "SliceGroupConfigFileName", "LeakyBucketParamFile",
+                   "ExplicitHierarchyFormat"}
     _ALIASES = {
         "DistortionMS_SSIM": "DistortionMSSSIM",   # reference cfg name
         "LoopFilterDisable": "DisableLoopFilter",
@@ -206,6 +208,8 @@ class EncoderParams:
             num_b=self.NumberBFrames, qp_b=self.QPBSlice,
             hierarchical=1 if self.HierarchicalCoding else 0,
             long_term_period=self.LongTermPeriod,
+            explicit_gop=self.ExplicitHierarchyFormat
+            if self.HierarchicalCoding == 3 else "",
             transform8x8=bool(self.Transform8x8Mode),
             chroma_format=self.YUVFormat if self.YUVFormat in (1, 2) else 1,
             rdo=1 if self.RDOptimization else 0,

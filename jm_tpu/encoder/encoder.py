@@ -58,6 +58,8 @@ class EncoderConfig:
     num_b: int = 0               # B pictures between anchors (IbbP..)
     hierarchical: int = 0        # dyadic B pyramid with reference Bs (E3,
                                  # lencod HierarchicalCoding/explicit_gop.c)
+    explicit_gop: str = ""       # ExplicitHierarchyFormat string (overrides
+                                 # the dyadic order; encoder/gop.py)
     qp_b: int | None = None      # B-picture QP (default qp + 2)
     qp_p: int | None = None      # P-anchor QP (default qp)
     rc_enable: bool = False      # JVT-G012 rate control (jm_tpu.ratectl)
@@ -124,6 +126,12 @@ class Encoder:
             # both mini-GOP anchors + one reference B per pyramid level
             # must survive the sliding window until the leaves are coded
             self.dpb_size = max(self.dpb_size, levels + 2)
+        if use_b and cfg.explicit_gop:
+            from .gop import parse_explicit_hierarchy
+            n_ref_b = sum(e.as_ref
+                          for e in parse_explicit_hierarchy(cfg.explicit_gop))
+            # both anchors + every reference B of the enhancement GOP
+            self.dpb_size = max(self.dpb_size, 2 + n_ref_b)
         if cfg.long_term_period > 0:
             self.dpb_size = min(16, self.dpb_size + 1)  # LT anchor slot
         # Annex-A conformance (E39): auto-upgrade the level when the
@@ -307,12 +315,33 @@ class Encoder:
         prev_anchor = self.refs[0]
         out = self._emit_anchor(Y, U, V, disp)
         next_anchor = self.refs[0]
-        if self.cfg.hierarchical and bs:
+        if self.cfg.explicit_gop and bs:
+            out += self._emit_b_explicit(bs)
+        elif self.cfg.hierarchical and bs:
             out += self._emit_b_pyramid(bs, 0, len(bs) - 1, 1)
         else:
             for bdisp, bY, bU, bV in bs:
                 out += self._emit_b(bY, bU, bV, bdisp, prev_anchor,
                                     next_anchor)
+        return out
+
+    def _emit_b_explicit(self, bs) -> bytes:
+        """ExplicitHierarchyFormat coding order (explicit_gop.c twin):
+        entries name the B positions, reference-ness and QP offsets."""
+        from .gop import parse_explicit_hierarchy
+        out = b""
+        for e in parse_explicit_hierarchy(self.cfg.explicit_gop):
+            if e.display_no >= len(bs):
+                continue                 # trailing partial mini-GOP
+            disp, Y, U, V = bs[e.display_no]
+            poc = 2 * (disp - self._idr_disp)
+            lower = [f for f in self.refs if f.poc < poc]
+            higher = [f for f in self.refs if f.poc > poc]
+            l0 = max(lower, key=lambda f: f.poc)
+            l1 = min(higher, key=lambda f: f.poc) if higher \
+                else max(lower, key=lambda f: f.poc)
+            out += self._emit_b(Y, U, V, disp, l0, l1, as_ref=e.as_ref,
+                                qp_offset=e.qp_offset)
         return out
 
     def _emit_b_pyramid(self, bs, lo: int, hi: int, layer: int) -> bytes:
@@ -504,7 +533,7 @@ class Encoder:
 
     def _emit_b(self, Y, U, V, disp: int, prev_anchor: Frame,
                 next_anchor: Frame, as_ref: bool = False,
-                layer: int = 1) -> bytes:
+                layer: int = 1, qp_offset: int | None = None) -> bytes:
         """Encode one B picture between two references (non-reference by
         default; reference B inside a hierarchical pyramid)."""
         from ..decoder.b_slice import ColMotion
@@ -512,6 +541,8 @@ class Encoder:
         poc = 2 * (disp - self._idr_disp)
         if self.rc is not None:
             qp_b = self.rc.pict_qp("B")
+        elif qp_offset is not None:      # explicit GOP per-entry offset
+            qp_b = max(0, min(51, cfg.qp + qp_offset))
         else:
             qp_b = cfg.qp_b if cfg.qp_b is not None else cfg.qp + 2
             qp_b = min(51, qp_b + max(0, layer - 1))  # temporal-layer offset

@@ -52,3 +52,21 @@ def test_hierarchical_uses_reference_bs():
 
 def test_hierarchical_with_open_gop_intra():
     _roundtrip(num_b=3, hierarchical=1, intra_period=2, entropy="cabac")
+
+
+def test_explicit_gop_string():
+    """E3: ExplicitHierarchyFormat coding order with per-entry QP offsets
+    and reference-ness (JM interop verified with /verify)."""
+    from jm_tpu.encoder.gop import parse_explicit_hierarchy
+    es = parse_explicit_hierarchy("b1r1b0e3b2e3")
+    assert [(e.display_no, e.as_ref, e.qp_offset) for e in es] == \
+        [(1, True, 1), (0, False, 3), (2, False, 3)]
+    enc = _roundtrip(num_b=3, explicit_gop="b1r1b0e3b2e3")
+    qps = [r["qp"] for r in sorted(enc.results, key=lambda r: r["disp"])]
+    assert qps[1] == 33 and qps[2] == 31     # base 30 + offsets
+    _roundtrip(num_b=2, explicit_gop="b0r1b1e2")   # low-delay shape
+    import pytest
+    with pytest.raises(ValueError):
+        parse_explicit_hierarchy("p1r0")     # P enhancement unsupported
+    with pytest.raises(ValueError):
+        parse_explicit_hierarchy("b1r0b1e0")  # duplicate display_no
