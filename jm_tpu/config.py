@@ -85,6 +85,8 @@ class EncoderParams:
     YUVFormat: int = 1
     RDOptimization: int = 0
     EnableIPCM: int = 0
+    NumberOfDecoders: int = 0
+    LossRateA: int = 0
     RDPictureDecision: int = 0
     DisableLoopFilter: int = 0   # via LoopFilterDisable
     RateControlEnable: int = 0
@@ -116,7 +118,8 @@ class EncoderParams:
         "SearchRange", "SymbolMode", "ProfileIDC", "LevelIDC",
         "InterSearch8x4", "InterSearch4x8", "InterSearch4x4",
         "NumberBFrames", "HierarchicalCoding", "LongTermPeriod", "Transform8x8Mode",
-        "RDOptimization", "EnableIPCM", "RDPictureDecision", "YUVFormat", "RateControlEnable",
+        "RDOptimization", "EnableIPCM", "RDPictureDecision", "YUVFormat",
+        "NumberOfDecoders", "LossRateA", "RateControlEnable",
         "Bitrate", "InitialQP", "DistortionSSIM",
         "DistortionMSSSIM", "SSIMOverlapSize", "OutFileMode",
         "SliceMode", "SliceArgument", "num_slice_groups_minus1",
@@ -213,6 +216,8 @@ class EncoderParams:
             transform8x8=bool(self.Transform8x8Mode),
             chroma_format=self.YUVFormat if self.YUVFormat in (1, 2) else 1,
             rdo=1 if self.RDOptimization else 0,
+            num_decoders=self.NumberOfDecoders if self.RDOptimization == 3 else 0,
+            loss_rate_a=self.LossRateA if self.RDOptimization == 3 else 0,
             enable_ipcm=self.EnableIPCM,
             rd_picture_decision=bool(self.RDPictureDecision),
             rc_enable=bool(self.RateControlEnable),

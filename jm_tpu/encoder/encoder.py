@@ -83,6 +83,8 @@ class EncoderConfig:
                                        # lencod RDPictureDecision/image_mp.c)
     long_term_period: int = 0    # mark every Nth anchor long-term via MMCO
                                  # (E24, lencod mmco.c adaptive marking)
+    num_decoders: int = 0        # errdo: simulated lossy decoders (E32,
+    loss_rate_a: int = 0         # lencod NumberOfDecoders / LossRateA)
     sub8x8: bool = False         # P8x8 sub-partitions 8x4/4x8/4x4 (E7)
     subpel_satd: bool = True     # Hadamard SATD in fractional ME (E16,
                                  # JM MEDistortionHPel/QPel=2 default)
@@ -219,6 +221,11 @@ class Encoder:
         self._refresh_perm = []
         self._refresh_pos = 0
         self._refresh_rng = np.random.default_rng(1)
+        self.errdo = None
+        if cfg.num_decoders > 0 and cfg.loss_rate_a > 0:
+            from .errdo import ErrdoState
+            self.errdo = ErrdoState(cfg.num_decoders, cfg.loss_rate_a,
+                                    cfg.height, cfg.width)
 
     def _refresh_set(self) -> set:
         k = self.cfg.intra_mb_refresh
@@ -459,6 +466,8 @@ class Encoder:
         if is_idr:
             self.refs = []
         self._store_ref(frame, long_term=lt_mark)
+        if self.errdo is not None:   # advance the simulated lossy decoders
+            self.errdo.update(pic, recY, self.mb_w, is_ref=True)
 
         # serialize
         payload = b""
@@ -1148,10 +1157,14 @@ class _FrameEncoder:
         base = MBState(self, addr)
         best = None
 
+        errdo = self.enc.errdo
+
         def consider():
             nonlocal best
             bits = count_mb_bits(self, addr, SliceType.P)
             j = mb_ssd(self, addr) + lam * bits
+            if errdo is not None:   # expected drift of lossy decoders (E32)
+                j += errdo.mb_error_energy(pic, addr, self.mb_w)
             if best is None or j < best[0]:
                 best = (j, MBState(self, addr))
 

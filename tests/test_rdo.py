@@ -100,3 +100,27 @@ def test_rd_picture_decision():
         assert np.array_equal(a.Y, b.Y)
     qps = {r["qp"] for r in enc.results}
     assert qps <= {29, 30, 31}
+
+
+def test_errdo_loss_aware_rdo():
+    """E32: with simulated lossy decoders the mode decision buys
+    robustness — strictly more intra MBs than the clean RD run."""
+    frames = _seq(6)
+
+    def run(**kw):
+        enc = Encoder(EncoderConfig(width=112, height=80, qp=30, rdo=1,
+                                    **kw))
+        out = b""
+        for Y, U, V in frames:
+            out += enc.encode_frame(Y, U, V)
+        d = H264Decoder()
+        dec = sorted(d.decode_annexb(out), key=lambda f: f.poc)
+        rec = [r["frame"] for r in sorted(enc.results,
+                                          key=lambda r: r["disp"])]
+        for a, b in zip(rec, dec):
+            assert np.array_equal(a.Y, b.Y)
+        return d.stats["mb_intra4"] + d.stats["mb_intra16"]
+
+    clean = run()
+    lossy = run(num_decoders=6, loss_rate_a=12)
+    assert lossy > clean
