@@ -291,3 +291,45 @@ class RateControl:
             self.prev_last_qp = qp
             self.curr_last_qp = qp
             self.prev_mad = mad
+
+
+class BasicUnitRC:
+    """Within-frame basic-unit QP adaptation (E29, lencod rc_quadratic.c
+    updateQPRC0/1 basic-unit branch): the frame's bit budget is spread
+    over basic units; after each unit the QP for the next one moves with
+    the running surplus/deficit, clipped to +-2 per step and +-6 around
+    the frame QP (the reference's DQP clamps)."""
+
+    def __init__(self, frame_qp: int, target_bits: float, n_mbs: int,
+                 basic_unit: int):
+        self.frame_qp = frame_qp
+        self.qp = frame_qp
+        self.target = max(float(target_bits), 1.0)
+        self.n_mbs = n_mbs
+        self.bu = max(1, basic_unit)
+        self.spent = 0.0
+        self.done = 0
+
+    def mb_qp(self) -> int:
+        return self.qp
+
+    def report(self, mb_bits: int) -> None:
+        """Account one coded MB; adapt QP at basic-unit boundaries."""
+        self.spent += mb_bits
+        self.done += 1
+        if self.done % self.bu or self.done >= self.n_mbs:
+            return
+        expected = self.target * self.done / self.n_mbs
+        ratio = self.spent / max(expected, 1.0)
+        step = 0
+        if ratio > 1.25:
+            step = 2
+        elif ratio > 1.08:
+            step = 1
+        elif ratio < 0.80:
+            step = -2
+        elif ratio < 0.92:
+            step = -1
+        self.qp = max(self.frame_qp - 6,
+                      min(self.frame_qp + 6, self.qp + step))
+        self.qp = max(0, min(51, self.qp))
