@@ -131,7 +131,9 @@ def annexb_to_rtp(annexb: bytes) -> bytes:
     """Re-containerize an Annex-B stream as a JM RTP dump file, preserving
     the EBSP bytes exactly. Marker bit follows the reference rule (long
     startcode => marker, lencod/src/rtp.c:201); the timestamp advances one
-    TR tick per coded picture (slice NALU closes the access unit)."""
+    TR tick per coded picture — a slice NALU with first_mb_in_slice == 0
+    opens a new access unit (multi-slice/FMO pictures share one TR,
+    matching JM's per-picture RTPUpdateTimestamp)."""
     import numpy as np
     buf = np.frombuffer(annexb, dtype=np.uint8)
     z = buf == 0
@@ -139,7 +141,7 @@ def annexb_to_rtp(annexb: bytes) -> bytes:
     w = RtpDumpWriter()
     starts = sc3 + 3
     ends = list(sc3[1:]) + [len(buf)]
-    frame_no = 0
+    frame_no = -1
     for s, e in zip(starts, ends):
         long_sc = s >= 4 and buf[s - 4] == 0
         while e > s and buf[e - 1] == 0:
@@ -147,9 +149,11 @@ def annexb_to_rtp(annexb: bytes) -> bytes:
         if e <= s:
             continue
         payload = buf[s:e].tobytes()          # NAL header byte + EBSP
-        w.update_timestamp(frame_no & 0xFF)
-        if payload[0] & 0x1F in (1, 5):       # slice ends this access unit
+        # first_mb_in_slice == 0 <=> first RBSP bit set (ue(v) == 0)
+        if (payload[0] & 0x1F in (1, 5) and len(payload) > 1
+                and payload[1] & 0x80):
             frame_no += 1
+        w.update_timestamp(max(frame_no, 0) & 0xFF)
         pkt = compose_packet(RtpPacket(w.seq, w.timestamp,
                                        1 if long_sc else 0, payload))
         w.buf += struct.pack("<Ii", len(pkt), w.timestamp) + pkt

@@ -40,12 +40,14 @@ def conceal_lost_frame(dpb_frames: list[Frame], frame_num: int, poc: int,
         Y, U, V = src.Y.copy(), src.U.copy(), src.V.copy()
     f = Frame(poc=poc, frame_num=frame_num, Y=Y, U=U, V=V, is_ref=True)
     f.concealed = True
-    # a concealed frame has no trustworthy motion; store zero motion so
-    # dependent direct-mode B pictures stay decodable
+    # a concealed frame has no trustworthy motion; store a neutral field
+    # (mv=0, ref_idx=-1, ref_pic_id=-1) so dependent direct-mode B
+    # pictures see a consistent "no motion available" state per block
     if src.motion is not None:
-        z = tuple(np.zeros_like(a) if a.dtype != np.int64 else
-                  np.full_like(a, -1) for a in src.motion)
-        f.motion = z
+        mv, ref_idx, mv_l1, ref_idx_l1, rp0, rp1 = src.motion
+        f.motion = (np.zeros_like(mv), np.full_like(ref_idx, -1),
+                    np.zeros_like(mv_l1), np.full_like(ref_idx_l1, -1),
+                    np.full_like(rp0, -1), np.full_like(rp1, -1))
     return f
 
 

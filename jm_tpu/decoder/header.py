@@ -115,8 +115,10 @@ def parse_slice_header(nal: NalUnit, sps_map: dict[int, SPS],
     if pps.num_slice_groups_minus1 > 0 and pps.slice_group_map_type in (3, 4, 5):
         pic_size_units = (sps.pic_width_in_mbs * sps.frame_height_in_mbs)
         rate = pps.slice_group_change_rate_minus1 + 1
-        import math
-        nbits = max(1, math.ceil(math.log2(pic_size_units // rate + 1 + 1)))
+        # JM ldecod header.c:326-332: len = Ceil(units / rate), then
+        # CeilLog2(len + 1) bits
+        max_cycle = -(-pic_size_units // rate)
+        nbits = max(1, max_cycle.bit_length())
         h.slice_group_change_cycle = br.u(nbits)
 
     return h, br

@@ -311,7 +311,6 @@ class MBParser:
         # PCM MBs count as 16 nnz for nC prediction and bS (both planes)
         pic.luma_nnz[addr] = 16
         pic.chroma_nnz[addr] = 16
-        pic.chroma_nnz[addr] = 16
 
     def _read_qp_delta(self, addr: int) -> None:
         dq = self.br.se()

@@ -130,8 +130,17 @@ class Encoder:
             self.dpb_size = max(self.dpb_size, levels + 2)
         if use_b and cfg.explicit_gop:
             from .gop import parse_explicit_hierarchy
-            n_ref_b = sum(e.as_ref
-                          for e in parse_explicit_hierarchy(cfg.explicit_gop))
+            entries = parse_explicit_hierarchy(cfg.explicit_gop)
+            # lencod rejects inconsistent GOP strings (explicit_gop.c
+            # interpret_gop_structure): entries must name each B position
+            # 0..NumberBFrames-1 exactly once, else frames would silently
+            # drop from the bitstream
+            positions = sorted(e.display_no for e in entries)
+            if positions != list(range(cfg.num_b)):
+                raise ValueError(
+                    f"explicit_gop names positions {positions}, expected "
+                    f"exactly 0..{cfg.num_b - 1} (NumberBFrames={cfg.num_b})")
+            n_ref_b = sum(e.as_ref for e in entries)
             # both anchors + every reference B of the enhancement GOP
             self.dpb_size = max(self.dpb_size, 2 + n_ref_b)
         if cfg.long_term_period > 0:

@@ -305,10 +305,12 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
         bw.se(0)
     if pps.num_slice_groups_minus1 > 0 and \
             pps.slice_group_map_type in (3, 4, 5):
-        import math
         units = sps.pic_width_in_mbs * sps.frame_height_in_mbs
         rate = pps.slice_group_change_rate_minus1 + 1
-        nbits = max(1, math.ceil(math.log2(units // rate + 1 + 1)))
+        # JM: len = Ceil(units / rate), CeilLog2(len + 1) bits (lencod
+        # header.c:243, ldecod header.c:326-332)
+        max_cycle = -(-units // rate)
+        nbits = max(1, max_cycle.bit_length())
         bw.u(slice_group_change_cycle, nbits)
 
 
