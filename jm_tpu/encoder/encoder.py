@@ -88,6 +88,10 @@ class EncoderConfig:
     sub8x8: bool = False         # P8x8 sub-partitions 8x4/4x8/4x4 (E7)
     subpel_satd: bool = True     # Hadamard SATD in fractional ME (E16,
                                  # JM MEDistortionHPel/QPel=2 default)
+    pipeline: str = "host"       # "host" (serial numpy reference path) |
+                                 # "device" (batched jnp/XLA pipeline,
+                                 # ops/enc_jax.py; falls back per-frame
+                                 # when a feature needs the host path)
     slice_mode: int = 0          # 0 one slice/picture, 1 fixed MBs/slice
     slice_argument: int = 0      # MBs per slice for slice_mode 1
     num_slice_groups: int = 1    # >1 enables FMO (Baseline/Extended only)
@@ -696,7 +700,31 @@ class _FrameEncoder:
 
     # ---- frame loop -------------------------------------------------------
 
+    def _device_path_ok(self) -> bool:
+        """The batched device pipeline covers the md_low P path for 4:2:0
+        single-reference frames; everything else falls back to the serial
+        host reference path."""
+        cfg = self.enc.cfg
+        return (cfg.pipeline == "device"
+                and self.stype == SliceType.P
+                and self.cfi == 1
+                and self.enc.num_ref_active == 1
+                and self.wp is None
+                and self.enc.errdo is None
+                and not cfg.rdo
+                and not cfg.transform8x8
+                and not cfg.sub8x8
+                and cfg.enable_ipcm == 0)
+
     def encode(self) -> PictureData:
+        if self._device_path_ok():
+            for sid, addrs in enumerate(self.enc.slice_plan):
+                for addr in addrs:
+                    self.pic.slice_id[addr] = sid
+            self.pic.qp[:] = self.qp
+            self.refs_list = self.enc._ref_list_p()
+            self._encode_p_device()
+            return self.pic
         sr = self.enc.cfg.search_range
         if self.stype == SliceType.P:
             self.refs_list = self.enc._ref_list_p()
@@ -726,6 +754,73 @@ class _FrameEncoder:
                 else:
                     self._encode_p_mb(addr)
         return self.pic
+
+    # ---- device pipeline (ops/enc_jax.py) ----------------------------------
+
+    def _encode_p_device(self) -> None:
+        """Batched device P-frame encode: one jitted dispatch performs
+        ME/subpel/mode-decision/MC/residual/recon for every MB (the TPU
+        restructuring of lencod slice.c:486 + md_low.c:104); the host
+        commits the SoA state, exactly re-encodes the rare intra-chosen
+        MBs with reconstructed neighbors, and derives P_Skip flags from
+        the final motion field."""
+        import jax
+
+        from ..ops import enc_jax as EJ
+        enc, cfg, pic = self.enc, self.enc.cfg, self.pic
+        ref = self.refs_list[0]
+        dev = getattr(ref, "_dev", None)
+        if dev is None:
+            dev = EJ.prep_ref(ref.Y, ref.U, ref.V)
+            ref._dev = dev
+        planes, padU, padV = dev
+        out = jax.device_get(EJ.p_frame_step(
+            self.origY, self.origU, self.origV, planes, padU, padV,
+            self.qp, self.qpc, self.lam, self.lam4,
+            mb_w=self.mb_w, mb_h=self.mb_h, sr=cfg.search_range))
+
+        intra = np.asarray(out["intra_mask"]).copy()
+        if self.forced_intra:
+            intra[list(self.forced_intra)] = True
+        pic.mb_class[:] = MB_INTER
+        pic.inter_mode[:] = out["inter_mode"]
+        pic.mv[:] = out["mv4"]
+        pic.ref_idx[:] = 0
+        pic.ref_pic_id[:] = ref.uid
+        pic.pdir[:] = 0
+        pic.sub_mode[:] = 0
+        pic.luma_coef[:] = out["luma_scan"]
+        pic.luma_nnz[:] = out["luma_nnz"]
+        pic.chroma_dc[:] = out["chroma_dc"]
+        pic.chroma_coef[:] = out["chroma_scan"]
+        pic.chroma_nnz[:] = out["chroma_nnz"]
+        pic.cbp[:] = out["cbp"]
+        self.recY[:] = out["recY"]
+        self.recU[:] = out["recU"]
+        self.recV[:] = out["recV"]
+
+        # exact host re-encode of intra-chosen MBs (recon neighbors are
+        # final: inter recon never reads the current frame)
+        for addr in np.flatnonzero(intra):
+            addr = int(addr)
+            pic.ref_idx[addr] = -1
+            pic.ref_pic_id[addr] = -1
+            pic.mv[addr] = 0
+            origY_mb = self._mb_orig(addr)[0]
+            _c, m16, p16 = self._eval_i16(addr, origY_mb)
+            cbp_luma = self._encode_i16(addr, origY_mb, m16, p16)
+            cbp_chroma = self._encode_chroma_intra(addr)
+            pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma
+
+        # P_Skip: 16x16 / ref 0 / no coefficients / mv == skip predictor
+        # (spec 8.4.1.1), derived from the final committed state
+        cand = np.flatnonzero((pic.cbp == 0) & (pic.inter_mode == 0)
+                              & (pic.mb_class == MB_INTER)
+                              & (pic.ref_idx[:, 0] == 0))
+        for addr in cand:
+            addr = int(addr)
+            if (pic.mv[addr, 0] == self.pctx.skip_mv(addr)).all():
+                pic.skip[addr] = True
 
     # ---- intra ------------------------------------------------------------
 

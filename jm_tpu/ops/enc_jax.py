@@ -1,0 +1,595 @@
+"""Device-resident P-frame encode pipeline (jnp/XLA).
+
+The production TPU path of the encoder: one jitted program per P frame
+performs the full macroblock layer as batched tensor ops —
+
+  integer full-search ME (quadrant-SAD sweep over every MB at once)
+  -> two-stage quarter-pel SATD refinement of all 9 partition jobs
+  -> partition-mode / skip / intra-16 decision
+  -> motion-compensated prediction at decoder granularity (per 4x4)
+  -> 4x4 transform / quant / dequant / inverse / reconstruction
+  -> chroma residual with 2x2 DC Hadamard
+  -> zig-zag coefficient scan, nnz, cbp
+
+The reference runs all of this as a serial per-MB loop
+(lencod/src/slice.c:486 MB loop, md_low.c:104 encode_one_macroblock_low,
+mv_search.c PartitionMotionSearch, block.c residual_transform_quant_*);
+here every stage is one batched tensor program over all MBs (SURVEY §2.5
+TP axis), integer-exact so CPU == TPU bit-for-bit.
+
+Approximations relative to the serial host path (decisions only — the
+produced bitstream is exact and self-consistent by construction, because
+residual coding and reconstruction mirror decoder semantics):
+  - ME rate term uses an approximate MV predictor (zero during the
+    integer sweep, a median of the integer-MV field during subpel)
+    instead of the serial median of final neighbor MVs;
+  - the skip candidate evaluates a skip MV approximated from the
+    integer-MV field (the serializer later derives true P_Skip flags
+    from the final committed motion, spec 8.4.1.1);
+  - the intra-16 fallback cost uses source-plane neighbors; MBs that
+    choose intra are re-encoded exactly on the host with reconstructed
+    neighbors (they are rare in P pictures).
+
+JM cost model mirrored from md_low: SAD + lambda*bits(integer stage),
+Hadamard SATD + lambda*bits (fractional stage), mode bit penalties from
+encoder.py MODE_BITS.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..common.tables import ZIGZAG_4x4
+from . import quant as Q
+from . import transform as T
+from .interp import PAD, QPEL_TAB
+
+# ---------------------------------------------------------------------------
+# static tables
+# ---------------------------------------------------------------------------
+
+_ZZ = np.asarray(ZIGZAG_4x4, np.int32)
+
+# se(v) bit length, indexed by |v| (symmetric: bitlen(2v) == bitlen(2v+1))
+_SE_BITS = np.array([1] + [2 * int(2 * a).bit_length() - 1
+                           for a in range(1, 4096)], np.int32)
+
+# quarter-pel plane selection (interp.QPEL_TAB) as dense arrays [yf][xf]
+_QP_P1 = np.zeros((4, 4), np.int32)
+_QP_DX1 = np.zeros((4, 4), np.int32)
+_QP_DY1 = np.zeros((4, 4), np.int32)
+_QP_P2 = np.zeros((4, 4), np.int32)
+_QP_DX2 = np.zeros((4, 4), np.int32)
+_QP_DY2 = np.zeros((4, 4), np.int32)
+for (xf, yf), (p1, dx1, dy1, p2, dx2, dy2) in QPEL_TAB.items():
+    _QP_P1[yf, xf] = p1
+    _QP_DX1[yf, xf] = dx1
+    _QP_DY1[yf, xf] = dy1
+    _QP_P2[yf, xf] = p2
+    _QP_DX2[yf, xf] = dx2
+    _QP_DY2[yf, xf] = dy2
+
+# partition jobs: 0=16x16, 1/2=16x8 top/bottom, 3/4=8x16 left/right,
+# 5..8 = 8x8 quadrants. QMASK[q, j] = quadrant q belongs to job j.
+QMASK = np.zeros((4, 9), np.int32)
+_JOB_QUADS = [(0, 1, 2, 3), (0, 1), (2, 3), (0, 2), (1, 3),
+              (0,), (1,), (2,), (3,)]
+for j, qs in enumerate(_JOB_QUADS):
+    for q in qs:
+        QMASK[q, j] = 1
+
+# quadrant-level subpel jobs: each (parent job, quadrant)
+QJ_PARENT = np.array([j for j, qs in enumerate(_JOB_QUADS) for _ in qs],
+                     np.int32)                       # (16,)
+QJ_QUAD = np.array([q for qs in _JOB_QUADS for q in qs], np.int32)
+QJ_MASK = np.zeros((16, 9), np.int32)                # qjob -> parent scatter
+for i, p in enumerate(QJ_PARENT):
+    QJ_MASK[i, p] = 1
+
+# mb_type / ref header bits per partition mode (encoder.py MODE_BITS)
+MODE_BITS = np.array([1, 3, 3, 9], np.int32)
+# partition geometry per mode: list of (job indices)
+MODE_JOBS = [(0,), (1, 2), (3, 4), (5, 6, 7, 8)]
+# per 4x4 block (raster), which job serves it under each mode
+_BLK_JOB = np.zeros((4, 16), np.int32)
+for m, jobs in enumerate(MODE_JOBS):
+    for blk in range(16):
+        by, bx = divmod(blk, 4)
+        q = (by // 2) * 2 + (bx // 2)
+        _BLK_JOB[m, blk] = next(j for j in jobs if QMASK[q, j])
+
+_H4 = np.array([[1, 1, 1, 1],
+                [1, 1, -1, -1],
+                [1, -1, -1, 1],
+                [1, -1, 1, -1]], np.int32)
+
+# search candidate offsets for one refinement stage (8 neighbors + center
+# first so ties keep the center, matching me.subpel_refine)
+_DELTAS = [(0, 0)] + [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                      if (dx, dy) != (0, 0)]
+
+# cbp quadrant membership for 4x4 luma blocks
+_QB = np.array([[0, 1, 4, 5], [2, 3, 6, 7], [8, 9, 12, 13], [10, 11, 14, 15]],
+               np.int32)
+
+
+def _se_bits(v):
+    return jnp.asarray(_SE_BITS)[jnp.clip(jnp.abs(v), 0, 4095)]
+
+
+def _mvd_bits(mvx, mvy, px, py):
+    return _se_bits(mvx - px) + _se_bits(mvy - py)
+
+
+# ---------------------------------------------------------------------------
+# reference preparation (device twin of interp.make_luma_planes / pad_plane)
+# ---------------------------------------------------------------------------
+
+def _conv6_h(x):
+    x = x.astype(jnp.int32)
+    return (x[:, 0:-5] - 5 * x[:, 1:-4] + 20 * x[:, 2:-3]
+            + 20 * x[:, 3:-2] - 5 * x[:, 4:-1] + x[:, 5:])
+
+
+def _conv6_v(x):
+    x = x.astype(jnp.int32)
+    return (x[0:-5, :] - 5 * x[1:-4, :] + 20 * x[2:-3, :]
+            + 20 * x[3:-2, :] - 5 * x[4:-1, :] + x[5:, :])
+
+
+def make_luma_planes_dev(plane: jnp.ndarray, pad: int = PAD) -> jnp.ndarray:
+    """(H, W) uint8 -> (4, H+2p, W+2p) uint8 stacked [INT, B, H, J] planes,
+    bit-identical to interp.make_luma_planes."""
+    h, w = plane.shape
+    ext = jnp.pad(plane, pad + 3, mode="edge").astype(jnp.int32)
+    b1 = _conv6_h(ext)
+    h1 = _conv6_v(ext)
+    B = jnp.clip((b1 + 16) >> 5, 0, 255)
+    H = jnp.clip((h1 + 16) >> 5, 0, 255)
+    j1 = _conv6_v(b1)
+    J = jnp.clip((j1 + 512) >> 10, 0, 255)
+    p = pad
+    INT = ext[3:3 + h + 2 * p, 3:3 + w + 2 * p]
+    Bc = B[3:3 + h + 2 * p, 1:1 + w + 2 * p]
+    Hc = H[1:1 + h + 2 * p, 3:3 + w + 2 * p]
+    Jc = J[1:1 + h + 2 * p, 1:1 + w + 2 * p]
+    return jnp.stack([INT, Bc, Hc, Jc]).astype(jnp.uint8)
+
+
+@jax.jit
+def prep_ref(Y: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray):
+    """Device reference-picture prep: quarter-pel luma planes + padded
+    chroma (encoder twin of lencod img_luma.c getSubImagesLuma:611)."""
+    return (make_luma_planes_dev(Y),
+            jnp.pad(U, PAD, mode="edge"),
+            jnp.pad(V, PAD, mode="edge"))
+
+
+# ---------------------------------------------------------------------------
+# integer full-search sweep (all MBs, all partitions, one scan)
+# ---------------------------------------------------------------------------
+
+def me_int_sweep(orig_q, ref_int, mb_w: int, mb_h: int, sr: int, lam):
+    """Integer-pel full search over all 9 partition jobs at once.
+
+    orig_q: (N, 4, 8, 8) int16 source quadrants.
+    ref_int: padded integer plane (pad >= sr).
+    Returns best integer MVs (N, 9, 2) int32.
+
+    The (2*sr+1)^2 displacement sweep is a lax.scan whose step computes
+    the whole frame's quadrant SADs for one displacement (the batched
+    twin of lencod me_fullfast.c setup_fast_full_search:269); partition
+    SADs are quadrant sums (QMASK matmul). Rate term: lambda *
+    se_bits(4*d) (zero predictor approximation).
+    """
+    side = 2 * sr + 1
+    h, w = mb_h * 16, mb_w * 16
+    n = mb_w * mb_h
+    region = lax.dynamic_slice(ref_int, (PAD - sr, PAD - sr),
+                               (h + 2 * sr, w + 2 * sr)).astype(jnp.int16)
+    o = orig_q.astype(jnp.int16)
+    qmask = jnp.asarray(QMASK)
+    se_tab = jnp.asarray(_SE_BITS)
+
+    def step(carry, idx):
+        best_cost, best_idx = carry
+        dy = idx // side
+        dx = idx % side
+        sh = lax.dynamic_slice(region, (dy, dx), (h, w))
+        shq = sh.reshape(mb_h, 2, 8, mb_w, 2, 8).transpose(0, 3, 1, 4, 2, 5) \
+                .reshape(n, 4, 8, 8)
+        sad_q = jnp.abs(o.astype(jnp.int32) - shq.astype(jnp.int32)) \
+            .sum(axis=(2, 3))                          # (N, 4)
+        sad_j = sad_q @ qmask                          # (N, 9)
+        bits = (se_tab[jnp.abs(4 * (dx - sr))]
+                + se_tab[jnp.abs(4 * (dy - sr))])
+        cost = sad_j + lam * bits
+        upd = cost < best_cost
+        return (jnp.where(upd, cost, best_cost),
+                jnp.where(upd, idx, best_idx)), None
+
+    init = (jnp.full((n, 9), 2**30, jnp.int32), jnp.zeros((n, 9), jnp.int32))
+    (cost, idx), _ = lax.scan(step, init,
+                              jnp.arange(side * side, dtype=jnp.int32))
+    mv = jnp.stack([idx % side - sr, idx // side - sr], axis=-1)
+    return mv, cost
+
+
+# ---------------------------------------------------------------------------
+# quarter-pel gather + SATD
+# ---------------------------------------------------------------------------
+
+def _gather_qpel(planes, x4, y4, bs: int, w: int, h: int):
+    """One (bs, bs) block at quarter-pel (x4, y4) from the stacked plane
+    set — device twin of interp.mc_luma_block."""
+    xi, yi = x4 >> 2, y4 >> 2
+    xf, yf = x4 & 3, y4 & 3
+    xi = jnp.clip(xi, -PAD, w + PAD - bs - 1)
+    yi = jnp.clip(yi, -PAD, h + PAD - bs - 1)
+    p1 = jnp.asarray(_QP_P1)[yf, xf]
+    a = lax.dynamic_slice(
+        planes, (p1, PAD + yi + jnp.asarray(_QP_DY1)[yf, xf],
+                 PAD + xi + jnp.asarray(_QP_DX1)[yf, xf]),
+        (1, bs, bs))[0].astype(jnp.int32)
+    p2 = jnp.asarray(_QP_P2)[yf, xf]
+    b = lax.dynamic_slice(
+        planes, (jnp.maximum(p2, 0),
+                 PAD + yi + jnp.asarray(_QP_DY2)[yf, xf],
+                 PAD + xi + jnp.asarray(_QP_DX2)[yf, xf]),
+        (1, bs, bs))[0].astype(jnp.int32)
+    return jnp.where(p2 < 0, a, (a + b + 1) >> 1)
+
+
+def _satd8_raw(diff):
+    """(..., 8, 8) int32 -> (...,) sum over the 4 4x4 tiles of
+    sum|H d H^T| (no final >>1; applied by the caller after summing a
+    partition's quadrants, me.satd semantics)."""
+    d = diff.reshape(*diff.shape[:-2], 2, 4, 2, 4).swapaxes(-3, -2)
+    H = jnp.asarray(_H4)
+    t = jnp.einsum("ij,...jk,lk->...il", H, d, H)
+    return jnp.abs(t).sum(axis=(-4, -3, -2, -1))
+
+
+def subpel_refine_jobs(planes, orig_q, int_mv, pred, lam, mb_xy,
+                       w: int, h: int):
+    """Two-stage (half then quarter pel) 3x3 refinement of all 9 partition
+    jobs of every MB, Hadamard SATD + lambda*bits cost.
+
+    orig_q: (N, 4, 8, 8); int_mv: (N, 9, 2) integer-pel; pred: (N, 2)
+    approximate qpel MV predictor; mb_xy: (N, 2) MB pixel origin.
+    Returns (mv_q (N, 9, 2) qpel, cost (N, 9)).
+    """
+    n = orig_q.shape[0]
+    qj_parent = jnp.asarray(QJ_PARENT)
+    qj_quad = jnp.asarray(QJ_QUAD)
+    qj_mask = jnp.asarray(QJ_MASK)
+    # per-qjob static data
+    oq = orig_q[:, QJ_QUAD].astype(jnp.int32)          # (N, 16, 8, 8)
+    qoff_x = (QJ_QUAD % 2) * 8
+    qoff_y = (QJ_QUAD // 2) * 8
+    base_x4 = (mb_xy[:, 0:1] + jnp.asarray(qoff_x)[None, :]) * 4  # (N, 16)
+    base_y4 = (mb_xy[:, 1:2] + jnp.asarray(qoff_y)[None, :]) * 4
+
+    gather8 = jax.vmap(jax.vmap(
+        lambda x4, y4: _gather_qpel(planes, x4, y4, 8, w, h)))
+
+    def stage(center, best_cost, step):
+        """center (N, 9, 2) qpel; evaluate 3x3 at +-step, keep best."""
+        best_mv = center
+        for k, (dx, dy) in enumerate(_DELTAS):
+            cand = center + jnp.asarray([dx * step, dy * step], jnp.int32)
+            # qjob coords from the parent candidate
+            cmx = cand[:, QJ_PARENT, 0]                # (N, 16)
+            cmy = cand[:, QJ_PARENT, 1]
+            pred_blocks = gather8(base_x4 + cmx, base_y4 + cmy)
+            satd = _satd8_raw(oq - pred_blocks)        # (N, 16)
+            satd_p = satd @ qj_mask                    # (N, 9)
+            bits = _mvd_bits(cand[..., 0], cand[..., 1],
+                             pred[:, None, 0], pred[:, None, 1])
+            cost = (satd_p >> 1) + lam * bits
+            if k == 0:
+                best_cost = cost
+                best_mv = cand
+            else:
+                upd = cost < best_cost
+                best_cost = jnp.where(upd, cost, best_cost)
+                best_mv = jnp.where(upd[..., None], cand, best_mv)
+        return best_mv, best_cost
+
+    center = int_mv * 4
+    mv_h, cost_h = stage(center, None, 2)
+    mv_q, cost_q = stage(mv_h, cost_h, 1)
+    return mv_q, cost_q
+
+
+# ---------------------------------------------------------------------------
+# approximate predictors from the integer 16x16 MV field
+# ---------------------------------------------------------------------------
+
+def approx_pred_field(mv16, mb_w: int, mb_h: int):
+    """Median of (left, up, up-right) 16x16 integer MVs as an approximate
+    per-MB predictor, in qpel units. Border MBs fall back per spec-ish
+    rules (missing neighbors treated as zero, like out-of-picture)."""
+    f = (mv16 * 4).reshape(mb_h, mb_w, 2)
+    z = jnp.zeros_like(f)
+    left = jnp.concatenate([z[:, :1], f[:, :-1]], axis=1)
+    up = jnp.concatenate([z[:1], f[:-1]], axis=0)
+    upr = jnp.concatenate([z[:1], jnp.concatenate(
+        [f[:-1, 1:], f[:-1, -1:]], axis=1)], axis=0)
+    med = jnp.median(jnp.stack([left, up, upr]), axis=0).astype(jnp.int32)
+    # only-A rule approximation: first row uses the left neighbor
+    med = jnp.where((jnp.arange(mb_h) == 0)[:, None, None], left, med)
+    return med.reshape(mb_h * mb_w, 2)
+
+
+# ---------------------------------------------------------------------------
+# intra-16 source-neighbor cost (P-frame fallback decision)
+# ---------------------------------------------------------------------------
+
+def i16_source_cost(origY, mb_w: int, mb_h: int):
+    """Per-MB best-of-4 Intra16x16 SAD using SOURCE neighbors (decision
+    only; chosen MBs are re-coded exactly on the host)."""
+    h, w = origY.shape
+    o = origY.astype(jnp.int32)
+    mbs = o.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)  # (mh,mw,16,16)
+    # neighbor rows/cols from the source plane
+    top_idx = jnp.maximum(jnp.arange(mb_h) * 16 - 1, 0)
+    top = o[top_idx].reshape(mb_h, mb_w, 16)                   # (mh,mw,16)
+    left_idx = jnp.maximum(jnp.arange(mb_w) * 16 - 1, 0)
+    left = o[:, left_idx].reshape(mb_h, 16, mb_w).transpose(0, 2, 1)
+    corner = o[top_idx][:, left_idx]                           # (mh, mw)
+    avail_t = (jnp.arange(mb_h) > 0)[:, None] & jnp.ones((1, mb_w), bool)
+    avail_l = jnp.ones((mb_h, 1), bool) & (jnp.arange(mb_w) > 0)[None, :]
+
+    sad = lambda p: jnp.abs(mbs - p).sum(axis=(2, 3))
+    big = jnp.int32(2**28)
+    # DC
+    s_t = top.sum(axis=2)
+    s_l = left.sum(axis=2)
+    dc = jnp.where(avail_t & avail_l, (s_t + s_l + 16) >> 5,
+                   jnp.where(avail_t, (s_t + 8) >> 4,
+                             jnp.where(avail_l, (s_l + 8) >> 4, 128)))
+    c_dc = sad(dc[:, :, None, None])
+    # V / H
+    c_v = jnp.where(avail_t, sad(top[:, :, None, :]), big)
+    c_h = jnp.where(avail_l, sad(left[:, :, :, None]), big)
+    # plane (spec 8.3.3.4): H = sum i*(p[7+i] - p[7-i]), p[-1] = corner
+    iw = jnp.arange(1, 9, dtype=jnp.int32)
+    top_ext = jnp.concatenate([corner[:, :, None], top], axis=2)  # p[-1..15]
+    left_ext = jnp.concatenate([corner[:, :, None], left], axis=2)
+    Hs = (iw[None, None] * (top_ext[:, :, 8 + iw] - top_ext[:, :, 8 - iw])).sum(axis=2)
+    Vs = (iw[None, None] * (left_ext[:, :, 8 + iw] - left_ext[:, :, 8 - iw])).sum(axis=2)
+    b = (5 * Hs + 32) >> 6
+    c = (5 * Vs + 32) >> 6
+    a = 16 * (top[:, :, 15] + left[:, :, 15])
+    yy, xx = jnp.meshgrid(jnp.arange(16), jnp.arange(16), indexing="ij")
+    pl = (a[:, :, None, None] + b[:, :, None, None] * (xx - 7)
+          + c[:, :, None, None] * (yy - 7) + 16) >> 5
+    pl = jnp.clip(pl, 0, 255)
+    c_p = jnp.where(avail_t & avail_l, sad(pl), big)
+    cost = jnp.minimum(jnp.minimum(c_dc, c_v), jnp.minimum(c_h, c_p))
+    return cost.reshape(mb_h * mb_w)
+
+
+# ---------------------------------------------------------------------------
+# final MC at decoder granularity
+# ---------------------------------------------------------------------------
+
+def mc_luma_blocks(planes, mv4, mb_xy, w: int, h: int):
+    """(N, 16, 2) qpel MVs -> (N, 16, 4, 4) int32 prediction blocks."""
+    bx = (jnp.arange(16) % 4) * 4
+    by = (jnp.arange(16) // 4) * 4
+    x4 = (mb_xy[:, 0:1] + bx[None]) * 4 + mv4[..., 0]
+    y4 = (mb_xy[:, 1:2] + by[None]) * 4 + mv4[..., 1]
+    g = jax.vmap(jax.vmap(lambda a, b: _gather_qpel(planes, a, b, 4, w, h)))
+    return g(x4, y4)
+
+
+def mc_chroma_blocks(padU, padV, mv4, mb_xy, w: int, h: int):
+    """Per luma-4x4 chroma MC (2x2 blocks, eighth-pel bilinear); returns
+    (predU, predV) each (N, 16, 2, 2) int32. 4:2:0."""
+    cw, chh = w // 2, h // 2
+    bx = (jnp.arange(16) % 4) * 2
+    by = (jnp.arange(16) // 4) * 2
+    x8 = (mb_xy[:, 0:1] // 2 + bx[None]) * 8 + mv4[..., 0]
+    y8 = (mb_xy[:, 1:2] // 2 + by[None]) * 8 + mv4[..., 1]
+
+    def one(plane, x, y):
+        xi, yi = x >> 3, y >> 3
+        xf, yf = x & 7, y & 7
+        xi = jnp.clip(xi, -PAD, cw + PAD - 2 - 1)
+        yi = jnp.clip(yi, -PAD, chh + PAD - 2 - 1)
+        R = lax.dynamic_slice(plane, (PAD + yi, PAD + xi), (3, 3)) \
+            .astype(jnp.int32)
+        a, b = R[:2, :2], R[:2, 1:]
+        c, d = R[1:, :2], R[1:, 1:]
+        return ((8 - xf) * (8 - yf) * a + xf * (8 - yf) * b
+                + (8 - xf) * yf * c + xf * yf * d + 32) >> 6
+
+    gu = jax.vmap(jax.vmap(lambda a, b: one(padU, a, b)))
+    gv = jax.vmap(jax.vmap(lambda a, b: one(padV, a, b)))
+    return gu(x8, y8), gv(x8, y8)
+
+
+# ---------------------------------------------------------------------------
+# residual coding (decode-mirror, residual_np twins)
+# ---------------------------------------------------------------------------
+
+def _to_scan(blocks):
+    """(..., 4, 4) -> (..., 16) zig-zag."""
+    return blocks.reshape(*blocks.shape[:-2], 16)[..., jnp.asarray(_ZZ)]
+
+
+def _from_scan(scan):
+    out = jnp.zeros_like(scan)
+    out = out.at[..., jnp.asarray(_ZZ)].set(scan)
+    return out.reshape(*scan.shape[:-1], 4, 4)
+
+
+def luma_residual_inter(orig, pred, qp):
+    """orig/pred: (N, 16, 16) -> (scan (N,16,16) i32, nnz (N,16),
+    cbp_luma (N,), recon (N,16,16) u8)."""
+    n = orig.shape[0]
+    res = orig.astype(jnp.int32) - pred.astype(jnp.int32)
+    blocks = res.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 16, 4, 4)
+    wt = T.forward4x4(blocks)
+    qpv = jnp.broadcast_to(qp, (n, 16))
+    lev = Q.quant_4x4(wt, qpv, False)
+    scan = _to_scan(lev)
+    d = Q.dequant_4x4(lev, qpv)
+    r = T.inverse4x4_round(d)
+    pred_b = pred.astype(jnp.int32).reshape(n, 4, 4, 4, 4) \
+        .transpose(0, 1, 3, 2, 4).reshape(n, 16, 4, 4)
+    rec = jnp.clip(pred_b + r, 0, 255)
+    rec = rec.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 16, 16).astype(jnp.uint8)
+    nnz = (scan != 0).sum(axis=2).astype(jnp.int32)
+    qnnz = nnz[:, jnp.asarray(_QB)].sum(axis=2)        # (N, 4)
+    cbp = ((qnnz > 0).astype(jnp.int32)
+           * jnp.asarray([1, 2, 4, 8], jnp.int32)[None]).sum(axis=1)
+    return scan, nnz, cbp, rec
+
+
+def chroma_residual_inter(origU, origV, predU, predV, qpc):
+    """4:2:0 chroma residual for all MBs; origU/V (N, 8, 8), predU/V
+    (N, 8, 8) int32. Returns (dc (N,2,4), ac_scan (N,2,4,16), nnz (N,2,4),
+    cbp_chroma (N,), recU, recV (N,8,8) u8). Mirrors encoder
+    _code_chroma_residual + residual_np.recon_chroma exactly."""
+    n = origU.shape[0]
+    o = jnp.stack([origU, origV], axis=1).astype(jnp.int32)   # (N,2,8,8)
+    p = jnp.stack([predU, predV], axis=1).astype(jnp.int32)
+    res = o - p
+    blocks = res.reshape(n, 2, 2, 4, 2, 4).transpose(0, 1, 2, 4, 3, 5) \
+        .reshape(n, 2, 4, 4, 4)
+    wt = T.forward4x4(blocks)
+    dcs = wt[..., 0, 0]                                        # (N,2,4)
+    dc_t = T.hadamard2x2(dcs.reshape(n, 2, 2, 2))
+    qpv = jnp.broadcast_to(qpc, (n, 2))
+    dc_lev = Q.quant_chroma_dc(dc_t, qpv[..., None, None], False) \
+        .reshape(n, 2, 4)
+    ac = Q.quant_4x4(wt, qpv[..., None], False)
+    ac_scan = _to_scan(ac)
+    ac_scan = ac_scan.at[..., 0].set(0)
+    any_ac = (ac_scan[..., 1:] != 0).any(axis=(1, 2, 3))       # (N,)
+    any_dc = (dc_lev != 0).any(axis=(1, 2))
+    cbp_c = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0)).astype(jnp.int32)
+    ac_scan = jnp.where((cbp_c < 2)[:, None, None, None],
+                        jnp.zeros_like(ac_scan), ac_scan)
+    dc_lev = jnp.where((cbp_c == 0)[:, None, None],
+                       jnp.zeros_like(dc_lev), dc_lev)
+    nnz = (ac_scan[..., 1:] != 0).sum(axis=3).astype(jnp.int32)
+    # recon (recon_chroma twin)
+    d4 = Q.dequant_4x4(_from_scan(ac_scan), qpv[..., None])
+    f = T.hadamard2x2(dc_lev.reshape(n, 2, 2, 2).astype(jnp.int32))
+    scale = jnp.asarray(Q.FLAT_INV_SCALE_4x4)[qpv, 0, 0][..., None, None]
+    dc_s = ((f * scale) << (qpv[..., None, None] // 6)) >> 5   # (N,2,2,2)
+    d4 = d4.at[..., 0, 0].set(dc_s.reshape(n, 2, 4))
+    r = T.inverse4x4_round(d4)                                 # (N,2,4,4,4)
+    pred_b = p.reshape(n, 2, 2, 4, 2, 4).transpose(0, 1, 2, 4, 3, 5) \
+        .reshape(n, 2, 4, 4, 4)
+    rec = jnp.clip(pred_b + r, 0, 255)
+    rec = rec.reshape(n, 2, 2, 2, 4, 4).transpose(0, 1, 2, 4, 3, 5) \
+        .reshape(n, 2, 8, 8).astype(jnp.uint8)
+    return dc_lev, ac_scan, nnz, cbp_c, rec[:, 0], rec[:, 1]
+
+
+# ---------------------------------------------------------------------------
+# the full P-frame step
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "sr"))
+def p_frame_step(origY, origU, origV, planes, padU, padV,
+                 qp, qpc, lam, lam4, *, mb_w: int, mb_h: int, sr: int):
+    """One device dispatch encoding a whole P picture (single reference).
+
+    Returns a dict of decision + coefficient + reconstruction tensors the
+    host commits into PictureData (see encoder._encode_p_frame_device).
+    """
+    n = mb_w * mb_h
+    h, w = mb_h * 16, mb_w * 16
+    mb_xy = jnp.stack([(jnp.arange(n) % mb_w) * 16,
+                       (jnp.arange(n) // mb_w) * 16], axis=1).astype(jnp.int32)
+    orig_mbs = origY.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3) \
+        .reshape(n, 16, 16)
+    orig_q = orig_mbs.reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 4, 8, 8).astype(jnp.int16)
+
+    # 1. integer sweep (zero-predictor rate term)
+    int_mv, _ = me_int_sweep(orig_q, planes[0], mb_w, mb_h, sr, lam)
+
+    # 2. approximate qpel predictor from the integer 16x16 field
+    pred = approx_pred_field(int_mv[:, 0], mb_w, mb_h)
+
+    # 3. subpel refinement of all 9 jobs
+    mv_q, cost_q = subpel_refine_jobs(planes, orig_q, int_mv, pred, lam,
+                                      mb_xy, w, h)
+
+    # 4. partition mode decision
+    mode_costs = jnp.stack(
+        [cost_q[:, list(jobs)].sum(axis=1) + lam * int(MODE_BITS[m])
+         for m, jobs in enumerate(MODE_JOBS)], axis=1)        # (N, 4)
+    best_mode = jnp.argmin(mode_costs, axis=1).astype(jnp.int32)
+    cost_inter = jnp.min(mode_costs, axis=1)
+
+    # 5. skip candidate: SAD at the approximate skip MV (plain SAD,
+    #    md_low twin); serializer derives true P_Skip from final motion
+    skip_mv = pred                                             # (N, 2)
+    g16 = jax.vmap(jax.vmap(lambda a, b: _gather_qpel(planes, a, b, 8, w, h)))
+    qx = jnp.asarray([(0, 0), (8, 0), (0, 8), (8, 8)], jnp.int32)
+    sx = (mb_xy[:, 0:1] + qx[None, :, 0]) * 4 + skip_mv[:, 0:1]
+    sy = (mb_xy[:, 1:2] + qx[None, :, 1]) * 4 + skip_mv[:, 1:1 + 1]
+    skip_pred = g16(sx, sy)                                    # (N,4,8,8)
+    cost_skip = jnp.abs(orig_q.astype(jnp.int32) - skip_pred).sum(axis=(1, 2, 3))
+    take_skip = cost_skip <= cost_inter
+    cost_inter = jnp.minimum(cost_inter, cost_skip)
+
+    # 6. intra-16 fallback decision (source neighbors)
+    cost_i16 = i16_source_cost(origY, mb_w, mb_h)
+    intra_mask = cost_i16 + 2 * lam4 < cost_inter
+
+    # 7. final per-4x4 motion field
+    blk_job = jnp.asarray(_BLK_JOB)[best_mode]                 # (N, 16)
+    mv4 = jnp.take_along_axis(mv_q, blk_job[..., None], axis=1)  # (N,16,2)
+    mv4 = jnp.where(take_skip[:, None, None],
+                    jnp.broadcast_to(skip_mv[:, None, :], mv4.shape), mv4)
+    best_mode = jnp.where(take_skip, 0, best_mode)
+
+    # 8. prediction + residual + recon
+    pred_y = mc_luma_blocks(planes, mv4, mb_xy, w, h)          # (N,16,4,4)
+    pred_y16 = pred_y.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 16, 16)
+    scan, nnz, cbp_l, recY_mbs = luma_residual_inter(orig_mbs, pred_y16, qp)
+
+    pu, pv = mc_chroma_blocks(padU, padV, mv4, mb_xy, w, h)    # (N,16,2,2)
+    pred_u = pu.reshape(n, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4).reshape(n, 8, 8)
+    pred_v = pv.reshape(n, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4).reshape(n, 8, 8)
+    orig_u = origU.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
+    orig_v = origV.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
+    cdc, cac, cnnz, cbp_c, recU_mbs, recV_mbs = chroma_residual_inter(
+        orig_u, orig_v, pred_u, pred_v, qpc)
+
+    recY = recY_mbs.reshape(mb_h, mb_w, 16, 16).transpose(0, 2, 1, 3) \
+        .reshape(h, w)
+    recU = recU_mbs.reshape(mb_h, mb_w, 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(h // 2, w // 2)
+    recV = recV_mbs.reshape(mb_h, mb_w, 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(h // 2, w // 2)
+
+    return {
+        "inter_mode": best_mode,
+        "mv4": mv4,
+        "luma_scan": scan.astype(jnp.int16),
+        "luma_nnz": nnz,
+        "cbp": (cbp_c << 4) | cbp_l,
+        "chroma_dc": cdc.astype(jnp.int16),
+        "chroma_scan": cac.astype(jnp.int16),
+        "chroma_nnz": cnnz,
+        "intra_mask": intra_mask,
+        "recY": recY, "recU": recU, "recV": recV,
+    }
