@@ -583,9 +583,59 @@ def serialize_slice(pic, sps, pps, *, slice_type: SliceType, frame_num: int,
                        wp_l0=wp_l0, wp_l1=wp_l1,
                        long_term_flag=long_term_flag, mmco_ops=mmco_ops,
                        ref_mod_l0=ref_mod_l0, ref_mod_l1=ref_mod_l1)
+    native = _native_slice_data(bw, pic, pps, slice_type, qp,
+                                num_ref_idx_l0, mb_addrs)
+    if native is not None:
+        return native
     w = MBWriter(bw, pic, sps, pps, qp)
     for addr in mb_addrs:
         w.write_mb(addr, slice_type, num_ref_idx_l0, num_ref_idx_l1)
     w.finish(slice_type)
     bw.rbsp_trailing_bits()
     return bw.get_bytes()
+
+
+def _native_slice_data(bw, pic, pps, slice_type, qp, num_ref,
+                       mb_addrs) -> bytes | None:
+    """Serialize the MB layer via the C++ runtime (native/jm_enc.cpp
+    cavlc_slice_data) when it covers this slice; None -> Python path.
+    The native writer is the byte-exact twin of MBWriter (tested in
+    tests/test_native.py); B slices and IPCM stay in Python for now."""
+    from .. import native as N
+    if not N.available or slice_type not in (SliceType.P, SliceType.I):
+        return None
+    addrs = np.ascontiguousarray(mb_addrs, np.int32)
+    if (pic.mb_class[addrs] == 3).any():         # IPCM
+        return None
+    c = np.ascontiguousarray
+    pic_dict = {
+        "mb_class": c(pic.mb_class, np.int8),
+        "skip": c(pic.skip, np.uint8),
+        "inter_mode": c(pic.inter_mode, np.int8),
+        "sub_mode": c(pic.sub_mode, np.int8),
+        "ref_idx": c(pic.ref_idx, np.int8),
+        "mv": c(pic.mv, np.int32),
+        "cbp": c(pic.cbp, np.int32),
+        "qp": c(pic.qp, np.int32),
+        "slice_id": c(pic.slice_id, np.int32),
+        "i4_modes": c(pic.i4_modes, np.int8),
+        "i16_mode": c(pic.i16_mode, np.int8),
+        "chroma_mode": c(pic.chroma_mode, np.int8),
+        "luma_coef": c(pic.luma_coef, np.int32),
+        "luma_dc": c(pic.luma_dc, np.int32),
+        "luma_coef8": c(pic.luma_coef8, np.int32),
+        "transform8x8": c(pic.transform8x8, np.uint8),
+        "luma_nnz": c(pic.luma_nnz, np.int32),
+        "chroma_dc": c(pic.chroma_dc, np.int32),
+        "chroma_coef": c(pic.chroma_coef, np.int32),
+        "chroma_nnz": c(pic.chroma_nnz, np.int32),
+        "mb_w": pic.mb_w,
+        "crows": pic.n_crows,
+    }
+    try:
+        return N.cavlc_slice_data(
+            bytes(bw.buf), bw.acc, bw.nacc, pic_dict, addrs,
+            0 if slice_type == SliceType.P else 2, int(num_ref),
+            int(pps.transform_8x8_mode_flag), int(qp))
+    except ValueError:
+        return None

@@ -1,10 +1,12 @@
 """Native (C++) runtime layer: loads jm_native, building it on first use.
 
 Exposes `available`, and when available: `BitReader`, `CabacEngine`,
-`ebsp_to_rbsp`, `rbsp_to_ebsp`. The CABAC state tables are installed
-from the machine-extracted Python tables so both implementations share
-one source of truth. Falls back silently (available=False) when no
-compiler is present.
+`ebsp_to_rbsp`, `rbsp_to_ebsp`, plus the encoder runtime
+`cavlc_slice_data` (CAVLC MB-layer serializer) and `deblock_frame`
+(in-loop filter edge loops). All normative tables (CABAC state machine,
+CAVLC code tables) are installed from the Python tables so both
+implementations share one source of truth. Falls back silently
+(available=False) when no compiler is present.
 """
 
 from __future__ import annotations
@@ -14,10 +16,48 @@ BitReader = None
 CabacEngine = None
 ebsp_to_rbsp = None
 rbsp_to_ebsp = None
+cavlc_slice_data = None
+deblock_frame = None
+
+
+def _pad2(rows, width, dtype):
+    import numpy as np
+    out = np.zeros((len(rows), width), dtype)
+    for i, r in enumerate(rows):
+        out[i, :len(r)] = r
+    return out
+
+
+def _install_cavlc_tables(jm_native):
+    import numpy as np
+
+    from ..decoder import cavlc as C
+    from ..decoder.mb_parse import CBP_MAP_CHROMA
+    cbp_inv = np.zeros((2, 48), np.uint8)
+    for i, (ci, cp) in enumerate(CBP_MAP_CHROMA):
+        cbp_inv[0, int(ci)] = i
+        cbp_inv[1, int(cp)] = i
+    tz_len = _pad2(C._TZ_LEN, 16, np.uint8)
+    tz_cod = _pad2(C._TZ_COD, 16, np.uint16)
+    jm_native.set_cavlc_tables({
+        "ct_len": np.ascontiguousarray(C._CT_LEN, np.uint8),
+        "ct_cod": np.ascontiguousarray(C._CT_COD, np.uint16),
+        "ctdc_len": np.ascontiguousarray(C._CT_DC_LEN, np.uint8),
+        "ctdc_cod": np.ascontiguousarray(C._CT_DC_COD, np.uint16),
+        "tz_len": tz_len, "tz_cod": tz_cod,
+        "tzdc0_len": _pad2(C._TZ_DC_LEN[0], 4, np.uint8),
+        "tzdc0_cod": _pad2(C._TZ_DC_COD[0], 4, np.uint16),
+        "tzdc1_len": _pad2(C._TZ_DC_LEN[1], 8, np.uint8),
+        "tzdc1_cod": _pad2(C._TZ_DC_COD[1], 8, np.uint16),
+        "run_len": _pad2(C._RUN_LEN, 15, np.uint8),
+        "run_cod": _pad2(C._RUN_COD, 15, np.uint16),
+        "cbp_inv_chroma": cbp_inv,
+    })
 
 
 def _load():
     global available, BitReader, CabacEngine, ebsp_to_rbsp, rbsp_to_ebsp
+    global cavlc_slice_data, deblock_frame
     try:
         try:
             from . import jm_native  # type: ignore
@@ -45,6 +85,19 @@ def _load():
         CabacEngine = jm_native.CabacEngine
         ebsp_to_rbsp = jm_native.ebsp_to_rbsp
         rbsp_to_ebsp = jm_native.rbsp_to_ebsp
+
+        # the CAVLC tables live in jm_tpu.decoder.cavlc, whose import
+        # chain circles back here — install them lazily on first use
+        _state = {"installed": False}
+
+        def _cavlc_slice_data(*args):
+            if not _state["installed"]:
+                _install_cavlc_tables(jm_native)
+                _state["installed"] = True
+            return jm_native.cavlc_slice_data(*args)
+
+        cavlc_slice_data = _cavlc_slice_data
+        deblock_frame = jm_native.deblock_frame
         available = True
     except Exception:
         available = False

@@ -1,7 +1,8 @@
 """In-loop deblocking filter (spec 8.7).
 
-Host numpy reference implementation, bit-exact; the batched wavefront device
-kernel (ops/deblock_jax) is validated against it. Capability parity with
+Host numpy reference implementation, bit-exact; the production edge-filter
+loops run in the native C++ runtime (native/jm_enc.cpp deblock_frame),
+validated byte-exact against this module. Capability parity with
 ldecod/src/loop_filter_normal.c (GetStrengthNormal:52ff, EdgeLoopLumaVer:301,
 EdgeLoopLumaHor, chroma twins) and the encoder copy lencod/src/loopFilter.c
 — new implementation.
@@ -163,11 +164,55 @@ def _filter_chroma_edge(p1, p0, q0, q1, bs, alpha, beta, tc0):
     return rp0, rq0
 
 
-def deblock_picture(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params):
+def _deblock_native(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params,
+                    bs_v, bs_h) -> bool:
+    from .. import native as N
+    if not N.available:
+        return False
+    cb_off = slice_params["cb_qp_off"]
+    cr_off = slice_params["cr_qp_off"]
+    # per-MB chroma QP offsets must be uniform to precompute the QP->QPc
+    # tables once per plane (always true for our single-PPS pictures)
+    if (cb_off != cb_off[0]).any() or (cr_off != cr_off[0]).any():
+        return False
+    if not (Y.flags.c_contiguous and U.flags.c_contiguous
+            and V.flags.c_contiguous):
+        return False
+    qpc_cb = np.array([chroma_qp(q, int(cb_off[0])) for q in range(52)],
+                      np.int32)
+    qpc_cr = np.array([chroma_qp(q, int(cr_off[0])) for q in range(52)],
+                      np.int32)
+    N.deblock_frame({
+        "Y": Y, "U": U, "V": V,
+        "bs_v": np.ascontiguousarray(bs_v, np.int8),
+        "bs_h": np.ascontiguousarray(bs_h, np.int8),
+        "qp": np.ascontiguousarray(qp_arr, np.int32),
+        "disable": np.ascontiguousarray(slice_params["disable_idc"], np.int32),
+        "a_off": np.ascontiguousarray(slice_params["alpha_off"], np.int32),
+        "b_off": np.ascontiguousarray(slice_params["beta_off"], np.int32),
+        "slice_id": np.ascontiguousarray(slice_params["slice_id"], np.int32),
+        "transform8x8": np.ascontiguousarray(pic.transform8x8, np.uint8),
+        "qpc_cb": qpc_cb, "qpc_cr": qpc_cr,
+        "alpha_tab": np.ascontiguousarray(ALPHA_TABLE, np.uint8),
+        "beta_tab": np.ascontiguousarray(BETA_TABLE, np.uint8),
+        "tc0_tab": np.ascontiguousarray(TC0_TABLE, np.uint8),
+    }, mb_w, mb_h, getattr(pic, "n_crows", 2))
+    return True
+
+
+def deblock_picture(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params,
+                    force_numpy: bool = False):
     """In-place deblock of planes. qp_arr: per-MB luma QP. slice_params:
     per-MB (disable_idc, alpha_off, beta_off, cb_off, cr_off, slice_id).
+
+    Boundary strengths are computed vectorized here; the edge filter
+    loops run in the native runtime (native/jm_enc.cpp deblock_frame,
+    byte-exact twin of the numpy loops below) when available.
     """
     bs_v, bs_h = compute_bs(pic, mb_w, mb_h)
+    if not force_numpy and _deblock_native(Y, U, V, pic, mb_w, mb_h,
+                                           qp_arr, slice_params, bs_v, bs_h):
+        return
     disable = slice_params["disable_idc"]
     a_off = slice_params["alpha_off"]
     b_off = slice_params["beta_off"]

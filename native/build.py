@@ -17,13 +17,14 @@ def build() -> Path:
     OUT_DIR.mkdir(exist_ok=True)
     suffix = sysconfig.get_config_var("EXT_SUFFIX")
     out = OUT_DIR / f"jm_native{suffix}"
-    src = HERE / "jm_native.cpp"
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    srcs = [HERE / "jm_native.cpp", HERE / "jm_enc.cpp"]
+    if out.exists() and all(out.stat().st_mtime >= s.stat().st_mtime
+                            for s in srcs):
         return out
     include = sysconfig.get_paths()["include"]
     cmd = [
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-        f"-I{include}", str(src), "-o", str(out),
+        f"-I{include}", *map(str, srcs), "-o", str(out),
     ]
     subprocess.run(cmd, check=True)
     return out

@@ -710,6 +710,8 @@ static struct PyModuleDef jm_native_module = {
     "native bit-serial runtime for jm_tpu", -1, module_methods,
 };
 
+extern "C" int register_jm_enc(PyObject *module);
+
 PyMODINIT_FUNC PyInit_jm_native(void) {
     BitReaderType.tp_dealloc = (destructor)BitReader_dealloc;
     BitReaderType.tp_flags = Py_TPFLAGS_DEFAULT;
@@ -733,5 +735,6 @@ PyMODINIT_FUNC PyInit_jm_native(void) {
     PyModule_AddObject(m, "BitReader", (PyObject *)&BitReaderType);
     Py_INCREF(&CabacType);
     PyModule_AddObject(m, "CabacEngine", (PyObject *)&CabacType);
+    if (register_jm_enc(m) < 0) { Py_DECREF(m); return NULL; }
     return m;
 }

@@ -125,3 +125,66 @@ def test_native_decode_bit_exact(golden_dir):
     for i, f in enumerate(frames):
         exp = ref[i * fsz:(i + 1) * fsz]
         np.testing.assert_array_equal(f.Y, exp[:W * H].reshape(H, W))
+
+
+def test_native_cavlc_serializer_matches_python(foreman_qcif):
+    """native/jm_enc.cpp cavlc_slice_data is the byte-exact twin of the
+    Python MBWriter across P/I slices, multi-ref, sub-partitions and the
+    8x8 transform."""
+    from jm_tpu import native as N
+    if not N.available:
+        import pytest
+        pytest.skip("native runtime unavailable")
+    from jm_tpu.encoder import syntax as S
+    from jm_tpu.encoder.encoder import Encoder, EncoderConfig
+
+    raw = open(foreman_qcif, "rb").read()
+    W, H = 176, 144
+    fs = W * H * 3 // 2
+    frames = []
+    for i in range(3):
+        b = raw[i * fs:(i + 1) * fs]
+        frames.append((
+            np.frombuffer(b[:W * H], np.uint8).reshape(H, W),
+            np.frombuffer(b[W * H:W * H + W * H // 4],
+                          np.uint8).reshape(H // 2, W // 2),
+            np.frombuffer(b[W * H + W * H // 4:],
+                          np.uint8).reshape(H // 2, W // 2)))
+
+    for cfg in (EncoderConfig(width=W, height=H, qp=28, pipeline="device"),
+                EncoderConfig(width=W, height=H, qp=34, num_ref=2,
+                              sub8x8=True),
+                EncoderConfig(width=W, height=H, qp=24, transform8x8=True)):
+        enc = Encoder(cfg)
+        bs_native = b"".join(enc.encode_frame(*f) for f in frames)
+        orig_fn = S._native_slice_data
+        S._native_slice_data = lambda *a, **k: None
+        try:
+            enc2 = Encoder(cfg)
+            bs_py = b"".join(enc2.encode_frame(*f) for f in frames)
+        finally:
+            S._native_slice_data = orig_fn
+        assert bs_native == bs_py
+
+
+def test_native_deblock_matches_numpy(golden_dir):
+    """native deblock_frame == numpy edge loops on real decoded pictures
+    (I/P/B, CABAC/CAVLC, FMO)."""
+    from jm_tpu import native as N
+    if not N.available:
+        import pytest
+        pytest.skip("native runtime unavailable")
+    from jm_tpu.decoder.decoder import decode_file
+    from jm_tpu.ops import deblock as DB
+    for name in ("cabac_pp.264", "cavlc_b.264", "fmo_t3.264"):
+        fr_native = decode_file(str(golden_dir / name))
+        orig = DB._deblock_native
+        DB._deblock_native = lambda *a: False
+        try:
+            fr_np = decode_file(str(golden_dir / name))
+        finally:
+            DB._deblock_native = orig
+        for a, b in zip(fr_native, fr_np):
+            np.testing.assert_array_equal(a.Y, b.Y)
+            np.testing.assert_array_equal(a.U, b.U)
+            np.testing.assert_array_equal(a.V, b.V)
