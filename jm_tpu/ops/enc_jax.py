@@ -174,10 +174,10 @@ def prep_ref(Y: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray):
 # integer full-search sweep (all MBs, all partitions, one scan)
 # ---------------------------------------------------------------------------
 
-def me_int_sweep(orig_q, ref_int, mb_w: int, mb_h: int, sr: int, lam):
+def me_int_sweep(origY, ref_int, mb_w: int, mb_h: int, sr: int, lam):
     """Integer-pel full search over all 9 partition jobs at once.
 
-    orig_q: (N, 4, 8, 8) int16 source quadrants.
+    origY: (H, W) uint8 source plane.
     ref_int: padded integer plane (pad >= sr).
     Returns best integer MVs (N, 9, 2) int32.
 
@@ -192,19 +192,20 @@ def me_int_sweep(orig_q, ref_int, mb_w: int, mb_h: int, sr: int, lam):
     n = mb_w * mb_h
     region = lax.dynamic_slice(ref_int, (PAD - sr, PAD - sr),
                                (h + 2 * sr, w + 2 * sr)).astype(jnp.int16)
-    o = orig_q.astype(jnp.int16)
     qmask = jnp.asarray(QMASK)
     se_tab = jnp.asarray(_SE_BITS)
+    o_frame = origY.astype(jnp.int16)
 
     def step(carry, idx):
         best_cost, best_idx = carry
         dy = idx // side
         dx = idx % side
         sh = lax.dynamic_slice(region, (dy, dx), (h, w))
-        shq = sh.reshape(mb_h, 2, 8, mb_w, 2, 8).transpose(0, 3, 1, 4, 2, 5) \
-                .reshape(n, 4, 8, 8)
-        sad_q = jnp.abs(o.astype(jnp.int32) - shq.astype(jnp.int32)) \
-            .sum(axis=(2, 3))                          # (N, 4)
+        # |diff| <= 255, 8x8 sums <= 16320: exact in int16 (VPU 2x lanes)
+        d = jnp.abs(o_frame - sh.astype(jnp.int16))
+        sad_q = d.reshape(mb_h, 2, 8, mb_w, 2, 8).sum(axis=(2, 5),
+                                                      dtype=jnp.int16)
+        sad_q = sad_q.transpose(0, 2, 1, 3).reshape(n, 4).astype(jnp.int32)
         sad_j = sad_q @ qmask                          # (N, 9)
         bits = (se_tab[jnp.abs(4 * (dx - sr))]
                 + se_tab[jnp.abs(4 * (dy - sr))])
@@ -255,56 +256,170 @@ def _satd8_raw(diff):
     return jnp.abs(t).sum(axis=(-4, -3, -2, -1))
 
 
+def _gather_windows(planes, ax, ay, size: int):
+    """One (4, size, size) all-planes window per qjob at integer plane
+    coords (ax, ay) (top-left, relative to the unpadded picture)."""
+    def one(x, y):
+        return lax.dynamic_slice(planes, (0, PAD + y, PAD + x),
+                                 (4, size, size))
+    return jax.vmap(jax.vmap(one))(ax, ay)
+
+
+# stage-1 (half-pel) candidate -> (plane, ox, oy) window slice, for a
+# window anchored 1 px up-left of the integer position. Candidate order
+# follows _DELTAS.
+_S1_SEL = []
+for _dx, _dy in _DELTAS:
+    if _dx == 0 and _dy == 0:
+        _S1_SEL.append((0, 1, 1))
+    elif _dy == 0:
+        _S1_SEL.append((1, 0 if _dx < 0 else 1, 1))
+    elif _dx == 0:
+        _S1_SEL.append((2, 1, 0 if _dy < 0 else 1))
+    else:
+        _S1_SEL.append((3, 0 if _dx < 0 else 1, 0 if _dy < 0 else 1))
+
+
 def subpel_refine_jobs(planes, orig_q, int_mv, pred, lam, mb_xy,
                        w: int, h: int):
     """Two-stage (half then quarter pel) 3x3 refinement of all 9 partition
     jobs of every MB, Hadamard SATD + lambda*bits cost.
 
+    One (4-plane, 10x10) window gather per qjob per stage; every
+    candidate block is then a static slice of the window (stage 1:
+    single plane, since the stage-1 center is integer-pel; stage 2:
+    two-plane average selected by the half-pel parity of the stage-1
+    winner). This keeps the whole refinement in dense VPU math instead
+    of per-candidate gathers.
+
     orig_q: (N, 4, 8, 8); int_mv: (N, 9, 2) integer-pel; pred: (N, 2)
     approximate qpel MV predictor; mb_xy: (N, 2) MB pixel origin.
     Returns (mv_q (N, 9, 2) qpel, cost (N, 9)).
     """
-    n = orig_q.shape[0]
-    qj_parent = jnp.asarray(QJ_PARENT)
-    qj_quad = jnp.asarray(QJ_QUAD)
-    qj_mask = jnp.asarray(QJ_MASK)
-    # per-qjob static data
     oq = orig_q[:, QJ_QUAD].astype(jnp.int32)          # (N, 16, 8, 8)
-    qoff_x = (QJ_QUAD % 2) * 8
-    qoff_y = (QJ_QUAD // 2) * 8
-    base_x4 = (mb_xy[:, 0:1] + jnp.asarray(qoff_x)[None, :]) * 4  # (N, 16)
-    base_y4 = (mb_xy[:, 1:2] + jnp.asarray(qoff_y)[None, :]) * 4
+    qj_mask = jnp.asarray(QJ_MASK)
+    qoff_x = jnp.asarray((QJ_QUAD % 2) * 8)
+    qoff_y = jnp.asarray((QJ_QUAD // 2) * 8)
+    bx_pix = mb_xy[:, 0:1] + qoff_x[None, :]           # (N, 16)
+    by_pix = mb_xy[:, 1:2] + qoff_y[None, :]
 
-    gather8 = jax.vmap(jax.vmap(
-        lambda x4, y4: _gather_qpel(planes, x4, y4, 8, w, h)))
+    def mvd_cost(cand):
+        bits = _mvd_bits(cand[..., 0], cand[..., 1],
+                         pred[:, None, 0], pred[:, None, 1])
+        return lam * bits
 
-    def stage(center, best_cost, step):
-        """center (N, 9, 2) qpel; evaluate 3x3 at +-step, keep best."""
-        best_mv = center
-        for k, (dx, dy) in enumerate(_DELTAS):
-            cand = center + jnp.asarray([dx * step, dy * step], jnp.int32)
-            # qjob coords from the parent candidate
-            cmx = cand[:, QJ_PARENT, 0]                # (N, 16)
-            cmy = cand[:, QJ_PARENT, 1]
-            pred_blocks = gather8(base_x4 + cmx, base_y4 + cmy)
-            satd = _satd8_raw(oq - pred_blocks)        # (N, 16)
-            satd_p = satd @ qj_mask                    # (N, 9)
-            bits = _mvd_bits(cand[..., 0], cand[..., 1],
-                             pred[:, None, 0], pred[:, None, 1])
-            cost = (satd_p >> 1) + lam * bits
-            if k == 0:
-                best_cost = cost
-                best_mv = cand
-            else:
-                upd = cost < best_cost
-                best_cost = jnp.where(upd, cost, best_cost)
-                best_mv = jnp.where(upd[..., None], cand, best_mv)
-        return best_mv, best_cost
+    def pick(best, cand_mv, cost, k):
+        if k == 0:
+            return cand_mv, cost
+        best_mv, best_cost = best
+        upd = cost < best_cost
+        return (jnp.where(upd[..., None], cand_mv, best_mv),
+                jnp.where(upd, cost, best_cost))
 
+    # ---- stage 1: half-pel around the integer winner -------------------
+    cmx = int_mv[:, QJ_PARENT, 0]
+    cmy = int_mv[:, QJ_PARENT, 1]
+    win = _gather_windows(planes, bx_pix + cmx - 1, by_pix + cmy - 1, 10) \
+        .astype(jnp.int32)                             # (N, 16, 4, 10, 10)
     center = int_mv * 4
-    mv_h, cost_h = stage(center, None, 2)
-    mv_q, cost_q = stage(mv_h, cost_h, 1)
-    return mv_q, cost_q
+    best = None
+    for k, (dx, dy) in enumerate(_DELTAS):
+        p, ox, oy = _S1_SEL[k]
+        blk = win[:, :, p, oy:oy + 8, ox:ox + 8]
+        satd_p = (_satd8_raw(oq - blk) @ qj_mask) >> 1
+        cand = center + jnp.asarray([dx * 2, dy * 2], jnp.int32)
+        best = pick(best, cand, satd_p + mvd_cost(cand), k)
+    mv_h, cost_h = best
+
+    # ---- stage 2: quarter-pel around the half-pel winner ---------------
+    # window anchored at ((cx>>2)-1, (cy>>2)-1) covers the 3x3 qpel
+    # neighborhood for either parity of the center component
+    chx = mv_h[:, QJ_PARENT, 0]                        # (N, 16) qpel, even
+    chy = mv_h[:, QJ_PARENT, 1]
+    ax = bx_pix + (chx >> 2) - 1
+    ay = by_pix + (chy >> 2) - 1
+    win = _gather_windows(planes, ax, ay, 10).astype(jnp.int32)
+    px_even = (chx & 3) == 0                           # parity masks
+    py_even = (chy & 3) == 0
+    pxm = px_even[:, :, None, None]
+    pym = py_even[:, :, None, None]
+
+    def cand_block(dx, dy):
+        """Quarter-pel candidate block at center+(dx,dy), built from the
+        window by parity-selected static slices (interp.QPEL_TAB logic
+        inlined for the four (cx&3, cy&3) in {0,2}^2 cases)."""
+        # Per-axis tap descriptors: (use_pair, a_is_half, int_off,
+        # half_off) — window-relative offsets of the integer-grid and
+        # half-grid taps. Window rel coords: the center integer sample
+        # sits at index 1.
+        # parity even (c%4==0): d=-1 -> frac 3 (pair INT@1 + HALF@0);
+        #   d=0 -> frac 0 (single INT@1); d=+1 -> frac 1 (INT@1+HALF@1).
+        # parity odd (c%4==2): d=-1 -> frac 1 (INT@1+HALF@1);
+        #   d=0 -> frac 2 (single HALF@1); d=+1 -> frac 3 (INT@2+HALF@1).
+        def taps(d, even):
+            if even:
+                if d == -1:
+                    return (1, 0, 1, 0)    # pair: INT@1 + HALF@0
+                if d == 0:
+                    return (0, 0, 1, 1)    # single INT@1
+                return (1, 0, 1, 1)        # pair: INT@1 + HALF@1
+            else:
+                if d == -1:
+                    return (1, 0, 1, 1)    # pair: INT@1 + HALF@1
+                if d == 0:
+                    return (0, 1, 1, 1)    # single HALF@1
+                return (1, 0, 2, 1)        # pair: INT@2 + HALF@1
+        # The 2-D QPEL_TAB structure: position (xf, yf) averages two
+        # samples chosen per table; for the 3x3 neighborhood of an
+        # even-parity center every candidate is either a plane sample or
+        # the average of two plane samples whose plane ids follow from
+        # the per-axis taps:
+        #   frac (0,0)->INT, (2,0)->B, (0,2)->H, (2,2)->J (single)
+        #   odd xf, even yf -> avg(INT/H row plane, B/J) etc.
+        out = None
+        for even_x in (False, True):
+            for even_y in (False, True):
+                ux, ax_is_h, ax_a, ax_b = taps(dx, even_x)
+                uy, ay_is_h, ay_a, ay_b = taps(dy, even_y)
+                # sample grid ids: plane = [INT,B,H,J][hx + 2*hy]
+                if not ux and not uy:      # single sample
+                    pl = (1 if ax_is_h else 0) + 2 * (1 if ay_is_h else 0)
+                    ox = ax_b if ax_is_h else ax_a
+                    oy = ay_b if ay_is_h else ay_a
+                    b = win[:, :, pl, oy:oy + 8, ox:ox + 8]
+                elif ux and not uy:        # horizontal pair
+                    ph = 1 + 2 * (1 if ay_is_h else 0)   # B or J
+                    pi = 0 + 2 * (1 if ay_is_h else 0)   # INT or H
+                    oy = ay_b if ay_is_h else ay_a
+                    a = win[:, :, pi, oy:oy + 8, ax_a:ax_a + 8]
+                    b2 = win[:, :, ph, oy:oy + 8, ax_b:ax_b + 8]
+                    b = (a + b2 + 1) >> 1
+                elif uy and not ux:        # vertical pair
+                    pv = 2 + (1 if ax_is_h else 0)       # H or J
+                    pi = 0 + (1 if ax_is_h else 0)       # INT or B
+                    ox = ax_b if ax_is_h else ax_a
+                    a = win[:, :, pi, ay_a:ay_a + 8, ox:ox + 8]
+                    b2 = win[:, :, pv, ay_b:ay_b + 8, ox:ox + 8]
+                    b = (a + b2 + 1) >> 1
+                else:                      # diagonal pair: avg(B, H)
+                    a = win[:, :, 1, ay_a:ay_a + 8, ax_b:ax_b + 8]
+                    b2 = win[:, :, 2, ay_b:ay_b + 8, ax_a:ax_a + 8]
+                    b = (a + b2 + 1) >> 1
+                m = (pxm if even_x else ~pxm) & (pym if even_y else ~pym)
+                out = b if out is None else jnp.where(m, b, out)
+        return out
+
+    best = None
+    for k, (dx, dy) in enumerate(_DELTAS):
+        blk = cand_block(dx, dy)
+        satd_p = (_satd8_raw(oq - blk) @ qj_mask) >> 1
+        cand = mv_h + jnp.asarray([dx, dy], jnp.int32)
+        best = pick(best, cand, satd_p + mvd_cost(cand), k)
+    mv_q, cost_q = best
+    # the stage-2 center must win ties exactly like the sequential search
+    keep = cost_h <= cost_q
+    return (jnp.where(keep[..., None], mv_h, mv_q),
+            jnp.where(keep, cost_h, cost_q))
 
 
 # ---------------------------------------------------------------------------
@@ -521,7 +636,7 @@ def p_frame_step(origY, origU, origV, planes, padU, padV,
         .reshape(n, 4, 8, 8).astype(jnp.int16)
 
     # 1. integer sweep (zero-predictor rate term)
-    int_mv, _ = me_int_sweep(orig_q, planes[0], mb_w, mb_h, sr, lam)
+    int_mv, _ = me_int_sweep(origY, planes[0], mb_w, mb_h, sr, lam)
 
     # 2. approximate qpel predictor from the integer 16x16 field
     pred = approx_pred_field(int_mv[:, 0], mb_w, mb_h)

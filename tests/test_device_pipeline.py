@@ -148,3 +148,70 @@ def test_device_pipeline_multislice_and_refresh(foreman_qcif):
     out = b"".join(fr.Y.tobytes() + fr.U.tobytes() + fr.V.tobytes()
                    for fr in dec)
     assert out == rec
+
+
+def test_subpel_refinement_matches_bruteforce():
+    """The window-gather subpel kernel equals a brute-force two-stage
+    search over interp.mc_luma_block blocks (exact QPEL_TAB semantics)."""
+    import jax.numpy as jnp
+
+    from jm_tpu.encoder.me import se_len
+    from jm_tpu.ops import enc_jax as EJ
+    from jm_tpu.ops import interp as IP
+    rng = np.random.default_rng(11)
+    W, H = 64, 48
+    MBW, MBH = W // 16, H // 16
+    n = MBW * MBH
+    ref = rng.integers(0, 256, (H, W), np.uint8)
+    cur = (ref.astype(np.int32)
+           + rng.integers(-20, 20, (H, W))).clip(0, 255).astype(np.uint8)
+    planes_np = IP.make_luma_planes(ref)
+    planes = jnp.asarray(np.stack(planes_np))
+    orig_mbs = cur.reshape(MBH, 16, MBW, 16).transpose(0, 2, 1, 3) \
+        .reshape(n, 16, 16)
+    orig_q = orig_mbs.reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 4, 8, 8)
+    mb_xy = np.stack([(np.arange(n) % MBW) * 16,
+                      (np.arange(n) // MBW) * 16], 1).astype(np.int32)
+    int_mv = rng.integers(-3, 4, (n, 9, 2)).astype(np.int32)
+    pred = rng.integers(-8, 9, (n, 2)).astype(np.int32)
+    lam = 23
+    mv_q, cost_q = (np.asarray(x) for x in EJ.subpel_refine_jobs(
+        planes, jnp.asarray(orig_q), jnp.asarray(int_mv),
+        jnp.asarray(pred), lam, jnp.asarray(mb_xy), W, H))
+
+    H4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1],
+                   [1, -1, -1, 1], [1, -1, 1, -1]])
+
+    def satd_raw(d):
+        t = d.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+        r = np.einsum("ij,bcjk,lk->bcil", H4, t, H4)
+        return int(np.abs(r).sum())
+
+    for m in range(n):
+        px, py = mb_xy[m]
+        for j in range(9):
+            quads = [q for q in range(4) if EJ.QMASK[q, j]]
+
+            def cost_at(mv):
+                s = 0
+                for q in quads:
+                    qx, qy = (q % 2) * 8, (q // 2) * 8
+                    blk = IP.mc_luma_block(
+                        planes_np, (px + qx) * 4 + int(mv[0]),
+                        (py + qy) * 4 + int(mv[1]), 8, 8, W, H)
+                    s += satd_raw(orig_q[m, q].astype(np.int32) - blk)
+                bits = se_len(int(mv[0] - pred[m, 0])) + \
+                    se_len(int(mv[1] - pred[m, 1]))
+                return (s >> 1) + lam * bits
+
+            center = int_mv[m, j] * 4
+            best, bcost = center.copy(), cost_at(center)
+            for step in (2, 1):
+                cc = best.copy()
+                for dx, dy in EJ._DELTAS[1:]:
+                    mv = cc + (dx * step, dy * step)
+                    c = cost_at(mv)
+                    if c < bcost:
+                        best, bcost = mv, c
+            assert np.array_equal(best, mv_q[m, j]) and bcost == cost_q[m, j]
