@@ -716,6 +716,16 @@ class _FrameEncoder:
                 and not cfg.sub8x8
                 and cfg.enable_ipcm == 0)
 
+    def _device_i_path_ok(self) -> bool:
+        cfg = self.enc.cfg
+        return (cfg.pipeline == "device"
+                and self.stype == SliceType.I
+                and self.cfi == 1
+                and len(self.enc.slice_plan) == 1
+                and not cfg.rdo
+                and not cfg.transform8x8
+                and cfg.enable_ipcm == 0)
+
     def encode(self) -> PictureData:
         if self._device_path_ok():
             for sid, addrs in enumerate(self.enc.slice_plan):
@@ -724,6 +734,11 @@ class _FrameEncoder:
             self.pic.qp[:] = self.qp
             self.refs_list = self.enc._ref_list_p()
             self._encode_p_device()
+            return self.pic
+        if self._device_i_path_ok():
+            self.pic.slice_id[:] = 0
+            self.pic.qp[:] = self.qp
+            self._encode_i_device()
             return self.pic
         sr = self.enc.cfg.search_range
         if self.stype == SliceType.P:
@@ -821,6 +836,36 @@ class _FrameEncoder:
             addr = int(addr)
             if (pic.mv[addr, 0] == self.pctx.skip_mv(addr)).all():
                 pic.skip[addr] = True
+
+    def _encode_i_device(self) -> None:
+        """Wavefront-batched device I-frame (ops/intra_jax.py): anti-
+        diagonal waves of MBs coded together; I4 (9 modes) + I16 + chroma
+        decisions on device, exact residual/recon, committed to the SoA
+        state for serialization."""
+        import jax
+
+        from ..ops import intra_jax as IJ
+        pic = self.pic
+        out = jax.device_get(IJ.i_frame_step(
+            self.origY, self.origU, self.origV,
+            self.qp, self.qpc, self.lam, self.lam4,
+            mb_w=self.mb_w, mb_h=self.mb_h))
+        pic.mb_class[:] = out["cls"]
+        pic.i4_modes[:] = out["i4m"]
+        pic.i16_mode[:] = out["i16m"]
+        pic.chroma_mode[:] = out["cmode"]
+        pic.cbp[:] = out["cbp"]
+        pic.luma_coef[:] = out["lcoef"]
+        pic.luma_dc[:] = out["ldc"]
+        pic.luma_nnz[:] = out["lnnz"]
+        pic.chroma_dc[:] = out["cdc"]
+        pic.chroma_coef[:] = out["cac"]
+        pic.chroma_nnz[:] = out["cnnz"]
+        pic.ref_idx[:] = -1
+        pic.ref_pic_id[:] = -1
+        self.recY[:] = out["recY"]
+        self.recU[:] = out["recU"]
+        self.recV[:] = out["recV"]
 
     # ---- intra ------------------------------------------------------------
 

