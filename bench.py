@@ -1,23 +1,17 @@
-"""1080p encoder-core benchmark on the real TPU.
+"""1080p real-encoder benchmark on the TPU.
 
-Methodology (tunnel-safe and hoisting-proof):
-  - The whole measurement is ONE device dispatch: `lax.scan` over N_REP
-    frames. The scan carry is the padded reference plane built from the
-    PREVIOUS frame's reconstruction, so every iteration depends on the
-    last — XLA cannot hoist or elide any per-frame work (a plain
-    repeated-inputs loop could be CSE'd; a recon chain cannot).
-  - The per-frame step is the device encode core: full-search ME over
-    +-SR at every MB, integer-pel MC, 4x4 transform/quant/dequant/
-    inverse/recon (jm_tpu/ops/me_jax.py; numpy twins are conformance-
-    tested in tests/).
-  - ME metric: SSE full search formulated as two MXU convolutions
-    (ssd_full_search) — the reference supports SSE ME distortion
-    (lencod me_distortion.c select_distortion). The conv cross-term
-    runs on the systolic array instead of a VPU |a-b| reduction.
-  - The axon tunnel adds ~107 ms RTT and `block_until_ready` is not a
-    reliable barrier over it; the only barrier used is the scalar
-    checksum readback. Reported per-frame time = (t_total - RTT) / N_REP
-    with RTT measured on a trivial dispatch in the same session.
+Measures the PRODUCTION encoder (`jm_tpu.encoder.Encoder`, device
+pipeline): a full 1080p IPPP CAVLC encode producing a decodable Annex-B
+stream — wavefront device I-frame, batched device P pipeline (full-search
+ME ±16 + quarter-pel SATD refinement over all partition jobs, mode
+decision, MC, transform/quant/recon), native C++ CAVLC serialization and
+in-loop deblocking. This is the same code path exercised bit-exactly
+against the JM reference decoder in tests/ (tests/test_device_pipeline.py,
+tests/test_encoder.py) — not a kernel microbenchmark.
+
+Validation inside the run: the first frames of the produced stream are
+decoded with our own decoder and byte-compared against the encoder's
+reconstruction.
 
 Baseline: JM lencod 19.0 on this host, encoder_baseline.cfg at
 1920x1088, SearchRange=16, 1 reference, RDOptimization=0:
@@ -35,98 +29,70 @@ import numpy as np
 
 JM_LENCOD_1080P_FPS = 0.058
 
-PAD = 32
-SR = 16
-QP = 28
 W, H = 1920, 1088
-MB_W, MB_H = W // 16, H // 16
-N_MBS = MB_W * MB_H
-N_CHUNKS = 8
-CHUNK = N_MBS // N_CHUNKS
-N_REP = 16
-N_VARIANTS = 4
+N_FRAMES = 17      # 1 I + 16 P
+QP = 28
 
 
-def make_variants():
+def make_sequence():
+    """Video-like synthetic 1080p content: low-pass filtered noise with
+    global motion + a little temporal noise (deterministic)."""
     rng = np.random.default_rng(0)
-    base = rng.integers(0, 256, (H + 64, W + 64), dtype=np.uint8)
-    outs = []
-    for k in range(N_VARIANTS):
-        cur = base[5 + 3 * k:5 + 3 * k + H, 9 + 2 * k:9 + 2 * k + W]
-        outs.append(cur.reshape(MB_H, 16, MB_W, 16)
-                    .transpose(0, 2, 1, 3).reshape(N_MBS, 16, 16))
-    ref0 = np.pad(base[8:8 + H, 8:8 + W], PAD, mode="edge")
-    return np.stack(outs), ref0
+    base = rng.integers(0, 256, (H + 96, W + 96)).astype(np.float32)
+    k = np.ones(9) / 9
+    base = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, base)
+    base = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, base)
+    base = np.clip(base * 1.8, 0, 255).astype(np.uint8)
+    frames = []
+    for i in range(N_FRAMES):
+        Y = base[3 * i:3 * i + H, 2 * i:2 * i + W].copy()
+        U = Y[::2, ::2].copy()
+        V = Y[1::2, ::2].copy()
+        frames.append((Y, U, V))
+    return frames
 
 
 def main():
     import jax
-    import jax.numpy as jnp
-    from jax import lax
-
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from jm_tpu.ops.me_jax import (regions_grid, residual_code,
-                                   ssd_full_search)
+    from jm_tpu.encoder.encoder import Encoder, EncoderConfig
 
-    variants_np, ref0_np = make_variants()
-    d_vars = jnp.asarray(variants_np)            # (V, N, 16, 16)
-    d_ref0 = jnp.asarray(ref0_np)
+    frames = make_sequence()
+    cfg = EncoderConfig(width=W, height=H, qp=QP, pipeline="device")
 
-    def frame_step(ref_pad, vidx):
-        cur = lax.dynamic_index_in_dim(d_vars, vidx, axis=0,
-                                       keepdims=False)    # (N, 16, 16)
-        regs = regions_grid(ref_pad, MB_W, MB_H, SR, PAD)  # static slices
+    # warm-up: compile the I and P device programs (cached afterwards)
+    warm = Encoder(cfg)
+    warm.encode_frame(*frames[0])
+    warm.encode_frame(*frames[1])
 
-        def chunk(args):
-            m, r = args
-            return ssd_full_search(m, r, SR)
-        mv, _best = lax.map(chunk, (cur.reshape(N_CHUNKS, CHUNK, 16, 16),
-                                    regs.reshape(N_CHUNKS, CHUNK,
-                                                 16 + 2 * SR, 16 + 2 * SR)))
-        mv = mv.reshape(N_MBS, 2)
-        # integer-pel MC without per-MB dynamic slices: two take_alongs
-        iy = (mv[:, 1] + SR)[:, None] + jnp.arange(16)[None, :]  # (N, 16)
-        ix = (mv[:, 0] + SR)[:, None] + jnp.arange(16)[None, :]
-        rows = jnp.take_along_axis(regs, iy[:, :, None], axis=1)  # (N,16,R)
-        pred = jnp.take_along_axis(rows, ix[:, None, :], axis=2)  # (N,16,16)
-        lev, rec = residual_code(cur, pred, QP, intra=False)
-        plane = rec.reshape(MB_H, MB_W, 16, 16).transpose(0, 2, 1, 3) \
-            .reshape(H, W)
-        new_ref = jnp.pad(plane, PAD, mode="edge")
-        chk = (mv.sum() + (lev.astype(jnp.int32) & 0xFF).sum() +
-               rec.astype(jnp.int32).sum())
-        return new_ref, chk
-
-    @jax.jit
-    def run(ref0, idxs):
-        _final, chks = lax.scan(frame_step, ref0, idxs)
-        return chks.sum()
-
-    idxs = jnp.asarray(np.arange(N_REP, dtype=np.int32) % N_VARIANTS)
-
-    # measure tunnel RTT with a trivial dispatch
-    triv = jax.jit(lambda x: x + 1)
-    z = jnp.zeros((), jnp.int32)
-    int(triv(z))
+    enc = Encoder(cfg)
+    per_frame_bytes = []
     t0 = time.time()
-    for _ in range(5):
-        int(triv(z))
-    rtt = (time.time() - t0) / 5
+    for f in frames:
+        per_frame_bytes.append(enc.encode_frame(*f))
+    dt = time.time() - t0
+    fps = N_FRAMES / dt
 
-    int(run(d_ref0, idxs))          # compile + warm (readback barrier)
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        int(run(d_ref0, idxs))      # checksum readback = the only barrier
-        times.append(time.time() - t0)
-    per_frame = (min(times) - rtt) / N_REP
-    fps = 1.0 / per_frame
+    # validation: decode the first two frames' stream, byte-compare the
+    # reconstruction (the full-stream oracle runs in tests/)
+    from jm_tpu.decoder.decoder import H264Decoder
+    dec = H264Decoder()
+    dec_frames = dec.decode_annexb(b"".join(per_frame_bytes[:2]))
+    ordered = sorted(enc.results, key=lambda r: r["disp"])[:len(dec_frames)]
+    for got, want in zip(dec_frames, ordered):
+        f = want["frame"]
+        assert (np.array_equal(got.Y, f.Y) and np.array_equal(got.U, f.U)
+                and np.array_equal(got.V, f.V)), "decode mismatch"
+
+    total_bits = 8 * sum(len(b) for b in per_frame_bytes)
+    kbps = total_bits * 30.0 / N_FRAMES / 1000.0
     print(json.dumps({
-        "metric": "1080p enc-core frames/s (SSE full-search ME±16 + "
-                  "4x4 T/Q/recon, recon-chained device loop)",
-        "value": round(fps, 2),
+        "metric": "1080p IPPP CAVLC real-encoder frames/s (device "
+                  f"pipeline, SR16 qp{QP}, {kbps:.0f} kbit/s @30Hz, "
+                  "decode-validated)",
+        "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / JM_LENCOD_1080P_FPS, 1),
     }))

@@ -195,28 +195,28 @@ def me_int_sweep(origY, ref_int, mb_w: int, mb_h: int, sr: int, lam):
     qmask = jnp.asarray(QMASK)
     se_tab = jnp.asarray(_SE_BITS)
     o_frame = origY.astype(jnp.int16)
+    bits_x = lam * se_tab[np.abs(4 * (np.arange(side) - sr))]  # (side,)
 
-    def step(carry, idx):
+    def step(carry, dy):
         best_cost, best_idx = carry
-        dy = idx // side
-        dx = idx % side
-        sh = lax.dynamic_slice(region, (dy, dx), (h, w))
+        row = lax.dynamic_slice(region, (dy, 0), (h, w + 2 * sr))
+        bits_y = lam * se_tab[jnp.abs(4 * (dy - sr))]
+        # all horizontal displacements of this row are static slices;
         # |diff| <= 255, 8x8 sums <= 16320: exact in int16 (VPU 2x lanes)
-        d = jnp.abs(o_frame - sh.astype(jnp.int16))
-        sad_q = d.reshape(mb_h, 2, 8, mb_w, 2, 8).sum(axis=(2, 5),
-                                                      dtype=jnp.int16)
-        sad_q = sad_q.transpose(0, 2, 1, 3).reshape(n, 4).astype(jnp.int32)
-        sad_j = sad_q @ qmask                          # (N, 9)
-        bits = (se_tab[jnp.abs(4 * (dx - sr))]
-                + se_tab[jnp.abs(4 * (dy - sr))])
-        cost = sad_j + lam * bits
-        upd = cost < best_cost
-        return (jnp.where(upd, cost, best_cost),
-                jnp.where(upd, idx, best_idx)), None
+        for dx in range(side):
+            d = jnp.abs(o_frame - row[:, dx:dx + w])
+            sad_q = d.reshape(mb_h, 2, 8, mb_w, 2, 8).sum(
+                axis=(2, 5), dtype=jnp.int16)
+            sad_q = sad_q.transpose(0, 2, 1, 3).reshape(n, 4) \
+                .astype(jnp.int32)
+            cost = sad_q @ qmask + (bits_y + bits_x[dx])
+            upd = cost < best_cost
+            best_cost = jnp.where(upd, cost, best_cost)
+            best_idx = jnp.where(upd, dy * side + dx, best_idx)
+        return (best_cost, best_idx), None
 
     init = (jnp.full((n, 9), 2**30, jnp.int32), jnp.zeros((n, 9), jnp.int32))
-    (cost, idx), _ = lax.scan(step, init,
-                              jnp.arange(side * side, dtype=jnp.int32))
+    (cost, idx), _ = lax.scan(step, init, jnp.arange(side, dtype=jnp.int32))
     mv = jnp.stack([idx % side - sr, idx // side - sr], axis=-1)
     return mv, cost
 
@@ -505,6 +505,53 @@ def mc_luma_blocks(planes, mv4, mb_xy, w: int, h: int):
     return g(x4, y4)
 
 
+def mc_luma_quads(planes, mv_quad, mb_xy, w: int, h: int):
+    """Quadrant-granular luma MC (one MV per 8x8, the device decision
+    granularity): (N, 4, 2) qpel MVs -> (N, 16, 16) int32 prediction.
+    Bit-identical to mc_luma_blocks with the MV replicated per 4x4."""
+    n = mv_quad.shape[0]
+    qx = jnp.asarray([0, 8, 0, 8])
+    qy = jnp.asarray([0, 0, 8, 8])
+    x4 = (mb_xy[:, 0:1] + qx[None]) * 4 + mv_quad[..., 0]
+    y4 = (mb_xy[:, 1:2] + qy[None]) * 4 + mv_quad[..., 1]
+    g = jax.vmap(jax.vmap(lambda a, b: _gather_qpel(planes, a, b, 8, w, h)))
+    q = g(x4, y4)                                        # (N, 4, 8, 8)
+    return q.reshape(n, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 16, 16)
+
+
+def mc_chroma_quads(padU, padV, mv_quad, mb_xy, w: int, h: int):
+    """Quadrant-granular chroma MC: one 4x4 chroma block per 8x8 luma
+    quadrant (same eighth-pel bilinear as mc_chroma_blocks). Returns
+    (predU, predV) each (N, 8, 8) int32."""
+    n = mv_quad.shape[0]
+    cw, chh = w // 2, h // 2
+    qx = jnp.asarray([0, 4, 0, 4])
+    qy = jnp.asarray([0, 0, 4, 4])
+    x8 = (mb_xy[:, 0:1] // 2 + qx[None]) * 8 + mv_quad[..., 0]
+    y8 = (mb_xy[:, 1:2] // 2 + qy[None]) * 8 + mv_quad[..., 1]
+
+    def one(plane, x, y):
+        xi, yi = x >> 3, y >> 3
+        xf, yf = x & 7, y & 7
+        xi = jnp.clip(xi, -PAD, cw + PAD - 4 - 1)
+        yi = jnp.clip(yi, -PAD, chh + PAD - 4 - 1)
+        R = lax.dynamic_slice(plane, (PAD + yi, PAD + xi), (5, 5)) \
+            .astype(jnp.int32)
+        a, b = R[:4, :4], R[:4, 1:]
+        c, d = R[1:, :4], R[1:, 1:]
+        return ((8 - xf) * (8 - yf) * a + xf * (8 - yf) * b
+                + (8 - xf) * yf * c + xf * yf * d + 32) >> 6
+
+    gu = jax.vmap(jax.vmap(lambda a, b: one(padU, a, b)))
+    gv = jax.vmap(jax.vmap(lambda a, b: one(padV, a, b)))
+    u = gu(x8, y8).reshape(n, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 8, 8)
+    v = gv(x8, y8).reshape(n, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 8, 8)
+    return u, v
+
+
 def mc_chroma_blocks(padU, padV, mv4, mb_xy, w: int, h: int):
     """Per luma-4x4 chroma MC (2x2 blocks, eighth-pel bilinear); returns
     (predU, predV) each (N, 16, 2, 2) int32. 4:2:0."""
@@ -668,22 +715,23 @@ def p_frame_step(origY, origU, origV, planes, padU, padV,
     cost_i16 = i16_source_cost(origY, mb_w, mb_h)
     intra_mask = cost_i16 + 2 * lam4 < cost_inter
 
-    # 7. final per-4x4 motion field
-    blk_job = jnp.asarray(_BLK_JOB)[best_mode]                 # (N, 16)
-    mv4 = jnp.take_along_axis(mv_q, blk_job[..., None], axis=1)  # (N,16,2)
-    mv4 = jnp.where(take_skip[:, None, None],
-                    jnp.broadcast_to(skip_mv[:, None, :], mv4.shape), mv4)
+    # 7. final motion field (quadrant-granular: one MV per 8x8 is the
+    #    decision granularity of the 9-job search)
+    quad_job = jnp.asarray(_BLK_JOB[:, [0, 2, 8, 10]])[best_mode]  # (N, 4)
+    mv_quad = jnp.take_along_axis(mv_q, quad_job[..., None], axis=1)
+    mv_quad = jnp.where(take_skip[:, None, None],
+                        jnp.broadcast_to(skip_mv[:, None, :], mv_quad.shape),
+                        mv_quad)
     best_mode = jnp.where(take_skip, 0, best_mode)
+    blk_quad = jnp.asarray(
+        [(b // 8) * 2 + ((b % 4) // 2) for b in range(16)])
+    mv4 = mv_quad[:, blk_quad]                                 # (N, 16, 2)
 
     # 8. prediction + residual + recon
-    pred_y = mc_luma_blocks(planes, mv4, mb_xy, w, h)          # (N,16,4,4)
-    pred_y16 = pred_y.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
-        .reshape(n, 16, 16)
+    pred_y16 = mc_luma_quads(planes, mv_quad, mb_xy, w, h)     # (N,16,16)
     scan, nnz, cbp_l, recY_mbs = luma_residual_inter(orig_mbs, pred_y16, qp)
 
-    pu, pv = mc_chroma_blocks(padU, padV, mv4, mb_xy, w, h)    # (N,16,2,2)
-    pred_u = pu.reshape(n, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4).reshape(n, 8, 8)
-    pred_v = pv.reshape(n, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4).reshape(n, 8, 8)
+    pred_u, pred_v = mc_chroma_quads(padU, padV, mv_quad, mb_xy, w, h)
     orig_u = origU.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
     orig_v = origV.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
     cdc, cac, cnnz, cbp_c, recU_mbs, recV_mbs = chroma_residual_inter(
