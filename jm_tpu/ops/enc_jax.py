@@ -190,26 +190,29 @@ def me_int_sweep(origY, ref_int, mb_w: int, mb_h: int, sr: int, lam):
     side = 2 * sr + 1
     h, w = mb_h * 16, mb_w * 16
     n = mb_w * mb_h
+    # f32 is exact here (all values < 2^24) and is the fastest VPU path;
+    # reductions stay on the minor axis (reshape-sum over 8 lanes, then
+    # strided row adds) — the generic multi-axis reduce is ~15x slower
     region = lax.dynamic_slice(ref_int, (PAD - sr, PAD - sr),
-                               (h + 2 * sr, w + 2 * sr)).astype(jnp.int16)
-    qmask = jnp.asarray(QMASK)
+                               (h + 2 * sr, w + 2 * sr)).astype(jnp.float32)
+    qmask = jnp.asarray(QMASK, jnp.float32)
     se_tab = jnp.asarray(_SE_BITS)
-    o_frame = origY.astype(jnp.int16)
+    o_frame = origY.astype(jnp.float32)
     bits_x = lam * se_tab[np.abs(4 * (np.arange(side) - sr))]  # (side,)
 
     def step(carry, dy):
         best_cost, best_idx = carry
         row = lax.dynamic_slice(region, (dy, 0), (h, w + 2 * sr))
         bits_y = lam * se_tab[jnp.abs(4 * (dy - sr))]
-        # all horizontal displacements of this row are static slices;
-        # |diff| <= 255, 8x8 sums <= 16320: exact in int16 (VPU 2x lanes)
+        # all horizontal displacements of this row are static slices
         for dx in range(side):
             d = jnp.abs(o_frame - row[:, dx:dx + w])
-            sad_q = d.reshape(mb_h, 2, 8, mb_w, 2, 8).sum(
-                axis=(2, 5), dtype=jnp.int16)
-            sad_q = sad_q.transpose(0, 2, 1, 3).reshape(n, 4) \
-                .astype(jnp.int32)
-            cost = sad_q @ qmask + (bits_y + bits_x[dx])
+            d2 = d.reshape(h, w // 8, 8).sum(-1)          # (H, W/8)
+            q8 = (d2[0::8] + d2[1::8] + d2[2::8] + d2[3::8]
+                  + d2[4::8] + d2[5::8] + d2[6::8] + d2[7::8])
+            sad_q = q8.reshape(mb_h, 2, mb_w, 2).transpose(0, 2, 1, 3) \
+                .reshape(n, 4)
+            cost = (sad_q @ qmask).astype(jnp.int32) + (bits_y + bits_x[dx])
             upd = cost < best_cost
             best_cost = jnp.where(upd, cost, best_cost)
             best_idx = jnp.where(upd, dy * side + dx, best_idx)
