@@ -75,6 +75,9 @@ class EncoderParams:
     InterSearch4x8: int = 0
     InterSearch4x4: int = 0
     SymbolMode: int = 0          # 0 CAVLC, 1 CABAC
+    ContextInitMethod: int = 0   # 0 fixed model 0, 1 adaptive (3 models)
+    RDOQ: int = 0                # trellis quantization (rdoq.c)
+    RDOQ_QP_Num: int = 1
     ProfileIDC: int = 66
     LevelIDC: int = 30
     NumberBFrames: int = 0
@@ -115,7 +118,8 @@ class EncoderParams:
         "SourceWidth", "SourceHeight", "FramesToBeEncoded", "StartFrame",
         "QPISlice", "QPPSlice", "QPBSlice", "IntraPeriod",
         "NumberReferenceFrames",
-        "SearchRange", "SymbolMode", "ProfileIDC", "LevelIDC",
+        "SearchRange", "SymbolMode", "ContextInitMethod", "RDOQ",
+        "RDOQ_QP_Num", "ProfileIDC", "LevelIDC",
         "InterSearch8x4", "InterSearch4x8", "InterSearch4x4",
         "NumberBFrames", "HierarchicalCoding", "LongTermPeriod", "Transform8x8Mode",
         "RDOptimization", "EnableIPCM", "RDPictureDecision", "YUVFormat",
@@ -208,6 +212,8 @@ class EncoderParams:
             level_idc=self.LevelIDC,
             deblock=not self.DisableLoopFilter,
             entropy="cabac" if self.SymbolMode else "cavlc",
+            cabac_adapt_init=bool(self.ContextInitMethod),
+            rdoq=1 if self.RDOQ else 0,
             num_b=self.NumberBFrames, qp_b=self.QPBSlice,
             hierarchical=1 if self.HierarchicalCoding else 0,
             long_term_period=self.LongTermPeriod,

@@ -30,6 +30,12 @@ class CabacEncoder:
         self.rng = 510
         self.outstanding = 0
         self.first_bit = True
+        # exact emitted-bit accounting for RDO rate measurement (JM's
+        # arienco_bits_written twin): every renormalization shift and every
+        # bypass bin determines exactly one output bit (possibly deferred
+        # as an outstanding bit), so counting at determination time gives
+        # the exact arithmetic-coded length.
+        self.bits_out = 0
 
     def _put(self, b: int) -> None:
         if self.first_bit:
@@ -42,6 +48,7 @@ class CabacEncoder:
 
     def _renorm(self) -> None:
         while self.rng < 256:
+            self.bits_out += 1
             if self.low >= 512:
                 self._put(1)
                 self.low -= 512
@@ -69,6 +76,7 @@ class CabacEncoder:
         self._renorm()
 
     def bypass(self, binval: int) -> None:
+        self.bits_out += 1
         self.low <<= 1
         if binval:
             self.low += self.rng
@@ -94,6 +102,7 @@ class CabacEncoder:
         self._renorm()
         self._put((self.low >> 9) & 1)
         self.bw.u(((self.low >> 7) & 3) | 1, 2)
+        self.bits_out += 3
 
     # ---- composite binarizations -------------------------------------
 

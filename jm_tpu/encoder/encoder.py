@@ -54,6 +54,10 @@ class EncoderConfig:
     level_idc: int = 30
     deblock: bool = True
     entropy: str = "cavlc"       # "cavlc" | "cabac" (cabac => Main profile)
+    cabac_adapt_init: bool = False   # per-slice cabac_init_idc selection
+                                 # (lencod ContextInitMethod=1 adaptive,
+                                 # context_ini.c; here: exact 3-way trial)
+    rdoq: int = 0                # trellis quantization (E11, lencod RDOQ)
     chroma_format: int = 1       # 1 = 4:2:0, 2 = 4:2:2 (High 4:2:2 profile)
     num_b: int = 0               # B pictures between anchors (IbbP..)
     hierarchical: int = 0        # dyadic B pyramid with reference Bs (E3,
@@ -466,6 +470,7 @@ class Encoder:
             if best is None or j < best[0]:
                 best = (j, q, pic, recY, recU, recV, slice_bytes)
         _j, qp, pic, recY, recU, recV, slice_bytes = best
+        self._last_fe = fe     # introspection (tests, trace tooling)
 
         frame = Frame(poc=poc, frame_num=self.frame_num,
                       Y=recY, U=recU, V=recV)
@@ -544,14 +549,31 @@ class Encoder:
         out = b""
         for addrs in self.slice_plan:
             if cfg.entropy == "cabac":
-                from .syntax_cabac import serialize_slice_cabac
-                rbsp = serialize_slice_cabac(pic, self.sps, self.pps,
-                                             mb_addrs=addrs, **common)
+                rbsp = self._serialize_cabac_best_init(
+                    pic, stype, mb_addrs=addrs, **common)
             else:
                 rbsp = serialize_slice(pic, self.sps, self.pps,
                                        mb_addrs=addrs, **common)
             out += annexb_bytes(3, nal_type, rbsp)
         return out
+
+    def _serialize_cabac_best_init(self, pic, stype, **kw) -> bytes:
+        """CABAC slice serialization with per-slice context-init model
+        selection (lencod ContextInitMethod=1, context_ini.c
+        GetCtxModelNumber:245). JM estimates the best of the 3 P/B init
+        models from the previous picture's final context states; here the
+        slice is a pure function of the SoA, so the exact answer is
+        affordable: serialize under each model and keep the shortest."""
+        from .syntax_cabac import serialize_slice_cabac
+        if stype == SliceType.I or not self.cfg.cabac_adapt_init:
+            return serialize_slice_cabac(pic, self.sps, self.pps, **kw)
+        best = None
+        for idc in range(3):
+            rbsp = serialize_slice_cabac(pic, self.sps, self.pps,
+                                         cabac_init_idc=idc, **kw)
+            if best is None or len(rbsp) < len(best):
+                best = rbsp
+        return best
 
     def _emit_b(self, Y, U, V, disp: int, prev_anchor: Frame,
                 next_anchor: Frame, as_ref: bool = False,
@@ -620,9 +642,8 @@ class Encoder:
         payload = b""
         for addrs in self.slice_plan:
             if cfg.entropy == "cabac":
-                from .syntax_cabac import serialize_slice_cabac
-                rbsp = serialize_slice_cabac(pic, self.sps, self.pps,
-                                             mb_addrs=addrs, **common)
+                rbsp = self._serialize_cabac_best_init(
+                    pic, SliceType.B, mb_addrs=addrs, **common)
             else:
                 rbsp = serialize_slice(pic, self.sps, self.pps,
                                        mb_addrs=addrs, **common)
@@ -683,6 +704,7 @@ class _FrameEncoder:
         self.ref = enc.refs[0] if stype == SliceType.P else None
         self.forced_intra: set = set()   # intra refresh (E34)
         self.wp = None                   # decoder-exact WPParams (E31)
+        self.cabac_rate = None           # exact CABAC RDO rate (rdo.CabacRate)
 
     # ---- helpers ----------------------------------------------------------
 
@@ -758,7 +780,15 @@ class _FrameEncoder:
             self.qsads1 = [ME.full_search_quadrant_sads(
                 self.origY, self.refs_list1[0].luma_planes[0],
                 self.mb_w, self.mb_h, sr, ip.PAD)]
+        use_cabac_rate = (self.enc.cfg.entropy == "cabac"
+                          and self.enc.cfg.rdo
+                          and self.stype in (SliceType.I, SliceType.P))
         for sid, addrs in enumerate(self.enc.slice_plan):
+            if use_cabac_rate:
+                # fresh engine/contexts per slice: RDO rates are exact
+                # marginal arithmetic-coded bits (rdopt_coding_state.c)
+                from .rdo import CabacRate
+                self.cabac_rate = CabacRate(self, self.stype)
             for addr in addrs:
                 self.pic.slice_id[addr] = sid
                 self.pic.qp[addr] = self.qp
@@ -768,6 +798,9 @@ class _FrameEncoder:
                     self._encode_b_mb(addr)
                 else:
                     self._encode_p_mb(addr)
+                if use_cabac_rate:
+                    self.cabac_rate.commit(addr)
+            self.cabac_rate = None
         return self.pic
 
     # ---- device pipeline (ops/enc_jax.py) ----------------------------------

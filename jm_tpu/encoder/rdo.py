@@ -5,10 +5,11 @@ store/set_stored_macroblock_parameters:2053/2460) and
 rdopt_coding_state.c — new design: because serialization here is a pure
 function of the PictureData SoA, the coding-state snapshot reduces to
 saving/restoring one MB's rows plus its recon pixels, and the rate term
-is measured by serializing just that MB with the production CAVLC writer
-(for CABAC slices the CAVLC length serves as the rate proxy; exact CABAC
-counting needs the arithmetic-coder state and lands with the RDOQ phase).
-"""
+is measured by serializing just that MB with the production entropy
+writers. For CABAC slices a running arithmetic coder (CabacRate) tracks
+the slice's exact engine + context state MB by MB, so candidate rates
+are the true marginal arithmetic-coded bits (rdopt_coding_state.c
+store/reset_coding_state twin over a far smaller state vector)."""
 
 from __future__ import annotations
 
@@ -61,8 +62,14 @@ class MBState:
 
 
 def count_mb_bits(fe, addr: int, slice_type) -> int:
-    """Marginal CAVLC bits of one decided MB against the current picture
-    state (skip MBs cost their run increment via the flushed skip_run)."""
+    """Marginal entropy bits of one decided MB against the current picture
+    state. CAVLC: serialize the MB with the production writer (skip MBs
+    cost their run increment via the flushed skip_run). CABAC: exact
+    marginal arithmetic-coded bits from the slice's running engine
+    (fe.cabac_rate, installed by the frame encoder when RDO is on)."""
+    cr = getattr(fe, "cabac_rate", None)
+    if cr is not None:
+        return cr.mb_bits(addr)
     from .syntax import MBWriter
     bw = BitWriter()
     w = MBWriter(bw, fe.pic, fe.enc.sps, fe.enc.pps, fe.qp)
@@ -70,6 +77,65 @@ def count_mb_bits(fe, addr: int, slice_type) -> int:
     w.write_mb(addr, slice_type, nref, 1)
     w.finish(slice_type)
     return bw.bitpos
+
+
+class CabacRate:
+    """Running CABAC engine + contexts for exact RDO rate measurement.
+
+    JM measures CABAC candidate rates by snapshotting the arithmetic
+    coder and every context model before each trial encode
+    (lencod/src/rdopt_coding_state.c store/reset_coding_state, used from
+    rdopt.c RDCost_for_macroblocks:1810). Here the same idea costs far
+    less state: one engine (low/range/outstanding/bit count), the
+    context arrays, and the trailing-dquant flag. MBs are committed into
+    the running engine in slice order as decisions are finalized, so the
+    measured marginal bits equal the final serialized bits exactly."""
+
+    def __init__(self, fe, slice_type, cabac_init_idc: int = 0):
+        from .syntax_cabac import MBWriterCABAC
+        self.bw = BitWriter()
+        nref = getattr(fe.enc, "num_ref_active", 1)
+        self.w = MBWriterCABAC(self.bw, fe.pic, fe.enc.sps, fe.enc.pps,
+                               slice_type, fe.qp, cabac_init_idc,
+                               num_ref=nref)
+        self.w.num_ref_l1 = getattr(fe, "num_ref_l1", 1)
+        self._ctx_keys = [k for k, v in vars(self.w.ctxs).items()
+                          if isinstance(v, np.ndarray)]
+
+    def snapshot(self):
+        w, eng, bw = self.w, self.w.eng, self.bw
+        return (eng, eng.low, eng.rng, eng.outstanding, eng.first_bit,
+                eng.bits_out, len(bw.buf), bw.acc, bw.nacc,
+                w.last_dquant,
+                {k: getattr(w.ctxs, k).copy() for k in self._ctx_keys})
+
+    def restore(self, s):
+        (eng, low, rng, outstanding, first_bit, bits_out,
+         nbuf, acc, nacc, last_dquant, ctxs) = s
+        self.w.eng = eng
+        eng.low, eng.rng = low, rng
+        eng.outstanding, eng.first_bit = outstanding, first_bit
+        eng.bits_out = bits_out
+        del self.bw.buf[nbuf:]
+        self.bw.acc, self.bw.nacc = acc, nacc
+        for k, v in ctxs.items():
+            getattr(self.w.ctxs, k)[...] = v
+        self.w.last_dquant = last_dquant
+
+    def mb_bits(self, addr: int) -> int:
+        """Exact marginal CABAC bits of the candidate MB currently staged
+        in the picture SoA (engine/contexts rolled back afterwards)."""
+        s = self.snapshot()
+        b0 = self.w.eng.bits_out
+        self.w.write_mb(addr)
+        bits = self.w.eng.bits_out - b0
+        self.restore(s)
+        return bits
+
+    def commit(self, addr: int) -> None:
+        """Advance the running engine past the finalized MB."""
+        self.w.write_mb(addr)
+        self.w.eng.terminate(0)
 
 
 def mb_ssd(fe, addr: int) -> int:

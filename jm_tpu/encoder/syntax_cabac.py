@@ -510,6 +510,7 @@ class MBWriterCABAC:
             eng.decision(ctx, a + b, 1)
             eng.terminate(1)
         bw = self.eng.bw
+        pos0 = bw.bitpos
         bw.align_zero()              # pcm_alignment_zero_bit
         for v in pic.ipcm_luma[addr].ravel():
             bw.u(int(v), 8)
@@ -517,7 +518,11 @@ class MBWriterCABAC:
         if ch is not None:
             for v in ch.ravel():
                 bw.u(int(v), 8)
-        self.eng = CabacEncoder(bw)
+        ne = CabacEncoder(bw)
+        # keep the exact-rate accounting continuous across the engine
+        # restart (alignment + raw sample bits included)
+        ne.bits_out = self.eng.bits_out + (bw.bitpos - pos0)
+        self.eng = ne
         self.last_dquant = 0
 
     def _write_intra_mb(self, addr, p_slice: bool, b_slice: bool = False):

