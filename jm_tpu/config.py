@@ -76,7 +76,10 @@ class EncoderParams:
     InterSearch4x4: int = 0
     SymbolMode: int = 0          # 0 CAVLC, 1 CABAC
     ContextInitMethod: int = 0   # 0 fixed model 0, 1 adaptive (3 models)
-    RDOQ: int = 0                # trellis quantization (rdoq.c)
+    UseRDOQuant: int = 0         # trellis quantization (rdoq.c)
+    RDOQ_DC: int = 0
+    RDOQ_CR: int = 0
+    RDOQ_DC_CR: int = 0
     RDOQ_QP_Num: int = 1
     ProfileIDC: int = 66
     LevelIDC: int = 30
@@ -118,7 +121,8 @@ class EncoderParams:
         "SourceWidth", "SourceHeight", "FramesToBeEncoded", "StartFrame",
         "QPISlice", "QPPSlice", "QPBSlice", "IntraPeriod",
         "NumberReferenceFrames",
-        "SearchRange", "SymbolMode", "ContextInitMethod", "RDOQ",
+        "SearchRange", "SymbolMode", "ContextInitMethod", "UseRDOQuant",
+        "RDOQ_DC", "RDOQ_CR", "RDOQ_DC_CR",
         "RDOQ_QP_Num", "ProfileIDC", "LevelIDC",
         "InterSearch8x4", "InterSearch4x8", "InterSearch4x4",
         "NumberBFrames", "HierarchicalCoding", "LongTermPeriod", "Transform8x8Mode",
@@ -213,7 +217,9 @@ class EncoderParams:
             deblock=not self.DisableLoopFilter,
             entropy="cabac" if self.SymbolMode else "cavlc",
             cabac_adapt_init=bool(self.ContextInitMethod),
-            rdoq=1 if self.RDOQ else 0,
+            rdoq=1 if self.UseRDOQuant else 0,
+            rdoq_dc=self.RDOQ_DC, rdoq_cr=self.RDOQ_CR,
+            rdoq_dc_cr=self.RDOQ_DC_CR,
             num_b=self.NumberBFrames, qp_b=self.QPBSlice,
             hierarchical=1 if self.HierarchicalCoding else 0,
             long_term_period=self.LongTermPeriod,

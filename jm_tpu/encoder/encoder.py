@@ -57,7 +57,11 @@ class EncoderConfig:
     cabac_adapt_init: bool = False   # per-slice cabac_init_idc selection
                                  # (lencod ContextInitMethod=1 adaptive,
                                  # context_ini.c; here: exact 3-way trial)
-    rdoq: int = 0                # trellis quantization (E11, lencod RDOQ)
+    rdoq: int = 0                # trellis quantization (E11, lencod
+                                 # UseRDOQuant; rdoq.py)
+    rdoq_dc: int = 0             # trellis the luma DC blocks (RDOQ_DC)
+    rdoq_cr: int = 0             # trellis chroma AC (RDOQ_CR)
+    rdoq_dc_cr: int = 0          # trellis chroma DC (RDOQ_DC_CR)
     chroma_format: int = 1       # 1 = 4:2:0, 2 = 4:2:2 (High 4:2:2 profile)
     num_b: int = 0               # B pictures between anchors (IbbP..)
     hierarchical: int = 0        # dyadic B pyramid with reference Bs (E3,
@@ -720,6 +724,110 @@ class _FrameEncoder:
     def _mb_avail(self, naddr, addr):
         return self.pctx.avail(naddr, addr)
 
+    # ---- RDOQ (E11) dispatch -----------------------------------------------
+
+    @property
+    def _rdoq_on(self) -> bool:
+        cfg = self.enc.cfg
+        if not cfg.rdoq:
+            return False
+        # CABAC trellis needs the running slice engine's context states
+        return not (cfg.entropy == "cabac" and self.cabac_rate is None)
+
+    def _rdoq_lam(self) -> float:
+        from .rdo import lambda_mode
+        return lambda_mode(self.qp, intra_rdoq=(
+            self._rdoq_on and self.stype == SliceType.I))
+
+    def _rdoq_ctxs(self):
+        """Live CABAC context states for the trellis bit estimates (the
+        running slice engine's models)."""
+        return self.cabac_rate.w.ctxs if self.cabac_rate is not None \
+            else None
+
+    def _trellis_luma4(self, addr, w_raster, blk, intra, i16ac=False):
+        """Trellis-quantize one luma 4x4 (or I16 AC) block; returns scan-
+        order signed levels, length 16 (position 0 zeroed for AC)."""
+        from . import rdoq as RQ
+        w_scan = RN.to_scan(w_raster[None])[0]
+        lam = self._rdoq_lam()
+        out = np.zeros(16, np.int32)
+        by, bx = blk // 4, blk % 4
+        if self.enc.cfg.entropy == "cavlc":
+            nc = self.pctx.nc_luma(addr, blk)
+            if i16ac:
+                out[1:] = RQ.trellis_4x4(
+                    w_scan[1:], self.qp, intra, lam, entropy="cavlc",
+                    block_type=1, nc=nc, max_coeff=15, start=1)
+            else:
+                out[:] = RQ.trellis_4x4(
+                    w_scan, self.qp, intra, lam, entropy="cavlc",
+                    block_type=5, nc=nc, max_coeff=16)
+            return out
+        w = self.cabac_rate.w
+        if i16ac:
+            ctx, _ = w.cbf_ctx(addr, 1, bx, by)
+            out[1:] = RQ.trellis_4x4(
+                w_scan[1:], self.qp, intra, lam, entropy="cabac",
+                block_type=1, ctxs=w.ctxs, cbf_ctx=ctx, start=1)
+        else:
+            ctx, _ = w.cbf_ctx(addr, 5, bx, by)
+            out[:] = RQ.trellis_4x4(
+                w_scan, self.qp, intra, lam, entropy="cabac",
+                block_type=5, ctxs=w.ctxs, cbf_ctx=ctx)
+        return out
+
+    def _trellis_luma_dc(self, addr, dc_t):
+        """I16 luma DC (Hadamard domain, (4,4) raster in); returns scan-
+        order signed levels (16,)."""
+        from . import rdoq as RQ
+        w_scan = RN.to_scan(dc_t[None].astype(np.int64))[0]
+        lam = self._rdoq_lam()
+        if self.enc.cfg.entropy == "cavlc":
+            nc = self.pctx.nc_luma(addr, 0)
+            return RQ.trellis_4x4(w_scan, self.qp, True, lam,
+                                  entropy="cavlc", block_type=0, nc=nc,
+                                  max_coeff=16, dc=True)
+        w = self.cabac_rate.w
+        ctx, _ = w.cbf_ctx(addr, 0)
+        return RQ.trellis_4x4(w_scan, self.qp, True, lam, entropy="cabac",
+                              block_type=0, ctxs=w.ctxs, cbf_ctx=ctx,
+                              dc=True)
+
+    def _trellis_chroma_dc(self, addr, dc_t_flat, comp, intra):
+        """Chroma DC (4:2:0: 4 Hadamard-domain values in raster order).
+        Returns signed levels (4,)."""
+        from . import rdoq as RQ
+        lam = self._rdoq_lam()
+        if self.enc.cfg.entropy == "cavlc":
+            return RQ.trellis_4x4(dc_t_flat, self.qpc, intra, lam,
+                                  entropy="cavlc", block_type=6, nc=-1,
+                                  max_coeff=4, dc=True)
+        w = self.cabac_rate.w
+        ctx, _ = w.cbf_ctx(addr, 6, comp=comp)
+        return RQ.trellis_4x4(dc_t_flat, self.qpc, intra, lam,
+                              entropy="cabac", block_type=6, ctxs=w.ctxs,
+                              cbf_ctx=ctx, dc=True)
+
+    def _trellis_chroma_ac(self, addr, w_raster, comp, blk, intra):
+        """Chroma AC 4x4 (positions 1..15); returns scan levels (16,)."""
+        from . import rdoq as RQ
+        w_scan = RN.to_scan(w_raster[None])[0]
+        lam = self._rdoq_lam()
+        out = np.zeros(16, np.int32)
+        if self.enc.cfg.entropy == "cavlc":
+            nc = self.pctx.nc_chroma(addr, comp, blk)
+            out[1:] = RQ.trellis_4x4(w_scan[1:], self.qpc, intra, lam,
+                                     entropy="cavlc", block_type=7, nc=nc,
+                                     max_coeff=15, start=1)
+            return out
+        w = self.cabac_rate.w
+        ctx, _ = w.cbf_ctx(addr, 7, blk % 2, blk // 2, comp)
+        out[1:] = RQ.trellis_4x4(w_scan[1:], self.qpc, intra, lam,
+                                 entropy="cabac", block_type=7,
+                                 ctxs=w.ctxs, cbf_ctx=ctx, start=1)
+        return out
+
     # ---- frame loop -------------------------------------------------------
 
     def _device_path_ok(self) -> bool:
@@ -781,7 +889,7 @@ class _FrameEncoder:
                 self.origY, self.refs_list1[0].luma_planes[0],
                 self.mb_w, self.mb_h, sr, ip.PAD)]
         use_cabac_rate = (self.enc.cfg.entropy == "cabac"
-                          and self.enc.cfg.rdo
+                          and (self.enc.cfg.rdo or self.enc.cfg.rdoq)
                           and self.stype in (SliceType.I, SliceType.P))
         for sid, addrs in enumerate(self.enc.slice_plan):
             if use_cabac_rate:
@@ -943,11 +1051,25 @@ class _FrameEncoder:
         from ..decoder.recon import _np_hadamard4
         dc = w[:, 0, 0].reshape(4, 4)
         # JM forward hadamard carries a >>1 (lcommon/src/transform.c:163)
-        dc_lev = RN.np_quant_dc(_np_hadamard4(dc) >> 1, qp, True)
-        ac = RN.np_quant_4x4(w, qp, True)
-        ac_scan = RN.to_scan(ac)
-        ac_scan[:, 0] = 0
-        dc_scan = RN.to_scan(dc_lev.reshape(1, 4, 4))[0]
+        dc_t = _np_hadamard4(dc) >> 1
+        if self._rdoq_on:
+            if self.enc.cfg.rdoq_dc:
+                dc_scan = self._trellis_luma_dc(addr, dc_t).astype(np.int64)
+            else:
+                dc_lev = RN.np_quant_dc(dc_t, qp, True)
+                dc_scan = RN.to_scan(dc_lev.reshape(1, 4, 4))[0]
+            ac_scan = np.zeros((16, 16), np.int64)
+            for code in range(16):
+                blk = int(CODE2RASTER[code])
+                ac_scan[blk] = self._trellis_luma4(addr, w[blk], blk,
+                                                   True, i16ac=True)
+                pic.luma_nnz[addr, blk] = int((ac_scan[blk] != 0).sum())
+        else:
+            dc_lev = RN.np_quant_dc(dc_t, qp, True)
+            ac = RN.np_quant_4x4(w, qp, True)
+            ac_scan = RN.to_scan(ac)
+            ac_scan[:, 0] = 0
+            dc_scan = RN.to_scan(dc_lev.reshape(1, 4, 4))[0]
         pic.mb_class[addr] = MB_I16
         pic.i16_mode[addr] = mode
         pic.luma_dc[addr] = dc_scan
@@ -1015,8 +1137,11 @@ class _FrameEncoder:
             pic.i4_modes[addr, blk] = m
             # residual
             w = RN.np_forward4x4((o - pred)[None])[0]
-            lev = RN.np_quant_4x4(w[None], qp, True)[0]
-            scan = RN.to_scan(lev[None])[0]
+            if self._rdoq_on:
+                scan = self._trellis_luma4(addr, w, blk, intra=True)
+            else:
+                lev = RN.np_quant_4x4(w[None], qp, True)[0]
+                scan = RN.to_scan(lev[None])[0]
             pic.luma_coef[addr, blk] = scan
             tc = int((scan != 0).sum())
             pic.luma_nnz[addr, blk] = tc
@@ -1096,14 +1221,28 @@ class _FrameEncoder:
                 .reshape(nb, 4, 4)
             w = RN.np_forward4x4(blocks)
             dcs = w[:, 0, 0]
+            cfg = self.enc.cfg
+            rdoq = self._rdoq_on
             if crows == 2:
                 dc_t = RN.np_hadamard2x2(dcs.reshape(2, 2))
-                dc_lev = RN.np_quant_dc(dc_t, qpc, intra).reshape(4)
+                if rdoq and cfg.rdoq_dc_cr:
+                    dc_lev = self._trellis_chroma_dc(
+                        addr, dc_t.reshape(4), comp, intra).astype(np.int64)
+                else:
+                    dc_lev = RN.np_quant_dc(dc_t, qpc, intra).reshape(4)
             else:
                 dc_lev = RN.quant_dc422(dcs, qpc, intra)
-            ac = RN.np_quant_4x4(w, qpc, intra)
-            ac_scan = RN.to_scan(ac)
-            ac_scan[:, 0] = 0
+            if rdoq and cfg.rdoq_cr:
+                ac_scan = np.zeros((nb, 16), np.int64)
+                for blk in range(nb):
+                    ac_scan[blk] = self._trellis_chroma_ac(
+                        addr, w[blk], comp, blk, intra)
+                    pic.chroma_nnz[addr, comp, blk] = int(
+                        (ac_scan[blk] != 0).sum())
+            else:
+                ac = RN.np_quant_4x4(w, qpc, intra)
+                ac_scan = RN.to_scan(ac)
+                ac_scan[:, 0] = 0
             store.append((dc_lev, ac_scan, pred))
             if (ac_scan[:, 1:] != 0).any():
                 any_ac = True
@@ -1139,7 +1278,8 @@ class _FrameEncoder:
             return
         if self.enc.cfg.rdo:
             from .rdo import MBState, count_mb_bits, lambda_mode, mb_ssd
-            lam = lambda_mode(self.qp)
+            lam = lambda_mode(self.qp, intra_rdoq=(
+                self._rdoq_on and self.stype == SliceType.I))
             base = MBState(self, addr)
             _c, cbp_luma4 = self._encode_i4_mb(addr, origY_mb)
             cbp_chroma = self._encode_chroma_intra(addr)
@@ -1472,8 +1612,16 @@ class _FrameEncoder:
         res = o.astype(np.int64) - pred_y
         blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
         w4 = RN.np_forward4x4(blocks)
-        lev4 = RN.np_quant_4x4(w4, self.qp, False)
-        scan4 = RN.to_scan(lev4)
+        if self._rdoq_on:
+            scan4 = np.zeros((16, 16), np.int64)
+            for code in range(16):
+                blk = int(CODE2RASTER[code])
+                scan4[blk] = self._trellis_luma4(addr, w4[blk], blk,
+                                                 intra=False)
+                pic.luma_nnz[addr, blk] = int((scan4[blk] != 0).sum())
+        else:
+            lev4 = RN.np_quant_4x4(w4, self.qp, False)
+            scan4 = RN.to_scan(lev4)
         pred_blocks = pred_y.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3) \
             .reshape(16, 4, 4)
         rec4 = RN.recon_luma_4x4(pred_blocks, scan4, self.qp)
@@ -1485,8 +1633,16 @@ class _FrameEncoder:
         if self.enc.cfg.transform8x8 and allow8:
             q8 = res.reshape(2, 8, 2, 8).transpose(0, 2, 1, 3).reshape(4, 8, 8)
             w8 = RN.np_forward8x8(q8)
-            lev8 = RN.np_quant_8x8(w8, self.qp, False)
-            scan8 = RN.to_scan8(lev8)                     # (4, 64)
+            if self._rdoq_on and self.enc.cfg.entropy == "cabac":
+                from . import rdoq as RQ
+                scan8 = np.zeros((4, 64), np.int64)
+                for qb in range(4):
+                    scan8[qb] = RQ.trellis_8x8(
+                        RN.to_scan8(w8[qb][None])[0], self.qp, False,
+                        self._rdoq_lam(), ctxs=self.cabac_rate.w.ctxs)
+            else:
+                lev8 = RN.np_quant_8x8(w8, self.qp, False)
+                scan8 = RN.to_scan8(lev8)                 # (4, 64)
             n8 = int((scan8 != 0).sum())
             if n8:
                 pred8 = pred_y.reshape(2, 8, 2, 8).transpose(0, 2, 1, 3) \

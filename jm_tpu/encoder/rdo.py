@@ -26,10 +26,14 @@ _PIC_ROWS = ("mb_class", "skip", "transform8x8", "i4_modes", "i16_mode",
              "b_direct", "inter_mode")
 
 
-def lambda_mode(qp: int) -> float:
+def lambda_mode(qp: int, intra_rdoq: bool = False) -> float:
     """SSD-domain Lagrange multiplier (lencod/src/lambda.c
-    get_implicit_lambda_p_slice:83, md_low/high share the base)."""
-    return 0.85 * 2.0 ** ((qp - 12) / 3.0)
+    get_implicit_lambda_p_slice:83, md_low/high share the base).
+    With RDOQ enabled JM switches I slices to a smaller 0.57 factor
+    (lambda.c:199,247) — the trellis over-zeroes intra blocks at the
+    regular lambda."""
+    f = 0.57 if intra_rdoq else 0.85
+    return f * 2.0 ** ((qp - 12) / 3.0)
 
 
 class MBState:

@@ -304,6 +304,18 @@ class MBWriterCABAC:
     def _cbf(self, addr, block_type, coeff_present, bx=0, by=0, comp=0):
         """Write coded_block_flag; mirror of MBParserCABAC._cbf."""
         pic, eng = self.pic, self.eng
+        ctx, bit0 = self.cbf_ctx(addr, block_type, bx, by, comp)
+        bit = 1 if coeff_present else 0
+        eng.decision(self.ctxs.bcbp[TYPE2CTX_BCBP[block_type]], ctx, bit)
+        if bit:
+            pic.cbp_bits[addr] |= np.int64(1) << bit0
+        return bit
+
+    def cbf_ctx(self, addr, block_type, bx=0, by=0, comp=0):
+        """coded_block_flag context (2*upper + left) and the cbp_bits slot
+        for this block — shared by the writer and the RDOQ bit estimator
+        (rdoq_cabac.c est_write_and_store_CBP_block_bit neighbor logic)."""
+        pic = self.pic
         is_intra = pic.mb_class[addr] != MB_INTER
         if block_type == LUMA_16DC:
             ub = lb = 1
@@ -360,11 +372,7 @@ class MBWriterCABAC:
             bit0 = base + 4 * by + bx
         else:
             raise NotImplementedError
-        bit = 1 if coeff_present else 0
-        eng.decision(self.ctxs.bcbp[TYPE2CTX_BCBP[block_type]], ctx, bit)
-        if bit:
-            pic.cbp_bits[addr] |= np.int64(1) << bit0
-        return bit
+        return ctx, bit0
 
     def _write_sig_and_levels(self, block_type, coeff):
         """Inverse of read_significance_and_levels; coeff: scan-order

@@ -76,8 +76,8 @@ def read_yuv(path, w, h, n):
 
 
 PRESETS = {
-    # encoder_baseline.cfg twin: 5 refs, SR32, RDO, sub-partitions
-    "best": dict(num_ref=5, search_range=32, rdo=1, sub8x8=True),
+    # our best settings: encoder_baseline.cfg search params + RDOQ
+    "best": dict(num_ref=5, search_range=32, rdo=1, sub8x8=True, rdoq=1),
     # md_low single-ref (the device-pipeline configuration)
     "fast": dict(num_ref=1, search_range=16, rdo=0, pipeline="device"),
 }

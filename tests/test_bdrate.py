@@ -25,9 +25,10 @@ JM_ANCHOR_FAST = [(53736, 39.541), (35672, 36.938), (22952, 34.169),
                   (14808, 31.506)]
 QPS = [24, 28, 32, 36]
 
-# round-2 actuals: best +9.9%, fast (device pipeline) +35.4%; the bounds
-# assert no regression and get tightened as quality features land
-BD_RATE_BOUND_BEST = 10.5
+# round-2 actuals: best (+RDOQ) +6.4%, fast (device pipeline) +35.4%;
+# the bounds assert no regression and get tightened as quality features
+# land (history: r2 start +9.9% -> RDOQ landed +6.4%)
+BD_RATE_BOUND_BEST = 7.0
 BD_RATE_BOUND_FAST = 37.0
 
 

@@ -57,14 +57,15 @@ SearchRange =32
 def test_encoder_params_precedence_and_ignore():
     p = EncoderParams()
     p.apply({"QPISlice": "30", "UseRDOQuant": "1", "SymbolMode": "1",
-             "DistortionMS_SSIM": "1"})
+             "DistortionMS_SSIM": "1", "UseHPFilter": "1"})
     assert p.QPISlice == 30 and p.SymbolMode == 1
     assert p.DistortionMSSSIM == 1
-    assert "UseRDOQuant" in p.ignored   # not yet implemented param
+    assert p.UseRDOQuant == 1           # RDOQ implemented (round 2)
+    assert "UseHPFilter" in p.ignored   # not yet implemented param
     p.apply({"QPISlice": "22"})     # later file/override wins
     assert p.QPISlice == 22
     cfg = p.to_encoder_config()
-    assert cfg.entropy == "cabac" and cfg.qp == 22
+    assert cfg.entropy == "cabac" and cfg.qp == 22 and cfg.rdoq == 1
 
 
 def test_encoder_params_unsupported_raises():
