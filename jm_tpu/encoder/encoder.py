@@ -100,6 +100,11 @@ class EncoderConfig:
                                  # "device" (batched jnp/XLA pipeline,
                                  # ops/enc_jax.py; falls back per-frame
                                  # when a feature needs the host path)
+    sp_shards: int = 1           # >1: shard the device P pipeline over
+                                 # this many devices by MB rows with halo
+                                 # exchange (parallel/sp_pipeline.py);
+                                 # bitstream is byte-identical to 1 device
+                                 # (tests/test_multichip.py)
     slice_mode: int = 0          # 0 one slice/picture, 1 fixed MBs/slice
     slice_argument: int = 0      # MBs per slice for slice_mode 1
     num_slice_groups: int = 1    # >1 enables FMO (Baseline/Extended only)
@@ -925,15 +930,30 @@ class _FrameEncoder:
         from ..ops import enc_jax as EJ
         enc, cfg, pic = self.enc, self.enc.cfg, self.pic
         ref = self.refs_list[0]
-        dev = getattr(ref, "_dev", None)
-        if dev is None:
-            dev = EJ.prep_ref(ref.Y, ref.U, ref.V)
-            ref._dev = dev
-        planes, padU, padV = dev
-        out = jax.device_get(EJ.p_frame_step(
-            self.origY, self.origU, self.origV, planes, padU, padV,
-            self.qp, self.qpc, self.lam, self.lam4,
-            mb_w=self.mb_w, mb_h=self.mb_h, sr=cfg.search_range))
+        if (cfg.sp_shards > 1 and self.mb_h % cfg.sp_shards == 0
+                and cfg.search_range <= 16):
+            # MB-row-sharded step (recon/MV/source halo exchange over the
+            # 'sp' mesh); bit-identical to the 1-device path by design
+            from ..parallel import sp_pipeline as SP
+            mesh = getattr(enc, "_sp_mesh", None)
+            if mesh is None or mesh.devices.size != cfg.sp_shards:
+                mesh = SP.make_sp_mesh(cfg.sp_shards)
+                enc._sp_mesh = mesh
+            out = jax.device_get(SP.p_frame_step_sharded(
+                mesh, self.origY, self.origU, self.origV,
+                ref.Y, ref.U, ref.V,
+                self.qp, self.qpc, self.lam, self.lam4,
+                mb_w=self.mb_w, mb_h=self.mb_h, sr=cfg.search_range))
+        else:
+            dev = getattr(ref, "_dev", None)
+            if dev is None:
+                dev = EJ.prep_ref(ref.Y, ref.U, ref.V)
+                ref._dev = dev
+            planes, padU, padV = dev
+            out = jax.device_get(EJ.p_frame_step(
+                self.origY, self.origU, self.origV, planes, padU, padV,
+                self.qp, self.qpc, self.lam, self.lam4,
+                mb_w=self.mb_w, mb_h=self.mb_h, sr=cfg.search_range))
 
         intra = np.asarray(out["intra_mask"]).copy()
         if self.forced_intra:

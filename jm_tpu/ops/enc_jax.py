@@ -174,11 +174,13 @@ def prep_ref(Y: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray):
 # integer full-search sweep (all MBs, all partitions, one scan)
 # ---------------------------------------------------------------------------
 
-def me_int_sweep(origY, ref_int, mb_w: int, mb_h: int, sr: int, lam):
+def me_int_sweep(origY, ref_int, mb_w: int, mb_h: int, sr: int, lam,
+                 y0: int = -PAD, band_y0: int = 0):
     """Integer-pel full search over all 9 partition jobs at once.
 
-    origY: (H, W) uint8 source plane.
-    ref_int: padded integer plane (pad >= sr).
+    origY: (H, W) uint8 source plane (or an MB-row band of it).
+    ref_int: padded integer plane (pad >= sr); row 0 = picture row y0.
+    band_y0: picture row of origY's first row (0 for a full frame).
     Returns best integer MVs (N, 9, 2) int32.
 
     The (2*sr+1)^2 displacement sweep is a lax.scan whose step computes
@@ -193,7 +195,7 @@ def me_int_sweep(origY, ref_int, mb_w: int, mb_h: int, sr: int, lam):
     # f32 is exact here (all values < 2^24) and is the fastest VPU path;
     # reductions stay on the minor axis (reshape-sum over 8 lanes, then
     # strided row adds) — the generic multi-axis reduce is ~15x slower
-    region = lax.dynamic_slice(ref_int, (PAD - sr, PAD - sr),
+    region = lax.dynamic_slice(ref_int, (band_y0 - sr - y0, PAD - sr),
                                (h + 2 * sr, w + 2 * sr)).astype(jnp.float32)
     qmask = jnp.asarray(QMASK, jnp.float32)
     se_tab = jnp.asarray(_SE_BITS)
@@ -228,22 +230,26 @@ def me_int_sweep(origY, ref_int, mb_w: int, mb_h: int, sr: int, lam):
 # quarter-pel gather + SATD
 # ---------------------------------------------------------------------------
 
-def _gather_qpel(planes, x4, y4, bs: int, w: int, h: int):
+def _gather_qpel(planes, x4, y4, bs: int, w: int, h: int, y0: int = -PAD):
     """One (bs, bs) block at quarter-pel (x4, y4) from the stacked plane
-    set — device twin of interp.mc_luma_block."""
+    set — device twin of interp.mc_luma_block.
+
+    y0 is the picture row that plane-array row 0 corresponds to (-PAD for
+    a full-frame plane set; band_start - HALO for an MB-row shard's local
+    band, see parallel/sp_pipeline.py). x stays full-width."""
     xi, yi = x4 >> 2, y4 >> 2
     xf, yf = x4 & 3, y4 & 3
     xi = jnp.clip(xi, -PAD, w + PAD - bs - 1)
     yi = jnp.clip(yi, -PAD, h + PAD - bs - 1)
     p1 = jnp.asarray(_QP_P1)[yf, xf]
     a = lax.dynamic_slice(
-        planes, (p1, PAD + yi + jnp.asarray(_QP_DY1)[yf, xf],
+        planes, (p1, yi - y0 + jnp.asarray(_QP_DY1)[yf, xf],
                  PAD + xi + jnp.asarray(_QP_DX1)[yf, xf]),
         (1, bs, bs))[0].astype(jnp.int32)
     p2 = jnp.asarray(_QP_P2)[yf, xf]
     b = lax.dynamic_slice(
         planes, (jnp.maximum(p2, 0),
-                 PAD + yi + jnp.asarray(_QP_DY2)[yf, xf],
+                 yi - y0 + jnp.asarray(_QP_DY2)[yf, xf],
                  PAD + xi + jnp.asarray(_QP_DX2)[yf, xf]),
         (1, bs, bs))[0].astype(jnp.int32)
     return jnp.where(p2 < 0, a, (a + b + 1) >> 1)
@@ -259,11 +265,11 @@ def _satd8_raw(diff):
     return jnp.abs(t).sum(axis=(-4, -3, -2, -1))
 
 
-def _gather_windows(planes, ax, ay, size: int):
+def _gather_windows(planes, ax, ay, size: int, y0: int = -PAD):
     """One (4, size, size) all-planes window per qjob at integer plane
     coords (ax, ay) (top-left, relative to the unpadded picture)."""
     def one(x, y):
-        return lax.dynamic_slice(planes, (0, PAD + y, PAD + x),
+        return lax.dynamic_slice(planes, (0, y - y0, PAD + x),
                                  (4, size, size))
     return jax.vmap(jax.vmap(one))(ax, ay)
 
@@ -284,7 +290,7 @@ for _dx, _dy in _DELTAS:
 
 
 def subpel_refine_jobs(planes, orig_q, int_mv, pred, lam, mb_xy,
-                       w: int, h: int):
+                       w: int, h: int, y0: int = -PAD):
     """Two-stage (half then quarter pel) 3x3 refinement of all 9 partition
     jobs of every MB, Hadamard SATD + lambda*bits cost.
 
@@ -322,8 +328,8 @@ def subpel_refine_jobs(planes, orig_q, int_mv, pred, lam, mb_xy,
     # ---- stage 1: half-pel around the integer winner -------------------
     cmx = int_mv[:, QJ_PARENT, 0]
     cmy = int_mv[:, QJ_PARENT, 1]
-    win = _gather_windows(planes, bx_pix + cmx - 1, by_pix + cmy - 1, 10) \
-        .astype(jnp.int32)                             # (N, 16, 4, 10, 10)
+    win = _gather_windows(planes, bx_pix + cmx - 1, by_pix + cmy - 1, 10,
+                          y0).astype(jnp.int32)        # (N, 16, 4, 10, 10)
     center = int_mv * 4
     best = None
     for k, (dx, dy) in enumerate(_DELTAS):
@@ -341,7 +347,7 @@ def subpel_refine_jobs(planes, orig_q, int_mv, pred, lam, mb_xy,
     chy = mv_h[:, QJ_PARENT, 1]
     ax = bx_pix + (chx >> 2) - 1
     ay = by_pix + (chy >> 2) - 1
-    win = _gather_windows(planes, ax, ay, 10).astype(jnp.int32)
+    win = _gather_windows(planes, ax, ay, 10, y0).astype(jnp.int32)
     px_even = (chx & 3) == 0                           # parity masks
     py_even = (chy & 3) == 0
     pxm = px_even[:, :, None, None]
@@ -429,19 +435,33 @@ def subpel_refine_jobs(planes, orig_q, int_mv, pred, lam, mb_xy,
 # approximate predictors from the integer 16x16 MV field
 # ---------------------------------------------------------------------------
 
-def approx_pred_field(mv16, mb_w: int, mb_h: int):
+def approx_pred_field(mv16, mb_w: int, mb_h: int, up_halo=None,
+                      is_first=True):
     """Median of (left, up, up-right) 16x16 integer MVs as an approximate
     per-MB predictor, in qpel units. Border MBs fall back per spec-ish
-    rules (missing neighbors treated as zero, like out-of-picture)."""
+    rules (missing neighbors treated as zero, like out-of-picture).
+
+    up_halo: optional (mb_w, 2) integer-MV row of the MB row just above
+    this band (an MB-row shard's ppermute'd neighbor row; zeros for the
+    topmost shard, which matches the full-frame zero row). is_first may
+    be a traced bool: whether this band contains picture MB row 0."""
     f = (mv16 * 4).reshape(mb_h, mb_w, 2)
     z = jnp.zeros_like(f)
+    if up_halo is None:
+        up0 = z[:1]
+        upr0 = z[:1]
+    else:
+        u = (up_halo * 4).reshape(1, mb_w, 2)
+        up0 = u
+        upr0 = jnp.concatenate([u[:, 1:], u[:, -1:]], axis=1)
     left = jnp.concatenate([z[:, :1], f[:, :-1]], axis=1)
-    up = jnp.concatenate([z[:1], f[:-1]], axis=0)
-    upr = jnp.concatenate([z[:1], jnp.concatenate(
+    up = jnp.concatenate([up0, f[:-1]], axis=0)
+    upr = jnp.concatenate([upr0, jnp.concatenate(
         [f[:-1, 1:], f[:-1, -1:]], axis=1)], axis=0)
     med = jnp.median(jnp.stack([left, up, upr]), axis=0).astype(jnp.int32)
-    # only-A rule approximation: first row uses the left neighbor
-    med = jnp.where((jnp.arange(mb_h) == 0)[:, None, None], left, med)
+    # only-A rule approximation: the picture's first MB row uses left
+    row0 = (jnp.arange(mb_h) == 0)[:, None, None] & is_first
+    med = jnp.where(row0, left, med)
     return med.reshape(mb_h * mb_w, 2)
 
 
@@ -449,19 +469,31 @@ def approx_pred_field(mv16, mb_w: int, mb_h: int):
 # intra-16 source-neighbor cost (P-frame fallback decision)
 # ---------------------------------------------------------------------------
 
-def i16_source_cost(origY, mb_w: int, mb_h: int):
+def i16_source_cost(origY, mb_w: int, mb_h: int, top_halo=None,
+                    is_first=True):
     """Per-MB best-of-4 Intra16x16 SAD using SOURCE neighbors (decision
-    only; chosen MBs are re-coded exactly on the host)."""
+    only; chosen MBs are re-coded exactly on the host).
+
+    top_halo: optional (W,) source pixel row just above this band (for an
+    MB-row shard); is_first (may be traced): band holds picture row 0,
+    whose MBs have no top neighbor."""
     h, w = origY.shape
     o = origY.astype(jnp.int32)
     mbs = o.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)  # (mh,mw,16,16)
     # neighbor rows/cols from the source plane
-    top_idx = jnp.maximum(jnp.arange(mb_h) * 16 - 1, 0)
-    top = o[top_idx].reshape(mb_h, mb_w, 16)                   # (mh,mw,16)
+    if top_halo is None:
+        top_idx = jnp.maximum(jnp.arange(mb_h) * 16 - 1, 0)
+        top_rows = o[top_idx]                                  # (mh, W)
+    else:
+        top_idx = jnp.arange(mb_h) * 16 - 1
+        top_rows = jnp.concatenate(
+            [top_halo[None].astype(jnp.int32), o], axis=0)[top_idx + 1]
+    top = top_rows.reshape(mb_h, mb_w, 16)                     # (mh,mw,16)
     left_idx = jnp.maximum(jnp.arange(mb_w) * 16 - 1, 0)
     left = o[:, left_idx].reshape(mb_h, 16, mb_w).transpose(0, 2, 1)
-    corner = o[top_idx][:, left_idx]                           # (mh, mw)
-    avail_t = (jnp.arange(mb_h) > 0)[:, None] & jnp.ones((1, mb_w), bool)
+    corner = top_rows[:, left_idx]                             # (mh, mw)
+    row_has_top = (jnp.arange(mb_h) > 0) | jnp.logical_not(is_first)
+    avail_t = row_has_top[:, None] & jnp.ones((1, mb_w), bool)
     avail_l = jnp.ones((mb_h, 1), bool) & (jnp.arange(mb_w) > 0)[None, :]
 
     sad = lambda p: jnp.abs(mbs - p).sum(axis=(2, 3))
@@ -498,17 +530,18 @@ def i16_source_cost(origY, mb_w: int, mb_h: int):
 # final MC at decoder granularity
 # ---------------------------------------------------------------------------
 
-def mc_luma_blocks(planes, mv4, mb_xy, w: int, h: int):
+def mc_luma_blocks(planes, mv4, mb_xy, w: int, h: int, y0: int = -PAD):
     """(N, 16, 2) qpel MVs -> (N, 16, 4, 4) int32 prediction blocks."""
     bx = (jnp.arange(16) % 4) * 4
     by = (jnp.arange(16) // 4) * 4
     x4 = (mb_xy[:, 0:1] + bx[None]) * 4 + mv4[..., 0]
     y4 = (mb_xy[:, 1:2] + by[None]) * 4 + mv4[..., 1]
-    g = jax.vmap(jax.vmap(lambda a, b: _gather_qpel(planes, a, b, 4, w, h)))
+    g = jax.vmap(jax.vmap(
+        lambda a, b: _gather_qpel(planes, a, b, 4, w, h, y0)))
     return g(x4, y4)
 
 
-def mc_luma_quads(planes, mv_quad, mb_xy, w: int, h: int):
+def mc_luma_quads(planes, mv_quad, mb_xy, w: int, h: int, y0: int = -PAD):
     """Quadrant-granular luma MC (one MV per 8x8, the device decision
     granularity): (N, 4, 2) qpel MVs -> (N, 16, 16) int32 prediction.
     Bit-identical to mc_luma_blocks with the MV replicated per 4x4."""
@@ -517,16 +550,19 @@ def mc_luma_quads(planes, mv_quad, mb_xy, w: int, h: int):
     qy = jnp.asarray([0, 0, 8, 8])
     x4 = (mb_xy[:, 0:1] + qx[None]) * 4 + mv_quad[..., 0]
     y4 = (mb_xy[:, 1:2] + qy[None]) * 4 + mv_quad[..., 1]
-    g = jax.vmap(jax.vmap(lambda a, b: _gather_qpel(planes, a, b, 8, w, h)))
+    g = jax.vmap(jax.vmap(
+        lambda a, b: _gather_qpel(planes, a, b, 8, w, h, y0)))
     q = g(x4, y4)                                        # (N, 4, 8, 8)
     return q.reshape(n, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4) \
         .reshape(n, 16, 16)
 
 
-def mc_chroma_quads(padU, padV, mv_quad, mb_xy, w: int, h: int):
+def mc_chroma_quads(padU, padV, mv_quad, mb_xy, w: int, h: int,
+                    y0c: int = -PAD):
     """Quadrant-granular chroma MC: one 4x4 chroma block per 8x8 luma
     quadrant (same eighth-pel bilinear as mc_chroma_blocks). Returns
-    (predU, predV) each (N, 8, 8) int32."""
+    (predU, predV) each (N, 8, 8) int32. y0c: chroma picture row of
+    plane-array row 0 (-PAD full frame)."""
     n = mv_quad.shape[0]
     cw, chh = w // 2, h // 2
     qx = jnp.asarray([0, 4, 0, 4])
@@ -539,7 +575,7 @@ def mc_chroma_quads(padU, padV, mv_quad, mb_xy, w: int, h: int):
         xf, yf = x & 7, y & 7
         xi = jnp.clip(xi, -PAD, cw + PAD - 4 - 1)
         yi = jnp.clip(yi, -PAD, chh + PAD - 4 - 1)
-        R = lax.dynamic_slice(plane, (PAD + yi, PAD + xi), (5, 5)) \
+        R = lax.dynamic_slice(plane, (yi - y0c, PAD + xi), (5, 5)) \
             .astype(jnp.int32)
         a, b = R[:4, :4], R[:4, 1:]
         c, d = R[1:, :4], R[1:, 1:]

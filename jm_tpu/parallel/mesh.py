@@ -6,10 +6,9 @@ Axes:
   sp — spatial parallel over MB rows within a frame (wavefront halo
        dependency cone, mb_access.c neighbors)
 
-The MB-batch encode step is sharded over (dp, sp) with the reference
-plane replicated (its per-shard window gather crosses shard boundaries,
-which XLA resolves with collectives when the plane is itself sharded —
-the round-2 optimization).
+The production sp axis (MB-row sharding of the device P pipeline with
+reference-plane bands + explicit halo-exchange collectives) lives in
+parallel/sp_pipeline.py; this module keeps the generic mesh helpers.
 """
 
 from __future__ import annotations
