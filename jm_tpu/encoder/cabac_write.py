@@ -36,6 +36,10 @@ class CabacEncoder:
         # as an outstanding bit), so counting at determination time gives
         # the exact arithmetic-coded length.
         self.bits_out = 0
+        # processed-bin count (JM eep->C / set_pic_bin_count,
+        # biariencode.c:186) feeding the Clause 7.4.2.10 cabac_zero_word
+        # constraint at picture emission (lencod/src/nal.c:116).
+        self.bins = 0
 
     def _put(self, b: int) -> None:
         if self.first_bit:
@@ -61,6 +65,7 @@ class CabacEncoder:
             self.low <<= 1
 
     def decision(self, ctx: np.ndarray, idx: int, binval: int) -> None:
+        self.bins += 1
         state = int(ctx[idx, 0])
         mps = int(ctx[idx, 1])
         r_lps = int(CT.RANGE_LPS[state, (self.rng >> 6) & 3])
@@ -76,6 +81,7 @@ class CabacEncoder:
         self._renorm()
 
     def bypass(self, binval: int) -> None:
+        self.bins += 1
         self.bits_out += 1
         self.low <<= 1
         if binval:
@@ -90,6 +96,7 @@ class CabacEncoder:
             self.low -= 512
 
     def terminate(self, binval: int) -> None:
+        self.bins += 1
         self.rng -= 2
         if binval:
             self.low += self.rng

@@ -556,17 +556,38 @@ class Encoder:
                       slice_group_change_cycle=cfg.sg_change_cycle)
         nal_type = NalUnitType.IDR if is_idr else NalUnitType.SLICE
         out = b""
+        pic_bins = 0
         for addrs in self.slice_plan:
             if cfg.entropy == "cabac":
-                rbsp = self._serialize_cabac_best_init(
+                rbsp, bins = self._serialize_cabac_best_init(
                     pic, stype, mb_addrs=addrs, **common)
+                pic_bins += bins
             else:
                 rbsp = serialize_slice(pic, self.sps, self.pps,
                                        mb_addrs=addrs, **common)
             out += annexb_bytes(3, nal_type, rbsp)
+        if cfg.entropy == "cabac":
+            out += self._cabac_zero_words(out, pic_bins)
         return out
 
-    def _serialize_cabac_best_init(self, pic, stype, **kw) -> bytes:
+    def _cabac_zero_words(self, vcl_payload: bytes, pic_bins: int) -> bytes:
+        """Clause 7.4.2.10 bin-to-byte constraint: append cabac_zero_word
+        (EBSP 00 00 03) stuffing after the picture's last VCL NALU when
+        the arithmetic coder processed more bins than 96/1024 per coded
+        byte allows (lencod/src/nal.c:116 addCabacZeroWords)."""
+        # RawMbBits for 8-bit video: 256*8 luma + chroma samples * 8
+        crows = 16 if self.sps.chroma_format_idc == 2 else 8
+        raw_mb_bits = 256 * 8 + 2 * 8 * crows * 8
+        n_mbs = self.mb_w * self.mb_h
+        min_bytes = (96 * pic_bins - raw_mb_bits * n_mbs * 3 + 1023) // 1024
+        # NumBytesInVclNALunits: NAL header + EBSP, no startcodes (JM
+        # nalu->len + 1, slice.c:390); our payload uses 4-byte startcodes
+        vcl_bytes = len(vcl_payload) - 3 * len(self.slice_plan)
+        if min_bytes <= vcl_bytes:
+            return b""
+        return b"\x00\x00\x03" * ((min_bytes - vcl_bytes + 2) // 3)
+
+    def _serialize_cabac_best_init(self, pic, stype, **kw):
         """CABAC slice serialization with per-slice context-init model
         selection (lencod ContextInitMethod=1, context_ini.c
         GetCtxModelNumber:245). JM estimates the best of the 3 P/B init
@@ -574,15 +595,21 @@ class Encoder:
         slice is a pure function of the SoA, so the exact answer is
         affordable: serialize under each model and keep the shortest."""
         from .syntax_cabac import serialize_slice_cabac
+        stats = {}
         if stype == SliceType.I or not self.cfg.cabac_adapt_init:
-            return serialize_slice_cabac(pic, self.sps, self.pps, **kw)
+            rbsp = serialize_slice_cabac(pic, self.sps, self.pps,
+                                         stats=stats, **kw)
+            return rbsp, stats["bins"]
         best = None
+        best_bins = 0
         for idc in range(3):
             rbsp = serialize_slice_cabac(pic, self.sps, self.pps,
-                                         cabac_init_idc=idc, **kw)
+                                         cabac_init_idc=idc, stats=stats,
+                                         **kw)
             if best is None or len(rbsp) < len(best):
                 best = rbsp
-        return best
+                best_bins = stats["bins"]
+        return best, best_bins
 
     def _emit_b(self, Y, U, V, disp: int, prev_anchor: Frame,
                 next_anchor: Frame, as_ref: bool = False,
@@ -649,15 +676,19 @@ class Encoder:
                       ref_mod_l0=ref_mod_l0, ref_mod_l1=ref_mod_l1,
                       slice_group_change_cycle=cfg.sg_change_cycle)
         payload = b""
+        pic_bins = 0
         for addrs in self.slice_plan:
             if cfg.entropy == "cabac":
-                rbsp = self._serialize_cabac_best_init(
+                rbsp, bins = self._serialize_cabac_best_init(
                     pic, SliceType.B, mb_addrs=addrs, **common)
+                pic_bins += bins
             else:
                 rbsp = serialize_slice(pic, self.sps, self.pps,
                                        mb_addrs=addrs, **common)
             payload += annexb_bytes(2 if as_ref else 0,
                                     NalUnitType.SLICE, rbsp)
+        if cfg.entropy == "cabac":
+            payload += self._cabac_zero_words(payload, pic_bins)
         if as_ref:
             self.frame_num = (self.frame_num + 1) % self.sps.max_frame_num
         if self.rc is not None:

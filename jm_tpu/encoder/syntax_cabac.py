@@ -747,7 +747,8 @@ def serialize_slice_cabac(pic, sps, pps, *, slice_type, frame_num, idr, qp,
                           slice_group_change_cycle=0,
                           wp_l0=None, wp_l1=None,
                           long_term_flag=0, mmco_ops=None,
-                          ref_mod_l0=None, ref_mod_l1=None) -> bytes:
+                          ref_mod_l0=None, ref_mod_l1=None,
+                          stats=None) -> bytes:
     from .syntax import write_slice_header
     if mb_addrs is None:
         mb_addrs = range(pic.n_mbs)
@@ -774,4 +775,8 @@ def serialize_slice_cabac(pic, sps, pps, *, slice_type, frame_num, idr, qp,
         w.write_mb(addr)
         w.eng.terminate(1 if addr == last else 0)
     bw.align_zero()
+    if stats is not None:
+        # processed-bin count for the Clause 7.4.2.10 cabac_zero_word
+        # constraint (JM set_pic_bin_count, biariencode.c:186)
+        stats["bins"] = w.eng.bins
     return bw.get_bytes()

@@ -130,6 +130,26 @@ def test_b_frame_roundtrip(golden_dir, entropy, num_b):
         np.testing.assert_array_equal(d.V, r["frame"].V)
 
 
+def test_cabac_zero_words_roundtrip():
+    """Clause 7.4.2.10 bin-to-byte constraint (lencod/src/nal.c:116
+    addCabacZeroWords): high-entropy QP0 CABAC coding exceeds 96/1024
+    bins/byte, so the encoder must append cabac_zero_word stuffing
+    (EBSP 00 00 03) after the picture — and the decoder must still
+    reproduce the recon bit-exactly."""
+    rng = np.random.default_rng(7)
+    Wn = Hn = 48
+    Y = rng.integers(0, 256, (Hn, Wn), np.uint8)
+    U = rng.integers(0, 256, (Hn // 2, Wn // 2), np.uint8)
+    V = rng.integers(0, 256, (Hn // 2, Wn // 2), np.uint8)
+    enc = Encoder(EncoderConfig(width=Wn, height=Hn, qp=0, entropy="cabac"))
+    bs = enc.encode_frame(Y, U, V) + enc.flush()
+    assert bs.endswith(b"\x00\x00\x03"), "expected cabac_zero_word stuffing"
+    out = H264Decoder().decode_annexb(bs)
+    np.testing.assert_array_equal(out[0].Y, enc.results[0]["frame"].Y)
+    np.testing.assert_array_equal(out[0].U, enc.results[0]["frame"].U)
+    np.testing.assert_array_equal(out[0].V, enc.results[0]["frame"].V)
+
+
 @pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
 def test_transform8x8_roundtrip(golden_dir, entropy):
     """High-profile adaptive 8x8 transform: stream decodes to encoder
