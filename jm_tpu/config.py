@@ -71,6 +71,8 @@ class EncoderParams:
     IntraPeriod: int = 0
     NumberReferenceFrames: int = 1
     SearchRange: int = 16
+    SearchMode: int = 0          # -1 FS, 0 fast-full, 1/2 UMHex, 3 EPZS
+    HMEEnable: int = 0           # hierarchical pyramid ME (me_hme.c)
     InterSearch8x4: int = 0
     InterSearch4x8: int = 0
     InterSearch4x4: int = 0
@@ -121,7 +123,8 @@ class EncoderParams:
         "SourceWidth", "SourceHeight", "FramesToBeEncoded", "StartFrame",
         "QPISlice", "QPPSlice", "QPBSlice", "IntraPeriod",
         "NumberReferenceFrames",
-        "SearchRange", "SymbolMode", "ContextInitMethod", "UseRDOQuant",
+        "SearchRange", "SearchMode", "HMEEnable",
+        "SymbolMode", "ContextInitMethod", "UseRDOQuant",
         "RDOQ_DC", "RDOQ_CR", "RDOQ_DC_CR",
         "RDOQ_QP_Num", "ProfileIDC", "LevelIDC",
         "InterSearch8x4", "InterSearch4x8", "InterSearch4x4",
@@ -212,6 +215,7 @@ class EncoderParams:
             width=self.SourceWidth, height=self.SourceHeight,
             qp=self.QPISlice, intra_period=self.IntraPeriod,
             search_range=self.SearchRange,
+            search_mode=self.SearchMode, hme=bool(self.HMEEnable),
             num_ref=self.NumberReferenceFrames,
             level_idc=self.LevelIDC,
             deblock=not self.DisableLoopFilter,

@@ -96,6 +96,12 @@ class EncoderConfig:
     sub8x8: bool = False         # P8x8 sub-partitions 8x4/4x8/4x4 (E7)
     subpel_satd: bool = True     # Hadamard SATD in fractional ME (E16,
                                  # JM MEDistortionHPel/QPel=2 default)
+    search_mode: int = 0         # JM SearchMode (types.h:128): -1/0 full
+                                 # search tables; 1/2/3 (UMHex/UMHexSimple/
+                                 # EPZS) -> predictive zonal search
+                                 # (encoder/me_epzs.py, E15)
+    hme: bool = False            # HMEEnable: pyramid ME feeding EPZS
+                                 # predictors (me_hme.c:68, E17)
     pipeline: str = "host"       # "host" (serial numpy reference path) |
                                  # "device" (batched jnp/XLA pipeline,
                                  # ops/enc_jax.py; falls back per-frame
@@ -745,6 +751,10 @@ class _FrameEncoder:
         self.forced_intra: set = set()   # intra refresh (E34)
         self.wp = None                   # decoder-exact WPParams (E31)
         self.cabac_rate = None           # exact CABAC RDO rate (rdo.CabacRate)
+        self.epzs = None                 # EPZS searcher (search_mode >= 1)
+        self.epzs1 = None                # ... for list 1 (B slices)
+        self.qsads = None                # fast-full SAD tables (full search)
+        self.qsads1 = None
 
     # ---- helpers ----------------------------------------------------------
 
@@ -907,23 +917,39 @@ class _FrameEncoder:
             self._encode_i_device()
             return self.pic
         sr = self.enc.cfg.search_range
+        fast_me = self.enc.cfg.search_mode >= 1   # UMHex/UMHexSimple/EPZS
         if self.stype == SliceType.P:
             self.refs_list = self.enc._ref_list_p()
-            # fast-full-search tables: per-reference per-quadrant SADs over
-            # the whole displacement window (me_fullfast analog)
-            self.qsads = [
-                ME.full_search_quadrant_sads(
-                    self.origY, f.luma_planes[0], self.mb_w, self.mb_h,
-                    sr, ip.PAD)
-                for f in self.refs_list]
+            if fast_me:
+                from .me_epzs import EPZSearcher
+                self.epzs = EPZSearcher(
+                    self.origY, self.refs_list, self.mb_w, self.mb_h,
+                    sr, self.lam, self.pic.mv, use_hme=self.enc.cfg.hme)
+            else:
+                # fast-full-search tables: per-reference per-quadrant SADs
+                # over the whole displacement window (me_fullfast analog)
+                self.qsads = [
+                    ME.full_search_quadrant_sads(
+                        self.origY, f.luma_planes[0], self.mb_w, self.mb_h,
+                        sr, ip.PAD)
+                    for f in self.refs_list]
         elif self.stype == SliceType.B:
             # refs_list / refs_list1 / b_col set by the driver (_emit_b)
-            self.qsads = [ME.full_search_quadrant_sads(
-                self.origY, self.refs_list[0].luma_planes[0],
-                self.mb_w, self.mb_h, sr, ip.PAD)]
-            self.qsads1 = [ME.full_search_quadrant_sads(
-                self.origY, self.refs_list1[0].luma_planes[0],
-                self.mb_w, self.mb_h, sr, ip.PAD)]
+            if fast_me:
+                from .me_epzs import EPZSearcher
+                self.epzs = EPZSearcher(
+                    self.origY, self.refs_list[:1], self.mb_w, self.mb_h,
+                    sr, self.lam, self.pic.mv, use_hme=self.enc.cfg.hme)
+                self.epzs1 = EPZSearcher(
+                    self.origY, self.refs_list1[:1], self.mb_w, self.mb_h,
+                    sr, self.lam, self.pic.mv_l1, use_hme=self.enc.cfg.hme)
+            else:
+                self.qsads = [ME.full_search_quadrant_sads(
+                    self.origY, self.refs_list[0].luma_planes[0],
+                    self.mb_w, self.mb_h, sr, ip.PAD)]
+                self.qsads1 = [ME.full_search_quadrant_sads(
+                    self.origY, self.refs_list1[0].luma_planes[0],
+                    self.mb_w, self.mb_h, sr, ip.PAD)]
         use_cabac_rate = (self.enc.cfg.entropy == "cabac"
                           and (self.enc.cfg.rdo or self.enc.cfg.rdoq)
                           and self.stype in (SliceType.I, SliceType.P))
@@ -1418,14 +1444,22 @@ class _FrameEncoder:
                 best = None
                 blk = self.origY[py + by * 4: py + by * 4 + bh * 4,
                                  px + bx * 4: px + bx * 4 + bw * 4]
+                seed = None
                 for r in range(nref):
-                    csum = self.qsads[r][addr][:, list(quads)] \
-                        .sum(axis=1, dtype=np.int64)
-                    imv, _ = ME.best_int_mv(csum[None], sr)
+                    if self.epzs is not None:
+                        imv0 = self.epzs.search(addr, r, quads, pred16,
+                                                seed=seed)
+                        if r == 0:
+                            seed = imv0
+                    else:
+                        csum = self.qsads[r][addr][:, list(quads)] \
+                            .sum(axis=1, dtype=np.int64)
+                        imv, _ = ME.best_int_mv(csum[None], sr)
+                        imv0 = imv[0]
                     ref_bits = (2 * r + 1 if nref > 2 else r) if nref > 1 else 0
                     qmv, cost = ME.subpel_refine(
                         blk, self.refs_list[r].luma_planes,
-                        px + bx * 4, py + by * 4, imv[0], self.w, self.h,
+                        px + bx * 4, py + by * 4, imv0, self.w, self.h,
                         pred16, self.lam, extra_bits=ref_bits,
                         use_satd=cfg.subpel_satd)
                     if best is None or cost < best[0]:
@@ -1848,17 +1882,21 @@ class _FrameEncoder:
         cost_direct = int(np.abs(o - dpred_y).sum()) + self.lam
 
         # ---- 16x16 single-list candidates (fast-full tables + subpel)
-        def best16(qs, planes, lst):
-            csum = qs[addr].sum(axis=1, dtype=np.int64)
-            imv, _ = ME.best_int_mv(csum[None], sr)
+        def best16(qs, epzs, planes, lst):
             pred_mv = self.pctx.mv_pred(addr, 0, 0, 4, 4, 0, lst)
-            qmv, cost = ME.subpel_refine(origY_mb, planes, px, py, imv[0],
+            if epzs is not None:
+                imv0 = epzs.search(addr, 0, (0, 1, 2, 3), pred_mv)
+            else:
+                csum = qs[0][addr].sum(axis=1, dtype=np.int64)
+                imv, _ = ME.best_int_mv(csum[None], sr)
+                imv0 = imv[0]
+            qmv, cost = ME.subpel_refine(origY_mb, planes, px, py, imv0,
                                          self.w, self.h, pred_mv, self.lam,
                                          use_satd=self.enc.cfg.subpel_satd)
             return qmv, cost, pred_mv
 
-        mv0, cost_l0, pm0 = best16(self.qsads[0], f0.luma_planes, 0)
-        mv1, cost_l1, pm1 = best16(self.qsads1[0], f1.luma_planes, 1)
+        mv0, cost_l0, pm0 = best16(self.qsads, self.epzs, f0.luma_planes, 0)
+        mv1, cost_l1, pm1 = best16(self.qsads1, self.epzs1, f1.luma_planes, 1)
         cost_l0 += 3 * self.lam
         cost_l1 += 3 * self.lam
 
