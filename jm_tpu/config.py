@@ -91,6 +91,24 @@ class EncoderParams:
     LongTermPeriod: int = 0
     Transform8x8Mode: int = 0
     YUVFormat: int = 1
+    # custom quantization (q_matrix.c / q_offsets.c / q_around.c)
+    QmatrixFile: str = ""
+    ScalingMatrixPresentFlag: int = 0
+    ScalingListPresentFlag0: int = 0
+    ScalingListPresentFlag1: int = 0
+    ScalingListPresentFlag2: int = 0
+    ScalingListPresentFlag3: int = 0
+    ScalingListPresentFlag4: int = 0
+    ScalingListPresentFlag5: int = 0
+    ScalingListPresentFlag6: int = 0
+    ScalingListPresentFlag7: int = 0
+    OffsetMatrixPresentFlag: int = 0
+    QOffsetMatrixFile: str = ""
+    AdaptiveRounding: int = 0
+    AdaptRndPeriod: int = 16
+    AdaptRndWFactorIRef: int = 4
+    AdaptRndWFactorPRef: int = 4
+    AdaptRndWFactorBRef: int = 4
     RDOptimization: int = 0
     EnableIPCM: int = 0
     NumberOfDecoders: int = 0
@@ -100,6 +118,7 @@ class EncoderParams:
     RateControlEnable: int = 0
     Bitrate: int = 45020
     InitialQP: int = 0
+    BasicUnit: int = 0           # MBs per within-frame RC unit (E29)
     DistortionSSIM: int = 0
     DistortionMSSSIM: int = 0
     SSIMOverlapSize: int = 8
@@ -130,8 +149,15 @@ class EncoderParams:
         "InterSearch8x4", "InterSearch4x8", "InterSearch4x4",
         "NumberBFrames", "HierarchicalCoding", "LongTermPeriod", "Transform8x8Mode",
         "RDOptimization", "EnableIPCM", "RDPictureDecision", "YUVFormat",
+        "ScalingMatrixPresentFlag", "ScalingListPresentFlag0",
+        "ScalingListPresentFlag1", "ScalingListPresentFlag2",
+        "ScalingListPresentFlag3", "ScalingListPresentFlag4",
+        "ScalingListPresentFlag5", "ScalingListPresentFlag6",
+        "ScalingListPresentFlag7", "OffsetMatrixPresentFlag",
+        "AdaptiveRounding", "AdaptRndPeriod", "AdaptRndWFactorIRef",
+        "AdaptRndWFactorPRef", "AdaptRndWFactorBRef",
         "NumberOfDecoders", "LossRateA", "RateControlEnable",
-        "Bitrate", "InitialQP", "DistortionSSIM",
+        "Bitrate", "InitialQP", "BasicUnit", "DistortionSSIM",
         "DistortionMSSSIM", "SSIMOverlapSize", "OutFileMode",
         "SliceMode", "SliceArgument", "num_slice_groups_minus1",
         "RandomIntraMBRefresh", "WeightedPrediction", "WeightedBiprediction",
@@ -141,7 +167,8 @@ class EncoderParams:
     }
     _STR_FIELDS = {"InputFile", "OutputFile", "ReconFile", "StatsFile",
                    "SliceGroupConfigFileName", "LeakyBucketParamFile",
-                   "ExplicitHierarchyFormat"}
+                   "ExplicitHierarchyFormat", "QmatrixFile",
+                   "QOffsetMatrixFile"}
     _ALIASES = {
         "DistortionMS_SSIM": "DistortionMSSSIM",   # reference cfg name
         "LoopFilterDisable": "DisableLoopFilter",
@@ -165,7 +192,7 @@ class EncoderParams:
         unsupported = []
         if self.Transform8x8Mode not in (0, 1):
             unsupported.append(f"Transform8x8Mode {self.Transform8x8Mode}")
-        if self.ProfileIDC not in (66, 77, 100):
+        if self.ProfileIDC not in (66, 77, 100, 122):
             unsupported.append(f"ProfileIDC {self.ProfileIDC}")
         if self.SymbolMode not in (0, 1):
             unsupported.append(f"SymbolMode {self.SymbolMode}")
@@ -203,8 +230,28 @@ class EncoderParams:
                     sg["sg_bottom_right"] = tuple(v[1::2])
                 else:
                     sg["sg_ids"] = tuple(v)
+        qm = {}
+        if self.ScalingMatrixPresentFlag and self.QmatrixFile:
+            from .encoder.qmatrix import parse_matrix_cfg
+            with open(self.QmatrixFile, encoding="latin-1") as fh:
+                l4, l8 = parse_matrix_cfg(fh.read())
+            qm["scaling_matrix"] = self.ScalingMatrixPresentFlag
+            qm["scaling_lists4"] = tuple(tuple(x) for x in l4)
+            qm["scaling_lists8"] = tuple(tuple(x) for x in l8)
+            qm["scaling_present"] = tuple(
+                getattr(self, f"ScalingListPresentFlag{i}") for i in range(8))
+        if self.OffsetMatrixPresentFlag and self.QOffsetMatrixFile:
+            from .encoder.qmatrix import parse_offset_cfg
+            with open(self.QOffsetMatrixFile, encoding="latin-1") as fh:
+                o4, o8 = parse_offset_cfg(fh.read())
+            qm["offset_matrix"] = (o4, o8)
+        if self.AdaptiveRounding:
+            qm["adaptive_rounding"] = True
+            qm["adapt_rnd_period"] = self.AdaptRndPeriod
+            qm["adapt_rnd_w"] = self.AdaptRndWFactorPRef
         return EncoderConfig(
             slice_mode=self.SliceMode, slice_argument=self.SliceArgument,
+            **qm,
             intra_mb_refresh=self.RandomIntraMBRefresh,
             weighted_pred=self.WeightedPrediction,
             weighted_bipred=self.WeightedBiprediction,
@@ -238,7 +285,8 @@ class EncoderParams:
             rd_picture_decision=bool(self.RDPictureDecision),
             rc_enable=bool(self.RateControlEnable),
             rc_bitrate=self.Bitrate, frame_rate=self.FrameRate,
-            rc_initial_qp=self.InitialQP)
+            rc_initial_qp=self.InitialQP,
+            rc_basic_unit=self.BasicUnit if self.RateControlEnable else 0)
 
 
 @dataclass

@@ -74,6 +74,9 @@ class EncoderConfig:
     rc_bitrate: float = 0.0      # target bits/s when rc_enable
     frame_rate: float = 30.0
     rc_initial_qp: int = 0       # 0: derive from bpp
+    rc_basic_unit: int = 0       # BasicUnit: MBs per within-frame RC unit
+                                 # (E29, rc_quadratic.c basic-unit branch;
+                                 # 0 = frame-level QP only)
     transform8x8: bool = False   # High-profile adaptive 8x8 transform
     sei_user_data: bytes | None = None   # user_data_unregistered on IDR
     sei_recovery_point: bool = False     # recovery point on open-GOP I
@@ -102,6 +105,17 @@ class EncoderConfig:
                                  # (encoder/me_epzs.py, E15)
     hme: bool = False            # HMEEnable: pyramid ME feeding EPZS
                                  # predictors (me_hme.c:68, E17)
+    # custom quantization (E10/E12, encoder/qmatrix.py):
+    scaling_matrix: int = 0      # ScalingMatrixPresentFlag: 1 SPS, 2 PPS,
+                                 # 3 both (q_matrix.c)
+    scaling_lists4: tuple = ()   # 6 raster 16-entry lists (QmatrixFile)
+    scaling_lists8: tuple = ()   # 2 raster 64-entry lists
+    scaling_present: tuple = ()  # 8 per-list flags (ScalingListPresentFlagN)
+    offset_matrix: tuple = ()    # (off4 (15,16), off8 (5,64)) explicit
+                                 # quant offsets (QOffsetMatrixFile)
+    adaptive_rounding: bool = False   # JVT-N011 (q_around.c, AdaptiveRounding)
+    adapt_rnd_period: int = 16   # offset-list fold period in MBs
+    adapt_rnd_w: int = 4         # AdaptRndWFactor* (all six default 4)
     pipeline: str = "host"       # "host" (serial numpy reference path) |
                                  # "device" (batched jnp/XLA pipeline,
                                  # ops/enc_jax.py; falls back per-frame
@@ -137,7 +151,7 @@ class Encoder:
         self.mb_h = cfg.height // 16
         use_b = cfg.num_b > 0
         use_wp = cfg.weighted_pred or cfg.weighted_bipred
-        profile = 100 if cfg.transform8x8 else \
+        profile = 100 if (cfg.transform8x8 or cfg.scaling_matrix) else \
             (77 if (cfg.entropy == "cabac" or use_b or use_wp) else 66)
         if cfg.chroma_format == 2:
             profile = 122              # High 4:2:2
@@ -206,6 +220,59 @@ class Encoder:
                        transform_8x8_mode_flag=1 if cfg.transform8x8 else 0,
                        weighted_pred_flag=1 if cfg.weighted_pred else 0,
                        weighted_bipred_idc=cfg.weighted_bipred)
+        # custom quant matrices / offsets / adaptive rounding (E10/E12,
+        # q_matrix.c + q_offsets.c + q_around.c; encoder/qmatrix.py)
+        self.quant_custom = bool(cfg.scaling_matrix or cfg.offset_matrix
+                                 or cfg.adaptive_rounding)
+        self._ar_state = None
+        if self.quant_custom:
+            from . import qmatrix as QM
+            l4 = [list(x) for x in cfg.scaling_lists4] or \
+                [[16] * 16 for _ in range(6)]
+            l8 = [list(x) for x in cfg.scaling_lists8] or \
+                [[16] * 64 for _ in range(2)]
+            self.qm_lists4, self.qm_lists8 = l4, l8
+            if cfg.offset_matrix:
+                self._ar_state = (np.array(cfg.offset_matrix[0], np.int32),
+                                  np.array(cfg.offset_matrix[1], np.int32))
+            else:
+                self._ar_state = QM.default_offsets()
+            if cfg.scaling_matrix:
+                if profile not in (100, 122):
+                    raise ValueError("scaling matrices need a High profile")
+                pres = list(cfg.scaling_present) or [3] * 8
+                pres += [0] * (8 - len(pres))
+                # every list is transmitted wherever the matrix flag says:
+                # the spec's absent-list fall-back chains (rule A/B) would
+                # otherwise replace a configured matrix with the default
+                pres = [(p & cfg.scaling_matrix) or cfg.scaling_matrix
+                        for p in pres]
+                n8 = 2 if cfg.transform8x8 else 0
+                zz4 = [QM.to_zigzag4(l) for l in l4]
+                zz8 = [QM.to_zigzag8(l) for l in l8]
+                # effective lists for our own recon mirror + the SPS/PPS
+                # transmission sets (decoder resolves identically)
+                if cfg.scaling_matrix & 1:
+                    self.sps.seq_scaling_matrix_present_flag = 1
+                    self.sps.scaling_list_4x4 = [list(x) for x in zz4]
+                    self.sps.scaling_list_8x8 = \
+                        [list(x) for x in zz8] + [[16] * 64] * 4
+                    self.sps.tx_scaling = (
+                        [p & 1 for p in pres[:6]] + [p & 1 for p in
+                                                     pres[6:6 + n8]],
+                        zz4 + zz8[:n8])
+                if cfg.scaling_matrix & 2:
+                    self.pps.pic_scaling_matrix_present_flag = 1
+                    self.pps.tx_scaling = (
+                        [(p >> 1) & 1 for p in pres[:6]]
+                        + [(p >> 1) & 1 for p in pres[6:6 + n8]],
+                        zz4 + zz8[:n8])
+                self.pps.scaling_list_4x4 = [list(x) for x in zz4]
+                self.pps.scaling_list_8x8 = \
+                    [list(x) for x in zz8] + [[16] * 64] * 4
+        else:
+            self.qm_lists4 = [[16] * 16 for _ in range(6)]
+            self.qm_lists8 = [[16] * 64 for _ in range(2)]
         # FMO slice groups (lencod/src/fmo.c FmoInit; Baseline/Extended only)
         self.group_map = None
         if cfg.num_slice_groups > 1:
@@ -460,20 +527,40 @@ class Encoder:
             qps = [qp, max(0, qp - 1), min(51, qp + 1)]
         best = None
         for q in qps:
-            fe = _FrameEncoder(self, stype, Y, U, V)
-            fe.forced_intra = forced_intra
-            fe.wp = wp
-            fe.qp = q
-            fe.qpc = chroma_qp(q, self.pps.chroma_qp_index_offset)
-            fe.lam = lambda_me(q)
-            fe.lam4 = lambda_mode4(q)
-            pic = fe.encode()
-            recY, recU, recV = fe.recY.copy(), fe.recU.copy(), fe.recV.copy()
-            if cfg.deblock:
-                self._deblock(recY, recU, recV, pic)
-            slice_bytes = self._serialize_anchor_slices(
-                pic, stype, q, poc, is_idr, wp_l0,
-                long_term_flag=long_term_flag, mmco_ops=mmco_ops)
+            def _encode_once(q=q):
+                fe = _FrameEncoder(self, stype, Y, U, V)
+                fe.forced_intra = forced_intra
+                fe.wp = wp
+                fe.qp = q
+                fe.qpc = chroma_qp(q, self.pps.chroma_qp_index_offset)
+                fe.lam = lambda_me(q)
+                fe.lam4 = lambda_mode4(q)
+                if (self.rc is not None and cfg.rc_basic_unit > 0
+                        and stype == SliceType.P and self.rc.target > 0):
+                    from ..ratectl import BasicUnitRC
+                    fe.burc = BasicUnitRC(q, self.rc.target,
+                                          self.mb_w * self.mb_h,
+                                          cfg.rc_basic_unit)
+                return fe, fe.encode()
+
+            if cfg.slice_mode == 2 and cfg.slice_argument > 0:
+                fe, pic, slice_bytes = self._fit_byte_slices(
+                    _encode_once,
+                    lambda fe_, pic_, sizes, q=q: self._serialize_anchor_slices(
+                        pic_, stype, q, poc, is_idr, wp_l0,
+                        long_term_flag=long_term_flag, mmco_ops=mmco_ops,
+                        sizes_out=sizes))
+                recY, recU, recV = fe.recY.copy(), fe.recU.copy(), fe.recV.copy()
+                if cfg.deblock:
+                    self._deblock(recY, recU, recV, pic)
+            else:
+                fe, pic = _encode_once()
+                recY, recU, recV = fe.recY.copy(), fe.recU.copy(), fe.recV.copy()
+                if cfg.deblock:
+                    self._deblock(recY, recU, recV, pic)
+                slice_bytes = self._serialize_anchor_slices(
+                    pic, stype, q, poc, is_idr, wp_l0,
+                    long_term_flag=long_term_flag, mmco_ops=mmco_ops)
             if len(qps) == 1:
                 best = (0.0, q, pic, recY, recU, recV, slice_bytes)
                 break
@@ -552,7 +639,7 @@ class Encoder:
 
     def _serialize_anchor_slices(self, pic, stype, qp, poc, is_idr,
                                  wp_l0, long_term_flag=0,
-                                 mmco_ops=None) -> bytes:
+                                 mmco_ops=None, sizes_out=None) -> bytes:
         cfg = self.cfg
         common = dict(slice_type=stype, frame_num=self.frame_num, idr=is_idr,
                       qp=qp, idr_pic_id=self.idr_pic_id,
@@ -571,10 +658,50 @@ class Encoder:
             else:
                 rbsp = serialize_slice(pic, self.sps, self.pps,
                                        mb_addrs=addrs, **common)
-            out += annexb_bytes(3, nal_type, rbsp)
+            unit = annexb_bytes(3, nal_type, rbsp)
+            if sizes_out is not None:
+                # JM's size check counts NALU bytes without the startcode
+                # (slice.c:524 len_in_bytes)
+                sizes_out.append(len(unit) - 4)
+            out += unit
         if cfg.entropy == "cabac":
             out += self._cabac_zero_words(out, pic_bins)
         return out
+
+    def _fit_byte_slices(self, encode_once, serialize_once):
+        """SliceMode 2: byte-budgeted slices with recode-on-overflow
+        (lencod slice.c:524-547). The reference recodes one MB into a
+        fresh slice when the running slice exceeds SliceArgument bytes;
+        in the two-phase design the whole picture is cheap to re-encode,
+        so the slice plan is re-derived from actual serialized sizes and
+        the picture re-coded until every slice fits (or is a single MB —
+        a slice can never be smaller). Slice boundaries feed back into
+        prediction availability / entropy restarts exactly as a decoder
+        will see them."""
+        limit = self.cfg.slice_argument
+        saved_plan = self.slice_plan
+        # mode-2 starts from whole slice groups
+        plan = [list(a) for a in self._build_slice_plan()]
+        fe = pic = payload = None
+        for _ in range(12):
+            self.slice_plan = plan
+            fe, pic = encode_once()
+            sizes = []
+            payload = serialize_once(fe, pic, sizes)
+            new_plan, changed = [], False
+            for addrs, sz in zip(plan, sizes):
+                if sz <= limit or len(addrs) == 1:
+                    new_plan.append(addrs)
+                    continue
+                changed = True
+                k = max(1, int(len(addrs) * limit / sz * 0.92))
+                new_plan.extend(addrs[i:i + k]
+                                for i in range(0, len(addrs), k))
+            if not changed:
+                break
+            plan = new_plan
+        self.slice_plan = saved_plan
+        return fe, pic, payload
 
     def _cabac_zero_words(self, vcl_payload: bytes, pic_bins: int) -> bytes:
         """Clause 7.4.2.10 bin-to-byte constraint: append cabac_zero_word
@@ -633,68 +760,116 @@ class Encoder:
             qp_b = cfg.qp_b if cfg.qp_b is not None else cfg.qp + 2
             qp_b = min(51, qp_b + max(0, layer - 1))  # temporal-layer offset
 
-        fe = _FrameEncoder(self, SliceType.B, Y, U, V)
-        fe.qp = qp_b
-        fe.qpc = chroma_qp(qp_b, self.pps.chroma_qp_index_offset)
-        fe.lam = lambda_me(qp_b)
-        fe.lam4 = lambda_mode4(qp_b)
-        fe.refs_list = [prev_anchor]
-        fe.refs_list1 = [next_anchor]
         wp_l0 = wp_l1 = None
+        wp_params = None
         if cfg.weighted_bipred:
             from .wp_est import build_wp_params, estimate_explicit
             if cfg.weighted_bipred == 1:
                 wp_l0 = estimate_explicit(Y, U, V, [prev_anchor])
                 wp_l1 = estimate_explicit(Y, U, V, [next_anchor])
-            fe.wp = build_wp_params(SliceType.B, self.pps, [prev_anchor],
-                                    [next_anchor], poc,
-                                    wp_l0=wp_l0, wp_l1=wp_l1)
-        mv0, r0, mv1, r1, rp0, rp1 = next_anchor.motion
-        fe.b_col = ColMotion(mv0, r0, mv1, r1, self.mb_w,
-                             next_anchor.is_long_term, rp0, rp1)
-        pic = fe.encode()
+            wp_params = build_wp_params(SliceType.B, self.pps, [prev_anchor],
+                                        [next_anchor], poc,
+                                        wp_l0=wp_l0, wp_l1=wp_l1)
 
-        recY, recU, recV = fe.recY.copy(), fe.recU.copy(), fe.recV.copy()
-        if cfg.deblock:
-            self._deblock(recY, recU, recV, pic)
-        frame = Frame(poc=poc, frame_num=self.frame_num,
-                      Y=recY, U=recU, V=recV, is_ref=as_ref)
-        if as_ref:
-            frame.uid = self._uid
-            self._uid += 1
-            frame.motion = (pic.mv.copy(), pic.ref_idx.copy(),
-                            pic.mv_l1.copy(), pic.ref_idx_l1.copy(),
-                            pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())
-            self._store_ref(frame)
+        def _encode_once():
+            fe = _FrameEncoder(self, SliceType.B, Y, U, V)
+            fe.qp = qp_b
+            fe.qpc = chroma_qp(qp_b, self.pps.chroma_qp_index_offset)
+            fe.lam = lambda_me(qp_b)
+            fe.lam4 = lambda_mode4(qp_b)
+            fe.refs_list = [prev_anchor]
+            fe.refs_list1 = [next_anchor]
+            fe.wp = wp_params
+            mv0, r0, mv1, r1, rp0, rp1 = next_anchor.motion
+            fe.b_col = ColMotion(mv0, r0, mv1, r1, self.mb_w,
+                                 next_anchor.is_long_term, rp0, rp1)
+            return fe, fe.encode()
 
-        # the decoder's default B lists are POC-ordered short-term + LT
-        # tail (ref_lists_b); when our chosen anchors are not at index 0
-        # (a long-term anchor dropped out of the short-term ordering),
-        # emit ref_pic_list_modification commands to put them there
-        from ..decoder.b_slice import ref_lists_b
-        d0, d1 = ref_lists_b(self.refs, poc)
-        ref_mod_l0 = self._ref_mod_ops(d0, prev_anchor)
-        ref_mod_l1 = self._ref_mod_ops(d1, next_anchor)
-        common = dict(slice_type=SliceType.B, frame_num=self.frame_num,
-                      idr=False, qp=qp_b, poc_lsb=poc % 256,
-                      num_ref_idx_l0=1, num_ref_idx_l1=1, is_ref=as_ref,
-                      wp_l0=wp_l0, wp_l1=wp_l1,
-                      ref_mod_l0=ref_mod_l0, ref_mod_l1=ref_mod_l1,
-                      slice_group_change_cycle=cfg.sg_change_cycle)
-        payload = b""
-        pic_bins = 0
-        for addrs in self.slice_plan:
-            if cfg.entropy == "cabac":
-                rbsp, bins = self._serialize_cabac_best_init(
-                    pic, SliceType.B, mb_addrs=addrs, **common)
-                pic_bins += bins
-            else:
-                rbsp = serialize_slice(pic, self.sps, self.pps,
-                                       mb_addrs=addrs, **common)
-            payload += annexb_bytes(2 if as_ref else 0,
+        def _finalize(fe, pic):
+            """deblock + DPB store + B ref-list modification commands;
+            yields the slice-header fields for serialization."""
+            recY, recU, recV = fe.recY.copy(), fe.recU.copy(), fe.recV.copy()
+            if cfg.deblock:
+                self._deblock(recY, recU, recV, pic)
+            frame = Frame(poc=poc, frame_num=self.frame_num,
+                          Y=recY, U=recU, V=recV, is_ref=as_ref)
+            if as_ref:
+                frame.uid = self._uid
+                self._uid += 1
+                frame.motion = (pic.mv.copy(), pic.ref_idx.copy(),
+                                pic.mv_l1.copy(), pic.ref_idx_l1.copy(),
+                                pic.ref_pic_id.copy(),
+                                pic.ref_pic_id_l1.copy())
+                self._store_ref(frame)
+            # the decoder's default B lists are POC-ordered short-term + LT
+            # tail (ref_lists_b); when our chosen anchors are not at index
+            # 0 (a long-term anchor dropped out of the short-term
+            # ordering), emit ref_pic_list_modification commands
+            from ..decoder.b_slice import ref_lists_b
+            d0, d1 = ref_lists_b(self.refs, poc)
+            ref_mod_l0 = self._ref_mod_ops(d0, prev_anchor)
+            ref_mod_l1 = self._ref_mod_ops(d1, next_anchor)
+            common = dict(slice_type=SliceType.B, frame_num=self.frame_num,
+                          idr=False, qp=qp_b, poc_lsb=poc % 256,
+                          num_ref_idx_l0=1, num_ref_idx_l1=1, is_ref=as_ref,
+                          wp_l0=wp_l0, wp_l1=wp_l1,
+                          ref_mod_l0=ref_mod_l0, ref_mod_l1=ref_mod_l1,
+                          slice_group_change_cycle=cfg.sg_change_cycle)
+            return frame, common, (recY, recU, recV)
+
+        def _serialize_once(pic_, common, sizes=None):
+            payload = b""
+            pic_bins = 0
+            for addrs in self.slice_plan:
+                if cfg.entropy == "cabac":
+                    rbsp, bins = self._serialize_cabac_best_init(
+                        pic_, SliceType.B, mb_addrs=addrs, **common)
+                    pic_bins += bins
+                else:
+                    rbsp = serialize_slice(pic_, self.sps, self.pps,
+                                           mb_addrs=addrs, **common)
+                unit = annexb_bytes(2 if as_ref else 0,
                                     NalUnitType.SLICE, rbsp)
-        if cfg.entropy == "cabac":
-            payload += self._cabac_zero_words(payload, pic_bins)
+                if sizes is not None:
+                    sizes.append(len(unit) - 4)
+                payload += unit
+            if cfg.entropy == "cabac":
+                payload += self._cabac_zero_words(payload, pic_bins)
+            return payload
+
+        if cfg.slice_mode == 2 and cfg.slice_argument > 0:
+            # SliceMode 2 for B pictures: same byte-fit re-encode loop as
+            # anchors (slice.c:524-547), with the DPB store rolled back
+            # between iterations
+            limit = cfg.slice_argument
+            saved_plan = self.slice_plan
+            plan = [list(a) for a in self._build_slice_plan()]
+            for _ in range(12):
+                self.slice_plan = plan
+                refs_snap, uid_snap = list(self.refs), self._uid
+                fe, pic = _encode_once()
+                frame, common, rec = _finalize(fe, pic)
+                sizes = []
+                payload = _serialize_once(pic, common, sizes)
+                new_plan, changed = [], False
+                for addrs, sz in zip(plan, sizes):
+                    if sz <= limit or len(addrs) == 1:
+                        new_plan.append(addrs)
+                        continue
+                    changed = True
+                    k = max(1, int(len(addrs) * limit / sz * 0.92))
+                    new_plan.extend(addrs[i:i + k]
+                                    for i in range(0, len(addrs), k))
+                if not changed:
+                    break
+                self.refs, self._uid = refs_snap, uid_snap
+                plan = new_plan
+            self.slice_plan = saved_plan
+            recY, recU, recV = rec
+        else:
+            fe, pic = _encode_once()
+            frame, common, (recY, recU, recV) = _finalize(fe, pic)
+            payload = _serialize_once(pic, common)
         if as_ref:
             self.frame_num = (self.frame_num + 1) % self.sps.max_frame_num
         if self.rc is not None:
@@ -755,6 +930,41 @@ class _FrameEncoder:
         self.epzs1 = None                # ... for list 1 (B slices)
         self.qsads = None                # fast-full SAD tables (full search)
         self.qsads1 = None
+        # custom quant (scaling matrices / explicit offsets / adaptive
+        # rounding, E10/E12); None selects the legacy flat fast path
+        self.burc = None                 # within-frame basic-unit RC (E29)
+        self.qctx = None
+        if enc.quant_custom:
+            from .qmatrix import QuantCtx
+            st = {SliceType.I: "I", SliceType.P: "P",
+                  SliceType.B: "B"}[stype]
+            self.qctx = QuantCtx(
+                enc.qm_lists4, enc.qm_lists8, st, off_state=enc._ar_state,
+                ar_weight=enc.cfg.adapt_rnd_w
+                if enc.cfg.adaptive_rounding else 0)
+
+    # ---- quant dispatch (flat fast path vs qmatrix.QuantCtx) --------------
+
+    def _q4(self, w, qp, intra, plane=0):
+        if self.qctx is None:
+            return RN.np_quant_4x4(w, qp, intra)
+        return self.qctx.quant_4x4(w, qp, plane, intra)
+
+    def _qdc(self, dc, qp, intra, plane=0):
+        if self.qctx is None:
+            return RN.np_quant_dc(dc, qp, intra)
+        return self.qctx.quant_dc(dc, qp, plane, intra)
+
+    def _q8(self, w, qp, intra):
+        if self.qctx is None:
+            return RN.np_quant_8x8(w, qp, intra)
+        return self.qctx.quant_8x8(w, qp, intra)
+
+    def _itab4(self, intra, plane=0):
+        return None if self.qctx is None else self.qctx.inv_tab4(plane, intra)
+
+    def _itab8(self, intra):
+        return None if self.qctx is None else self.qctx.inv_tab8(intra)
 
     # ---- helpers ----------------------------------------------------------
 
@@ -776,6 +986,10 @@ class _FrameEncoder:
     def _rdoq_on(self) -> bool:
         cfg = self.enc.cfg
         if not cfg.rdoq:
+            return False
+        if self.qctx is not None:
+            # trellis tables assume flat scaling; custom-quant frames use
+            # the QuantCtx path (JM couples rdoq with q_params; deferred)
             return False
         # CABAC trellis needs the running slice engine's context states
         return not (cfg.entropy == "cabac" and self.cabac_rate is None)
@@ -882,6 +1096,8 @@ class _FrameEncoder:
         host reference path."""
         cfg = self.enc.cfg
         return (cfg.pipeline == "device"
+                and self.qctx is None
+                and self.burc is None
                 and self.stype == SliceType.P
                 and self.cfi == 1
                 and self.enc.num_ref_active == 1
@@ -895,6 +1111,7 @@ class _FrameEncoder:
     def _device_i_path_ok(self) -> bool:
         cfg = self.enc.cfg
         return (cfg.pipeline == "device"
+                and self.qctx is None
                 and self.stype == SliceType.I
                 and self.cfi == 1
                 and len(self.enc.slice_plan) == 1
@@ -959,7 +1176,20 @@ class _FrameEncoder:
                 # marginal arithmetic-coded bits (rdopt_coding_state.c)
                 from .rdo import CabacRate
                 self.cabac_rate = CabacRate(self, self.stype)
-            for addr in addrs:
+            for mb_i, addr in enumerate(addrs):
+                if self.qctx is not None:
+                    self.qctx.maybe_refresh(mb_i,
+                                            self.enc.cfg.adapt_rnd_period)
+                if self.burc is not None:
+                    # basic-unit QP for this MB (rc_quadratic.c
+                    # updateQPRC basic-unit branch)
+                    q = self.burc.mb_qp()
+                    if q != self.qp:
+                        self.qp = q
+                        self.qpc = chroma_qp(
+                            q, self.enc.pps.chroma_qp_index_offset)
+                        self.lam = lambda_me(q)
+                        self.lam4 = lambda_mode4(q)
                 self.pic.slice_id[addr] = sid
                 self.pic.qp[addr] = self.qp
                 if self.stype == SliceType.I:
@@ -970,6 +1200,11 @@ class _FrameEncoder:
                     self._encode_p_mb(addr)
                 if use_cabac_rate:
                     self.cabac_rate.commit(addr)
+                if self.qctx is not None:
+                    self.qctx.ar_commit_mb()
+                if self.burc is not None:
+                    from .rdo import count_mb_bits
+                    self.burc.report(count_mb_bits(self, addr, self.stype))
             self.cabac_rate = None
         return self.pic
 
@@ -1133,7 +1368,7 @@ class _FrameEncoder:
             if self.enc.cfg.rdoq_dc:
                 dc_scan = self._trellis_luma_dc(addr, dc_t).astype(np.int64)
             else:
-                dc_lev = RN.np_quant_dc(dc_t, qp, True)
+                dc_lev = self._qdc(dc_t, qp, True)
                 dc_scan = RN.to_scan(dc_lev.reshape(1, 4, 4))[0]
             ac_scan = np.zeros((16, 16), np.int64)
             for code in range(16):
@@ -1142,8 +1377,8 @@ class _FrameEncoder:
                                                    True, i16ac=True)
                 pic.luma_nnz[addr, blk] = int((ac_scan[blk] != 0).sum())
         else:
-            dc_lev = RN.np_quant_dc(dc_t, qp, True)
-            ac = RN.np_quant_4x4(w, qp, True)
+            dc_lev = self._qdc(dc_t, qp, True)
+            ac = self._q4(w, qp, True)
             ac_scan = RN.to_scan(ac)
             ac_scan[:, 0] = 0
             dc_scan = RN.to_scan(dc_lev.reshape(1, 4, 4))[0]
@@ -1161,7 +1396,8 @@ class _FrameEncoder:
         pic.luma_nnz[addr] = nnz
         pred_blocks = pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
         rec = RN.recon_luma_i16(pred_blocks, ac_scan if cbp_luma else
-                                np.zeros((16, 16), np.int32), dc_scan, qp)
+                                np.zeros((16, 16), np.int32), dc_scan, qp,
+                                tab=self._itab4(True))
         rec16 = rec.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
         self.recY[py:py + 16, px:px + 16] = rec16
         return cbp_luma
@@ -1217,14 +1453,15 @@ class _FrameEncoder:
             if self._rdoq_on:
                 scan = self._trellis_luma4(addr, w, blk, intra=True)
             else:
-                lev = RN.np_quant_4x4(w[None], qp, True)[0]
+                lev = self._q4(w[None], qp, True)[0]
                 scan = RN.to_scan(lev[None])[0]
             pic.luma_coef[addr, blk] = scan
             tc = int((scan != 0).sum())
             pic.luma_nnz[addr, blk] = tc
             if tc:
                 nnz_any_quad[(by // 2) * 2 + bx // 2] = True
-            rec = RN.recon_luma_4x4(pred[None], scan[None], qp)[0]
+            rec = RN.recon_luma_4x4(pred[None], scan[None], qp,
+                                    tab=self._itab4(True))[0]
             self.recY[y:y + 4, x:x + 4] = rec
         cbp_luma = sum(1 << q for q in range(4) if nnz_any_quad[q])
         return total_cost, cbp_luma
@@ -1306,9 +1543,13 @@ class _FrameEncoder:
                     dc_lev = self._trellis_chroma_dc(
                         addr, dc_t.reshape(4), comp, intra).astype(np.int64)
                 else:
-                    dc_lev = RN.np_quant_dc(dc_t, qpc, intra).reshape(4)
+                    dc_lev = self._qdc(dc_t, qpc, intra,
+                                       plane=comp + 1).reshape(4)
             else:
-                dc_lev = RN.quant_dc422(dcs, qpc, intra)
+                qfn = None if self.qctx is None else (
+                    lambda f, q, i, _c=comp: self.qctx.quant_dc(
+                        f, q, _c + 1, i))
+                dc_lev = RN.quant_dc422(dcs, qpc, intra, qfn=qfn)
             if rdoq and cfg.rdoq_cr:
                 ac_scan = np.zeros((nb, 16), np.int64)
                 for blk in range(nb):
@@ -1317,7 +1558,7 @@ class _FrameEncoder:
                     pic.chroma_nnz[addr, comp, blk] = int(
                         (ac_scan[blk] != 0).sum())
             else:
-                ac = RN.np_quant_4x4(w, qpc, intra)
+                ac = self._q4(w, qpc, intra, plane=comp + 1)
                 ac_scan = RN.to_scan(ac)
                 ac_scan[:, 0] = 0
             store.append((dc_lev, ac_scan, pred))
@@ -1337,10 +1578,13 @@ class _FrameEncoder:
             pic.chroma_nnz[addr, comp] = (ac_scan[:, 1:] != 0).sum(axis=1)
             pred_blocks = pred.reshape(crows, 4, 2, 4).transpose(0, 2, 1, 3) \
                 .reshape(nb, 4, 4)
+            ctab = self._itab4(intra, plane=comp + 1)
             if crows == 2:
-                rec = RN.recon_chroma(pred_blocks, ac_scan, dc_lev, qpc)
+                rec = RN.recon_chroma(pred_blocks, ac_scan, dc_lev, qpc,
+                                      tab=ctab)
             else:
-                rec = RN.recon_chroma422(pred_blocks, ac_scan, dc_lev, qpc)
+                rec = RN.recon_chroma422(pred_blocks, ac_scan, dc_lev, qpc,
+                                         tab=ctab)
             rec8 = rec.reshape(crows, 2, 4, 4).transpose(0, 2, 1, 3) \
                 .reshape(ch, 8)
             plane = self.recU if comp == 0 else self.recV
@@ -1705,11 +1949,12 @@ class _FrameEncoder:
                                                  intra=False)
                 pic.luma_nnz[addr, blk] = int((scan4[blk] != 0).sum())
         else:
-            lev4 = RN.np_quant_4x4(w4, self.qp, False)
+            lev4 = self._q4(w4, self.qp, False)
             scan4 = RN.to_scan(lev4)
         pred_blocks = pred_y.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3) \
             .reshape(16, 4, 4)
-        rec4 = RN.recon_luma_4x4(pred_blocks, scan4, self.qp)
+        rec4 = RN.recon_luma_4x4(pred_blocks, scan4, self.qp,
+                                 tab=self._itab4(False))
         rec4_16 = rec4.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
         use8 = False
         # 8x8 transform needs every partition >= 8x8 (spec 7.4.5.1)
@@ -1726,13 +1971,14 @@ class _FrameEncoder:
                         RN.to_scan8(w8[qb][None])[0], self.qp, False,
                         self._rdoq_lam(), ctxs=self.cabac_rate.w.ctxs)
             else:
-                lev8 = RN.np_quant_8x8(w8, self.qp, False)
+                lev8 = self._q8(w8, self.qp, False)
                 scan8 = RN.to_scan8(lev8)                 # (4, 64)
             n8 = int((scan8 != 0).sum())
             if n8:
                 pred8 = pred_y.reshape(2, 8, 2, 8).transpose(0, 2, 1, 3) \
                     .reshape(4, 8, 8)
-                rec8q = RN.recon_luma_8x8(pred8, scan8, self.qp)
+                rec8q = RN.recon_luma_8x8(pred8, scan8, self.qp,
+                                          tab=self._itab8(False))
                 rec8_16 = rec8q.reshape(2, 2, 8, 8).transpose(0, 2, 1, 3) \
                     .reshape(16, 16)
                 o64 = o.astype(np.int64)
@@ -1977,6 +2223,8 @@ class _MBSnapshot:
         self.nnz = p.luma_nnz[addr].copy()
         self.modes = p.i4_modes[addr].copy()
         self.cls = p.mb_class[addr]
+        # adaptive-rounding pending fadjust (q_around.c store/update dance)
+        self.ar = fe.qctx.ar_snapshot() if fe.qctx is not None else None
 
     def restore(self):
         fe, addr = self.fe, self.addr
@@ -1986,3 +2234,5 @@ class _MBSnapshot:
         p.luma_nnz[addr] = self.nnz
         p.i4_modes[addr] = self.modes
         p.mb_class[addr] = self.cls
+        if self.ar is not None:
+            fe.qctx.ar_restore(self.ar)

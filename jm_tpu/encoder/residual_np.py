@@ -76,23 +76,27 @@ def from_scan(scan: np.ndarray) -> np.ndarray:
 
 
 def recon_luma_4x4(pred_blocks: np.ndarray, lev_scan: np.ndarray,
-                   qp: int) -> np.ndarray:
+                   qp: int, tab=None) -> np.ndarray:
     """Decode-mirror recon of 16 luma 4x4 blocks (non-i16).
 
-    pred_blocks (16,4,4); lev_scan (16,16) scan order. Returns recon (16,4,4).
-    """
-    d = _np_dequant_4x4(from_scan(lev_scan), np.full((16,), qp, np.int64))
+    pred_blocks (16,4,4); lev_scan (16,16) scan order. tab: optional
+    (52,4,4) InvLevelScale for custom scaling matrices (E12).
+    Returns recon (16,4,4)."""
+    d = _np_dequant_4x4(from_scan(lev_scan), np.full((16,), qp, np.int64),
+                        tab)
     r = (_np_inv4(d) + 32) >> 6
     return np.clip(pred_blocks + r, 0, 255).astype(np.uint8)
 
 
-def recon_luma_i16(pred_blocks, ac_scan, dc_scan, qp):
+def recon_luma_i16(pred_blocks, ac_scan, dc_scan, qp, tab=None):
     """Decode-mirror recon for Intra16x16: ac_scan (16,16) with [*,0]==0,
     dc_scan (16,) zig-zag DC levels."""
-    d = _np_dequant_4x4(from_scan(ac_scan), np.full((16,), qp, np.int64))
+    t = FLAT_INV_SCALE_4x4 if tab is None else tab
+    d = _np_dequant_4x4(from_scan(ac_scan), np.full((16,), qp, np.int64),
+                        tab)
     dc_r = from_scan(dc_scan)
     dc_t = _np_hadamard4(dc_r)
-    scale = int(FLAT_INV_SCALE_4x4[qp, 0, 0])
+    scale = int(t[qp, 0, 0])
     dc_s = rshift_rnd_sf((dc_t.astype(np.int64) * scale) << (qp // 6), 6)
     blk = np.arange(16)
     d[blk, 0, 0] = dc_s[blk // 4, blk % 4]
@@ -100,12 +104,14 @@ def recon_luma_i16(pred_blocks, ac_scan, dc_scan, qp):
     return np.clip(pred_blocks + r, 0, 255).astype(np.uint8)
 
 
-def recon_chroma(pred_blocks, ac_scan, dc_lev, qp_c):
+def recon_chroma(pred_blocks, ac_scan, dc_lev, qp_c, tab=None):
     """Decode-mirror chroma recon for one component: pred_blocks (4,4,4),
     ac_scan (4,16) with [*,0]==0, dc_lev (4,) raster DC levels."""
-    d = _np_dequant_4x4(from_scan(ac_scan), np.full((4,), qp_c, np.int64))
+    t = FLAT_INV_SCALE_4x4 if tab is None else tab
+    d = _np_dequant_4x4(from_scan(ac_scan), np.full((4,), qp_c, np.int64),
+                        tab)
     f = np_hadamard2x2(dc_lev.reshape(2, 2).astype(np.int64))
-    scale = int(FLAT_INV_SCALE_4x4[qp_c, 0, 0])
+    scale = int(t[qp_c, 0, 0])
     dc_s = ((f * scale) << (qp_c // 6)) >> 5
     blk = np.arange(4)
     d[blk, 0, 0] = dc_s[blk // 2, blk % 2]
@@ -130,21 +136,25 @@ SCAN_YUV422 = [(0, 0), (0, 1), (1, 0), (0, 2), (0, 3), (1, 1), (1, 2),
                (1, 3)]
 
 
-def quant_dc422(dc_raster: np.ndarray, qp_c: int, intra: bool) -> np.ndarray:
+def quant_dc422(dc_raster: np.ndarray, qp_c: int, intra: bool,
+                qfn=None) -> np.ndarray:
     """8 chroma DC levels in transmission scan order from the per-block
     raster DCs (8,) of one 8x16 component (lencod block.c:1056-1076:
-    hadamard4x2 then DC quant at QPc+3)."""
+    hadamard4x2 then DC quant at QPc+3). qfn: optional custom DC
+    quantizer (QuantCtx.quant_dc partial) replacing np_quant_dc."""
     cols = np.stack([dc_raster[0::2], dc_raster[1::2]])   # [col i][row j]
     f = np_hadamard4x2(cols)
-    lev = np_quant_dc(f, qp_c + 3, intra)                 # (2, 4)
+    lev = (qfn or np_quant_dc)(f, qp_c + 3, intra)        # (2, 4)
     return np.array([lev[i, j] for (i, j) in SCAN_YUV422], np.int32)
 
 
-def recon_chroma422(pred_blocks, ac_scan, dc_scan, qp_c):
+def recon_chroma422(pred_blocks, ac_scan, dc_scan, qp_c, tab=None):
     """Decode-mirror 4:2:2 chroma recon for one component: pred_blocks
     (8,4,4) raster blocks (2 wide x 4 tall), ac_scan (8,16) with [*,0]==0,
     dc_scan (8,) transmission-scan DC levels (recon.py:225-247 twin)."""
-    d = _np_dequant_4x4(from_scan(ac_scan), np.full((8,), qp_c, np.int64))
+    t = FLAT_INV_SCALE_4x4 if tab is None else tab
+    d = _np_dequant_4x4(from_scan(ac_scan), np.full((8,), qp_c, np.int64),
+                        tab)
     m3 = np.zeros((2, 4), np.int64)
     for k, (i0, j0) in enumerate(SCAN_YUV422):
         m3[i0, j0] = int(dc_scan[k])
@@ -154,7 +164,7 @@ def recon_chroma422(pred_blocks, ac_scan, dc_scan, qp_c):
     f = np.stack([m6[:, 0] + m6[:, 3], m6[:, 1] + m6[:, 2],
                   m6[:, 1] - m6[:, 2], m6[:, 0] - m6[:, 3]], axis=-1)
     qpdc = qp_c + 3
-    scale = int(FLAT_INV_SCALE_4x4[qpdc, 0, 0])
+    scale = int(t[qpdc, 0, 0])
     dc_s = rshift_rnd_sf((f * scale) << (qpdc // 6), 6)   # (2 cols, 4 rows)
     for j in range(4):
         for i in range(2):
@@ -190,13 +200,14 @@ def to_scan8(raster: np.ndarray) -> np.ndarray:
 
 
 def recon_luma_8x8(pred_q: np.ndarray, lev_scan: np.ndarray,
-                   qp: int) -> np.ndarray:
+                   qp: int, tab=None) -> np.ndarray:
     """Decode-mirror 8x8 recon: (..., 8, 8) pred + (..., 64) scan levels
-    (matches decoder recon.py 8x8 path: flat-list dequant, rounded >>6)."""
+    (matches decoder recon.py 8x8 path: weighted dequant, rounded >>6)."""
     r = np.zeros((*lev_scan.shape[:-1], 64), np.int64)
     r[..., _ZZ8] = lev_scan
     r = r.reshape(*lev_scan.shape[:-1], 8, 8)
-    scale = FLAT_INV_SCALE_8x8[qp].astype(np.int64)
+    t8 = FLAT_INV_SCALE_8x8 if tab is None else tab
+    scale = t8[qp].astype(np.int64)
     deq = rshift_rnd_sf((r * scale) << (qp // 6), 6)
     sp = (_np_inv8(deq) + 32) >> 6
     return np.clip(pred_q + sp, 0, 255).astype(np.uint8)

@@ -40,7 +40,13 @@ def write_sps(sps) -> bytes:
         bw.ue(sps.bit_depth_luma_minus8)
         bw.ue(sps.bit_depth_chroma_minus8)
         bw.flag(sps.qpprime_y_zero_transform_bypass_flag)
-        bw.flag(0)  # seq_scaling_matrix_present
+        tx = getattr(sps, "tx_scaling", None)
+        if sps.seq_scaling_matrix_present_flag and tx:
+            bw.flag(1)
+            _write_scaling_lists(bw, tx,
+                                 8 if sps.chroma_format_idc != 3 else 12)
+        else:
+            bw.flag(0)  # seq_scaling_matrix_present
     bw.ue(sps.log2_max_frame_num_minus4)
     bw.ue(sps.pic_order_cnt_type)
     if sps.pic_order_cnt_type == 0:
@@ -149,6 +155,18 @@ def _write_vui(bw: BitWriter, v: dict) -> None:
         bw.flag(0)
 
 
+def _write_scaling_lists(bw: BitWriter, tx, n_lists: int) -> None:
+    """SPS/PPS scaling-list loop (spec 7.3.2.1.1 / 7.3.2.2; lencod
+    parset.c Scaling_List). tx = (present[n], zigzag lists)."""
+    from .qmatrix import write_scaling_list
+    present, lists = tx
+    for i in range(n_lists):
+        p = present[i] if i < len(present) else 0
+        bw.flag(1 if p else 0)
+        if p:
+            write_scaling_list(bw, lists[i], 16 if i < 6 else 64)
+
+
 def write_pps(pps) -> bytes:
     bw = BitWriter()
     bw.ue(pps.pic_parameter_set_id)
@@ -186,10 +204,17 @@ def write_pps(pps) -> bytes:
     bw.flag(pps.deblocking_filter_control_present_flag)
     bw.flag(pps.constrained_intra_pred_flag)
     bw.flag(pps.redundant_pic_cnt_present_flag)
-    if pps.transform_8x8_mode_flag:
+    ptx = getattr(pps, "tx_scaling", None)
+    if pps.transform_8x8_mode_flag or \
+            (pps.pic_scaling_matrix_present_flag and ptx):
         # PPS FRExt extension (spec 7.3.2.2 more_rbsp_data section)
-        bw.flag(1)                         # transform_8x8_mode_flag
-        bw.flag(0)                         # pic_scaling_matrix_present_flag
+        bw.flag(pps.transform_8x8_mode_flag)
+        if pps.pic_scaling_matrix_present_flag and ptx:
+            bw.flag(1)
+            _write_scaling_lists(
+                bw, ptx, 6 + (2 if pps.transform_8x8_mode_flag else 0))
+        else:
+            bw.flag(0)                     # pic_scaling_matrix_present_flag
         bw.se(pps.cr_qp_offset)            # second_chroma_qp_index_offset
     bw.rbsp_trailing_bits()
     return bw.get_bytes()

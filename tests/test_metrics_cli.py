@@ -70,7 +70,7 @@ def test_encoder_params_precedence_and_ignore():
 
 def test_encoder_params_unsupported_raises():
     p = EncoderParams()
-    p.apply({"ProfileIDC": "122"})    # 4:2:2 encode: later phase
+    p.apply({"ProfileIDC": "244"})    # High 4:4:4: later phase
     with pytest.raises(NotImplementedError):
         p.validate()
 
