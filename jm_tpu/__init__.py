@@ -1,23 +1,28 @@
-"""jm_tpu — a TPU-native H.264/AVC encode/decode engine in JAX/XLA/Pallas.
+"""jm_tpu — a TPU-native H.264/AVC encode/decode engine in JAX/XLA.
 
 A from-scratch reimplementation of the capabilities of the JM 19.0 reference
 software (lencod/ldecod): Baseline/Main/High-profile encoding with
-full-search and fast motion estimation, quarter-pel interpolation, intra
-prediction, 4x4/8x8 integer transforms and quantization, CAVLC and CABAC
-entropy coding, in-loop deblocking, RD-optimized mode decision — redesigned
-TPU-first: batched macroblock-tile kernels, wavefront scheduling, and
-pjit/shard_map sharding instead of serial per-MB raster loops.
+full-search and EPZS/HME fast motion estimation, quarter-pel interpolation,
+intra prediction, 4x4/8x8 integer transforms, normal/trellis (RDOQ)
+quantization with custom scaling matrices and adaptive rounding, CAVLC and
+CABAC entropy coding, in-loop deblocking, RD-optimized mode decision —
+redesigned TPU-first: the production P/I encode pipeline runs as batched
+jitted device stages (ops/enc_jax.py, ops/intra_jax.py), optionally
+MB-row-sharded over a device mesh with halo exchange
+(parallel/sp_pipeline.py); host Python handles bit-serial entropy coding
+with hot loops in a native C++ runtime (native/).
 
 Package layout:
-  common/     shared types, constants, normative tables
-  bitstream/  NAL framing, bit readers/writers, Exp-Golomb
-  ops/        batched compute kernels (jnp reference + Pallas TPU paths)
-  decoder/    two-phase decoder (host parse -> device reconstruction)
-  encoder/    wavefront encoder (batched mode decision, ME, entropy)
-  parallel/   mesh/sharding helpers (MB-row, slice, GOP, view parallelism)
-  models/     profile pipelines (baseline/main/high presets)
-  io/         YUV/raw video I/O
-  utils/      tracing, metrics, timing
+  common/     shared types, constants, normative tables, FMO, conformance
+  bitstream/  NAL framing, bit readers/writers, Exp-Golomb, RTP
+  ops/        batched compute kernels (numpy reference + jnp device twins)
+  decoder/    two-phase decoder (host parse -> batched reconstruction)
+  encoder/    encoder (device pipeline + serial reference path, RDO/RDOQ,
+              EPZS, rate control, WP estimation, SEI/syntax writers)
+  parallel/   mesh/sharding helpers + MB-row-sharded encode pipeline
+  native/     C++ runtime (bit reader, CABAC core, CAVLC serializer,
+              deblock edge loops) via the CPython C API
+  tools/      lencod/ldecod CLI twins, rtpdump, rtp_loss, imgio, trace
 """
 
 __version__ = "0.1.0"
