@@ -131,9 +131,25 @@ def split_annexb(data: bytes) -> list[NalUnit]:
     return units
 
 
+def mvc_ext_bytes(non_idr_flag: int, view_id: int, anchor_pic_flag: int,
+                  inter_view_flag: int, priority_id: int = 0,
+                  temporal_id: int = 0) -> bytes:
+    """3-byte nal_unit_header_mvc_extension (spec H.7.3.1.1; the inverse
+    of _parse_nal_header's MVC branch). svc_extension_flag = 0."""
+    ext = ((0 << 23) | (non_idr_flag << 22) | (priority_id << 16)
+           | (view_id << 6) | (temporal_id << 3)
+           | (anchor_pic_flag << 2) | (inter_view_flag << 1) | 1)
+    return ext.to_bytes(3, "big")
+
+
 def annexb_bytes(nal_ref_idc: int, nal_unit_type: int, rbsp: bytes,
-                 long_startcode: bool = True) -> bytes:
-    """Frame one NALU for an Annex-B stream."""
+                 long_startcode: bool = True,
+                 mvc_ext: bytes | None = None) -> bytes:
+    """Frame one NALU for an Annex-B stream. mvc_ext: the 3 extension
+    header bytes for nal_unit_type 14/20 (part of the NAL header, so
+    prepended before emulation prevention of the payload)."""
     hdr = bytes([(nal_ref_idc << 5) | nal_unit_type])
+    if mvc_ext is not None:
+        hdr += mvc_ext
     sc = b"\x00\x00\x00\x01" if long_startcode else b"\x00\x00\x01"
     return sc + hdr + rbsp_to_ebsp(rbsp)

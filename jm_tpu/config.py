@@ -87,6 +87,9 @@ class EncoderParams:
     LevelIDC: int = 30
     NumberBFrames: int = 0
     HierarchicalCoding: int = 0
+    NumberOfViews: int = 1
+    View1ConfigFile: str = ""
+    SepViewInterSearch: int = 0
     ExplicitHierarchyFormat: str = ""
     LongTermPeriod: int = 0
     Transform8x8Mode: int = 0
@@ -148,6 +151,7 @@ class EncoderParams:
         "RDOQ_QP_Num", "ProfileIDC", "LevelIDC",
         "InterSearch8x4", "InterSearch4x8", "InterSearch4x4",
         "NumberBFrames", "HierarchicalCoding", "LongTermPeriod", "Transform8x8Mode",
+        "NumberOfViews", "SepViewInterSearch",
         "RDOptimization", "EnableIPCM", "RDPictureDecision", "YUVFormat",
         "ScalingMatrixPresentFlag", "ScalingListPresentFlag0",
         "ScalingListPresentFlag1", "ScalingListPresentFlag2",
@@ -168,7 +172,7 @@ class EncoderParams:
     _STR_FIELDS = {"InputFile", "OutputFile", "ReconFile", "StatsFile",
                    "SliceGroupConfigFileName", "LeakyBucketParamFile",
                    "ExplicitHierarchyFormat", "QmatrixFile",
-                   "QOffsetMatrixFile"}
+                   "QOffsetMatrixFile", "View1ConfigFile"}
     _ALIASES = {
         "DistortionMS_SSIM": "DistortionMSSSIM",   # reference cfg name
         "LoopFilterDisable": "DisableLoopFilter",
@@ -192,7 +196,7 @@ class EncoderParams:
         unsupported = []
         if self.Transform8x8Mode not in (0, 1):
             unsupported.append(f"Transform8x8Mode {self.Transform8x8Mode}")
-        if self.ProfileIDC not in (66, 77, 100, 122):
+        if self.ProfileIDC not in (66, 77, 100, 122, 118, 128):
             unsupported.append(f"ProfileIDC {self.ProfileIDC}")
         if self.SymbolMode not in (0, 1):
             unsupported.append(f"SymbolMode {self.SymbolMode}")
@@ -286,7 +290,8 @@ class EncoderParams:
             rc_enable=bool(self.RateControlEnable),
             rc_bitrate=self.Bitrate, frame_rate=self.FrameRate,
             rc_initial_qp=self.InitialQP,
-            rc_basic_unit=self.BasicUnit if self.RateControlEnable else 0)
+            rc_basic_unit=self.BasicUnit if self.RateControlEnable else 0,
+            num_views=2 if self.NumberOfViews == 2 else 1)
 
 
 @dataclass

@@ -87,3 +87,145 @@ def _motion_copy(dpb_frames: list[Frame], src: Frame):
                     ip.mc_chroma_block(pad, cx8, cy8, 2, 2, w // 2, h // 2),
                     0, 255)
     return Y.astype(np.uint8), U.astype(np.uint8), V.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Per-MB error concealment (D17): spatial intra + inter motion-trial
+# ---------------------------------------------------------------------------
+
+def conceal_mbs(Y, U, V, pic, lost, ref, mb_w: int, mb_h: int) -> int:
+    """Conceal the MBs flagged in `lost` (n,) bool, in place.
+
+    ref is the closest DPB Frame or None. With a reference the inter
+    conceal-by-trial of erc_do_p.c:329 runs (candidate MVs from available
+    neighbors + zero, scored by boundary side-match, winner motion
+    compensated and written into pic.mv for later colocated use); without
+    one (I pictures) the spatial weighted-pixel-average of erc_do_i.c:544.
+    Processing is onion-order: MBs with the most available neighbors
+    first, concealed MBs become available (ercConcealIntraFrame ordering).
+    Returns the number of concealed MBs.
+    """
+    import numpy as np
+    avail = ~lost.reshape(mb_h, mb_w).copy()
+    todo = [tuple(p) for p in np.argwhere(~avail)]
+    count = 0
+    while todo:
+        # rank by number of available 4-neighbors; conceal best first
+        def n_avail(p):
+            y, x = p
+            return sum(1 for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1))
+                       if 0 <= y + dy < mb_h and 0 <= x + dx < mb_w
+                       and avail[y + dy, x + dx])
+        todo.sort(key=n_avail, reverse=True)
+        y, x = todo.pop(0)
+        if ref is not None:
+            _conceal_inter_mb(Y, U, V, pic, ref, x, y, mb_w, mb_h, avail)
+        else:
+            _conceal_spatial_mb(Y, x, y, 16, avail, mb_w, mb_h)
+            _conceal_spatial_mb(U, x, y, 8, avail, mb_w, mb_h)
+            _conceal_spatial_mb(V, x, y, 8, avail, mb_w, mb_h)
+        avail[y, x] = True
+        count += 1
+    return count
+
+
+def _conceal_spatial_mb(plane, mbx, mby, bs, avail, mb_w, mb_h):
+    """erc_do_i.c pixelConceal: every pixel is the inverse-distance
+    weighted average of the adjacent boundary pixels of the available
+    up/down/left/right neighbor MBs."""
+    import numpy as np
+    px, py = mbx * bs, mby * bs
+    ys, xs = np.mgrid[0:bs, 0:bs]
+    num = np.zeros((bs, bs), np.float64)
+    den = np.zeros((bs, bs), np.float64)
+    sides = []
+    if mby > 0 and avail[mby - 1, mbx]:
+        sides.append((plane[py - 1, px:px + bs][None, :].astype(np.float64)
+                      .repeat(bs, 0), ys + 1))
+    if mby + 1 < mb_h and avail[mby + 1, mbx]:
+        sides.append((plane[py + bs, px:px + bs][None, :].astype(np.float64)
+                      .repeat(bs, 0), bs - ys))
+    if mbx > 0 and avail[mby, mbx - 1]:
+        sides.append((plane[py:py + bs, px - 1][:, None].astype(np.float64)
+                      .repeat(bs, 1), xs + 1))
+    if mbx + 1 < mb_w and avail[mby, mbx + 1]:
+        sides.append((plane[py:py + bs, px + bs][:, None].astype(np.float64)
+                      .repeat(bs, 1), bs - xs))
+    if not sides:
+        plane[py:py + bs, px:px + bs] = 128
+        return
+    for edge, dist in sides:
+        w = 1.0 / dist
+        num += w * edge
+        den += w
+    plane[py:py + bs, px:px + bs] = np.clip(
+        num / den + 0.5, 0, 255).astype(np.uint8)
+
+
+def _conceal_inter_mb(Y, U, V, pic, ref, mbx, mby, mb_w, mb_h, avail):
+    """erc_do_p.c concealByTrial: candidate MVs = zero + the quadrant MVs
+    of available neighbor MBs; each candidate's motion-compensated block
+    is scored by the boundary side-match against available neighbor
+    pixels; the winner fills luma+chroma and is recorded in pic.mv."""
+    import numpy as np
+
+    from ..ops import interp as ip
+    h_img, w_img = Y.shape
+    px, py = mbx * 16, mby * 16
+    addr = mby * mb_w + mbx
+    cands = [(0, 0)]
+    for (dy, dx, quads) in ((-1, 0, (2, 3)), (1, 0, (0, 1)),
+                            (0, -1, (1, 3)), (0, 1, (0, 2))):
+        ny, nx = mby + dy, mbx + dx
+        if 0 <= ny < mb_h and 0 <= nx < mb_w and avail[ny, nx]:
+            naddr = ny * mb_w + nx
+            if pic.ref_idx[naddr, 0] >= 0:
+                for q in quads:
+                    cands.append(tuple(int(v) for v in pic.mv[naddr, q]))
+    seen, uniq = set(), []
+    for c in cands:
+        if c not in seen:
+            seen.add(c)
+            uniq.append(c)
+
+    def side_match(blk):
+        e = 0.0
+        n = 0
+        if mby > 0 and avail[mby - 1, mbx]:
+            e += np.abs(blk[0].astype(np.int32)
+                        - Y[py - 1, px:px + 16].astype(np.int32)).sum()
+            n += 16
+        if mby + 1 < mb_h and avail[mby + 1, mbx]:
+            e += np.abs(blk[-1].astype(np.int32)
+                        - Y[py + 16, px:px + 16].astype(np.int32)).sum()
+            n += 16
+        if mbx > 0 and avail[mby, mbx - 1]:
+            e += np.abs(blk[:, 0].astype(np.int32)
+                        - Y[py:py + 16, px - 1].astype(np.int32)).sum()
+            n += 16
+        if mbx + 1 < mb_w and avail[mby, mbx + 1]:
+            e += np.abs(blk[:, -1].astype(np.int32)
+                        - Y[py:py + 16, px + 16].astype(np.int32)).sum()
+            n += 16
+        return e / max(n, 1)
+
+    best = None
+    for (mvx, mvy) in uniq:
+        blk = ip.mc_luma_block(ref.luma_planes, px * 4 + mvx, py * 4 + mvy,
+                               16, 16, w_img, h_img).astype(np.uint8)
+        cost = side_match(blk)
+        if best is None or cost < best[0]:
+            best = (cost, (mvx, mvy), blk)
+    _cost, (mvx, mvy), blk = best
+    Y[py:py + 16, px:px + 16] = blk
+    pu, pv = ref.chroma_pad
+    ch, cw = U.shape[0] // mb_h, 8
+    cy, cx = mby * ch, mbx * 8
+    yscale = 2 if ch == 16 else 1        # 4:2:2 keeps full chroma height
+    for plane, pad in ((U, pu), (V, pv)):
+        plane[cy:cy + ch, cx:cx + 8] = ip.mc_chroma_block(
+            pad, cx * 8 + mvx, cy * 8 + mvy * yscale,
+            8, ch, U.shape[1], U.shape[0]).astype(np.uint8)
+    pic.mv[addr] = (mvx, mvy)
+    pic.ref_idx[addr] = 0
+    pic.mb_class[addr] = 0          # inter

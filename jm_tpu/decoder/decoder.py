@@ -29,6 +29,7 @@ class DecodedFrame:
     Y: np.ndarray
     U: np.ndarray
     V: np.ndarray
+    view_id: int = 0
 
 
 class H264Decoder:
@@ -36,9 +37,13 @@ class H264Decoder:
         """conceal_mode: 0 = strict (raise on loss), 1 = frame copy,
         2 = motion copy (ldecod ConcealMode, configfile.h:44)."""
         self.sps_map: dict[int, object] = {}
+        self.subset_sps_map: dict[int, object] = {}   # MVC (NAL 15)
         self.pps_map: dict[int, object] = {}
         self.dpb: DPB | None = None
+        self.dpb1: DPB | None = None                  # dependent view DPB
         self.poc_ctx = PocContext()
+        self.poc_ctx1 = PocContext()
+        self._last_v0 = None        # view-0 frame of the current AU
         self._cur = None       # in-flight picture state
         self._outputs: list[DecodedFrame] = []
         self.sei_messages = []  # parsed SEI (jm_tpu.decoder.sei)
@@ -86,25 +91,46 @@ class H264Decoder:
             from .sei import parse_sei_rbsp
             sps = next(iter(self.sps_map.values()), None)
             self.sei_messages.extend(parse_sei_rbsp(nal.rbsp, sps))
+        elif t == NalUnitType.SUBSET_SPS:
+            from .parset import parse_subset_sps
+            sub = parse_subset_sps(nal.rbsp)
+            self.subset_sps_map[sub.seq_parameter_set_id] = sub
+        elif t == NalUnitType.SLICE_EXT:
+            if nal.mvc_ext is None:
+                raise ValueError("SVC slice extensions not supported")
+            self._handle_slice(nal)
+        elif t == NalUnitType.PREFIX:
+            pass  # base-view MVC info; base decode is self-contained
         elif t in (NalUnitType.AUD, NalUnitType.FILLER,
                    NalUnitType.EOSEQ, NalUnitType.EOSTREAM):
             pass
         else:
-            pass  # MVC/aux NALs handled in later phases
+            pass  # aux NALs handled in later phases
 
     def _handle_slice(self, nal: NalUnit) -> None:
-        hdr, br = parse_slice_header(nal, self.sps_map, self.pps_map)
+        view = (nal.mvc_ext["view_id"]
+                if nal.nal_unit_type == NalUnitType.SLICE_EXT else 0)
+        smap = self.sps_map if view == 0 else (
+            self.subset_sps_map or self.sps_map)
+        hdr, br = parse_slice_header(nal, smap, self.pps_map)
+        hdr.view_id = view
         pps = self.pps_map[hdr.pic_parameter_set_id]
-        sps = self.sps_map[pps.seq_parameter_set_id]
+        sps = smap[pps.seq_parameter_set_id]
 
-        if self.dpb is None or hdr.is_idr and hdr.first_mb_in_slice == 0:
+        if view == 0:
             if self.dpb is None:
                 self.dpb = DPB(sps)
+            dpb = self.dpb
+        else:
+            if self.dpb1 is None:
+                self.dpb1 = DPB(sps)
+            dpb = self.dpb1
 
         if self._is_new_picture(hdr):
             self._finish_picture()
-            poc = self.poc_ctx.compute(hdr, sps)
-            if (self.conceal_mode and not hdr.is_idr
+            pctx = self.poc_ctx if view == 0 else self.poc_ctx1
+            poc = pctx.compute(hdr, sps)
+            if (view == 0 and self.conceal_mode and not hdr.is_idr
                     and self._prev_ref_frame_num is not None
                     and self.dpb is not None and self.dpb.frames):
                 self._conceal_frame_num_gap(hdr, sps, poc)
@@ -113,7 +139,7 @@ class H264Decoder:
             self._cur = {
                 "pic": pic, "sps": sps, "pps": pps, "poc": poc,
                 "headers": [], "slice_params": [], "n_slices": 0,
-                "mb_succ": None,
+                "mb_succ": None, "view": view, "hdr0": hdr,
             }
             if pps.num_slice_groups_minus1 > 0:
                 from ..common.fmo import mb_to_slice_group_map, next_mb_arrays
@@ -123,24 +149,38 @@ class H264Decoder:
         cur = self._cur
         pic = cur["pic"]
 
-        # build reference lists for this slice
+        # build reference lists for this slice; for the dependent view
+        # the inter-view reference (the view-0 picture of the SAME access
+        # unit) is appended after the temporal refs (H.8.2.1 initial list
+        # construction; ldecod mbuffer_mvc.c init_lists_p/b_slice_mvc)
+        iv = self._last_v0 if view > 0 else None
         lst, lst1 = [], []
         if hdr.slice_type == SliceType.P:
-            base = self.dpb.ref_list_p(hdr.frame_num)
+            if view > 0 and hdr.is_idr:
+                # MVC anchor picture: inter-view prediction only (H.8.2;
+                # the view-1 DPB flushes when this picture is stored)
+                base = [iv]
+            else:
+                base = dpb.ref_list_p(hdr.frame_num)
+                if iv is not None:
+                    base = base + [iv]
             nact = hdr.num_ref_idx_l0_active_minus1 + 1
-            lst = self.dpb.reorder_list(base, hdr.ref_pic_list_mod_l0,
-                                        hdr.frame_num, nact)
+            lst = dpb.reorder_list(base, hdr.ref_pic_list_mod_l0,
+                                   hdr.frame_num, nact, inter_view=iv)
             if len(lst) < nact:
                 raise ValueError("insufficient reference frames")
         elif hdr.slice_type == SliceType.B:
             from .b_slice import ColMotion, ref_lists_b
-            b0, b1 = ref_lists_b(self.dpb.frames, cur["poc"])
+            b0, b1 = ref_lists_b(dpb.frames, cur["poc"])
+            if iv is not None:
+                b0 = b0 + [iv]
+                b1 = b1 + [iv]
             nact0 = hdr.num_ref_idx_l0_active_minus1 + 1
             nact1 = hdr.num_ref_idx_l1_active_minus1 + 1
-            lst = self.dpb.reorder_list(b0, hdr.ref_pic_list_mod_l0,
-                                        hdr.frame_num, nact0)
-            lst1 = self.dpb.reorder_list(b1, hdr.ref_pic_list_mod_l1,
-                                         hdr.frame_num, nact1)
+            lst = dpb.reorder_list(b0, hdr.ref_pic_list_mod_l0,
+                                   hdr.frame_num, nact0, inter_view=iv)
+            lst1 = dpb.reorder_list(b1, hdr.ref_pic_list_mod_l1,
+                                    hdr.frame_num, nact1, inter_view=iv)
 
         sid = cur["n_slices"]
         cur["n_slices"] += 1
@@ -165,11 +205,11 @@ class H264Decoder:
             try:
                 parser.parse_slice_data()
             except Exception:
-                # corrupted slice payload: drop the picture and synthesize
-                # it from the DPB (ldecod ei_flag + erc path)
-                self._cur = None
-                if self.dpb is not None and self.dpb.frames:
-                    self._store_concealed(hdr.frame_num, cur["poc"])
+                # corrupted slice payload: abandon THIS slice; its MBs are
+                # concealed per-MB at picture completion (ldecod ei_flag +
+                # erc_do_i/erc_do_p). If nothing of the picture survives,
+                # _finish_picture falls back to whole-frame concealment.
+                cur.setdefault("failed_sids", []).append(sid)
                 return
         else:
             parser.parse_slice_data()
@@ -194,7 +234,8 @@ class H264Decoder:
         MB 0, so first_mb_in_slice == 0 is not the boundary test)."""
         if self._cur is None:
             return True
-        h0 = self._cur["headers"][0][0] if self._cur["headers"] else None
+        h0 = (self._cur["headers"][0][0] if self._cur["headers"]
+              else self._cur.get("hdr0"))
         if h0 is None:
             return False
 
@@ -208,7 +249,8 @@ class H264Decoder:
                 or hdr.is_idr != h0.is_idr
                 or (hdr.is_idr and hdr.idr_pic_id != h0.idr_pic_id)
                 or poc_key(hdr) != poc_key(h0)
-                or (hdr.nal_ref_idc == 0) != (h0.nal_ref_idc == 0))
+                or (hdr.nal_ref_idc == 0) != (h0.nal_ref_idc == 0)
+                or getattr(hdr, "view_id", 0) != self._cur.get("view", 0))
 
     # ---- error concealment (D17) -------------------------------------
 
@@ -245,7 +287,41 @@ class H264Decoder:
             return
         cur, self._cur = self._cur, None
         pic, sps, pps = cur["pic"], cur["sps"], cur["pps"]
+        if not cur["headers"]:
+            # every slice of the picture was corrupt: whole-frame conceal
+            if self.dpb is not None and self.dpb.frames:
+                h0 = cur.get("hdr0")
+                self._store_concealed(
+                    h0.frame_num if h0 is not None else 0, cur["poc"])
+            return
         hdr0, lst0, lst1 = cur["headers"][0]
+
+        # per-MB concealment (D17): MBs of failed slices + never-covered
+        # MBs get neutral parse state now and pixel concealment after
+        # reconstruction (erc_do_i.c:544 spatial / erc_do_p.c:74 inter)
+        lost = pic.slice_id < 0
+        for sid_f in cur.get("failed_sids", ()):
+            lost |= pic.slice_id == sid_f
+        if lost.any() and self.conceal_mode:
+            from .mb_parse import MB_I16 as _I16
+            la = np.flatnonzero(lost)
+            pic.mb_class[la] = _I16
+            pic.i16_mode[la] = 2              # DC
+            pic.luma_dc[la] = 0
+            pic.luma_coef[la] = 0
+            pic.luma_nnz[la] = 0
+            pic.chroma_dc[la] = 0
+            pic.chroma_coef[la] = 0
+            pic.chroma_nnz[la] = 0
+            pic.cbp[la] = 0
+            pic.transform8x8[la] = False
+            pic.skip[la] = False
+            pic.mv[la] = 0
+            pic.ref_idx[la] = -1
+            pic.ref_idx_l1[la] = -1
+            pic.slice_id[la] = 0
+        elif lost.any():
+            raise ValueError("slice data missing for some macroblocks")
 
         from .wp import WPParams
         wp = WPParams(hdr0, pps, lst0, lst1, cur["poc"])
@@ -270,20 +346,35 @@ class H264Decoder:
             "slice_id": pic.slice_id,
         })
 
+        view = cur.get("view", 0)
+        if lost.any() and self.conceal_mode:
+            from .conceal import _closest_ref, conceal_mbs
+            dpb_v = self.dpb if cur.get("view", 0) == 0 else self.dpb1
+            ref = None
+            if hdr0.slice_type != SliceType.I and lst0:
+                ref = lst0[0]
+            elif dpb_v is not None and dpb_v.frames:
+                ref = _closest_ref(dpb_v.frames, cur["poc"])
+            self.concealed_count += conceal_mbs(
+                Y, U, V, pic, lost, ref, pic.mb_w, pic.mb_h)
+
         frame = Frame(poc=cur["poc"], frame_num=hdr0.frame_num,
                       Y=Y, U=U, V=V, is_ref=hdr0.nal_ref_idc != 0)
         frame.motion = (pic.mv.copy(), pic.ref_idx.copy(),
                         pic.mv_l1.copy(), pic.ref_idx_l1.copy(),
                         pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())
-        self.dpb.store(frame,
-                       mmco_ops=(hdr0.mmco_ops
-                                 if hdr0.adaptive_ref_pic_marking_mode_flag
-                                 else None),
-                       idr=hdr0.is_idr,
-                       long_term_flag=hdr0.long_term_reference_flag)
-        if frame.is_ref:
-            self._prev_ref_frame_num = hdr0.frame_num
-        self._prev_poc = cur["poc"]
+        dpb = self.dpb if view == 0 else self.dpb1
+        dpb.store(frame,
+                  mmco_ops=(hdr0.mmco_ops
+                            if hdr0.adaptive_ref_pic_marking_mode_flag
+                            else None),
+                  idr=hdr0.is_idr,
+                  long_term_flag=hdr0.long_term_reference_flag)
+        if view == 0:
+            self._last_v0 = frame
+            if frame.is_ref:
+                self._prev_ref_frame_num = hdr0.frame_num
+            self._prev_poc = cur["poc"]
         st = self.stats
         st["pictures"] += 1
         st["slices"] += cur["n_slices"]
@@ -296,7 +387,8 @@ class H264Decoder:
         st["mb_ipcm"] += int((cls == MB_IPCM).sum())
         st["mb_inter"] += int((cls == MB_INTER).sum())
         st["mb_skip"] += int(pic.skip.sum())
-        self._outputs.append(DecodedFrame(cur["poc"], Y, U, V))
+        self._outputs.append(DecodedFrame(cur["poc"], Y, U, V,
+                                          view_id=view))
 
 
 def decode_file(path: str) -> list[DecodedFrame]:

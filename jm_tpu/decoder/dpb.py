@@ -137,8 +137,9 @@ class DPB:
         return short + long
 
     def reorder_list(self, lst: list[Frame], mods, cur_frame_num: int,
-                     num_active: int) -> list[Frame]:
-        """Apply ref_pic_list_modification commands (spec 8.2.4.3)."""
+                     num_active: int, inter_view=None) -> list[Frame]:
+        """Apply ref_pic_list_modification commands (spec 8.2.4.3 +
+        H.8.2.2.3 inter-view ops 4/5 for the MVC dependent view)."""
         if not mods:
             return lst[:num_active]
         max_fn = self.sps.max_frame_num
@@ -161,6 +162,13 @@ class DPB:
                             break
                 if target is None:
                     raise ValueError("ref reorder: pic_num not found")
+            elif m.op in (4, 5):
+                # MVC inter-view modification (H.8.2.2.3): with one
+                # dependent view the only inter-view candidate is the
+                # appended view-0 picture of the current access unit
+                if inter_view is None:
+                    raise ValueError("inter-view reorder without MVC ref")
+                target = inter_view
             else:  # long-term
                 target = next(f for f in lst if f.is_long_term
                               and f.long_term_frame_idx == m.value)

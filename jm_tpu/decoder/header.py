@@ -18,7 +18,12 @@ def parse_slice_header(nal: NalUnit, sps_map: dict[int, SPS],
     br = BitReader(nal.rbsp)
     h = SliceHeader()
     h.nal_ref_idc = nal.nal_ref_idc
-    h.is_idr = nal.nal_unit_type == NalUnitType.IDR
+    # MVC slice extensions with non_idr_flag == 0 carry the full IDR-form
+    # header (idr_pic_id + IDR dec_ref_pic_marking, ldecod header.c:651)
+    h.is_idr = (nal.nal_unit_type == NalUnitType.IDR
+                or (nal.nal_unit_type == NalUnitType.SLICE_EXT
+                    and nal.mvc_ext is not None
+                    and nal.mvc_ext.get("non_idr_flag") == 0))
 
     h.first_mb_in_slice = br.ue()
     st = br.ue()

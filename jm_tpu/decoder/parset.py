@@ -90,14 +90,85 @@ _SPS_FALLBACK_4 = {0: DEFAULT_4x4_INTRA, 3: DEFAULT_4x4_INTER}
 _SPS_FALLBACK_8 = {0: DEFAULT_8x8_INTRA, 1: DEFAULT_8x8_INTER}
 
 
+def _sps_sane(s) -> bool:
+    """Spec bounds (7.4.2.1.1): used to detect the JM 19.0 MVC writer bug
+    (FRExt block omitted though the profile byte says High; see
+    parse_subset_sps) and fall back to the no-FRExt layout."""
+    return (s.chroma_format_idc <= 3
+            and s.bit_depth_luma_minus8 <= 6
+            and s.bit_depth_chroma_minus8 <= 6
+            and s.log2_max_frame_num_minus4 <= 12
+            and (s.pic_order_cnt_type != 0
+                 or s.log2_max_pic_order_cnt_lsb_minus4 <= 12)
+            and s.pic_order_cnt_type <= 2
+            and s.max_num_ref_frames <= 32)
+
+
 def parse_sps(rbsp: bytes) -> SPS:
-    br = BitReader(rbsp)
+    try:
+        s = _parse_sps_data(BitReader(rbsp))
+        if _sps_sane(s):
+            return s
+    except Exception:
+        pass
+    return _parse_sps_data(BitReader(rbsp), skip_frext=True)
+
+
+def parse_subset_sps(rbsp: bytes):
+    """Subset SPS (NAL type 15, spec 7.3.2.1.3) for the MVC profiles:
+    seq_parameter_set_data + bit_equal_to_one + sps_mvc_extension
+    (H.7.3.2.1.4). Returns an SPS with `.mvc` holding the extension.
+
+    JM 19.0 compat: the reference ENCODER gates the FRExt chroma block on
+    is_FREXT_profile (lencod/src/parset.c:693), which excludes profiles
+    118/128, while its DECODER includes them (ldecod/src/parset.c:128) —
+    JM's own stereo output is undecodable by JM's own ldecod. We parse
+    the spec-correct layout first and fall back to the JM-buggy layout
+    (no FRExt block) when bit_equal_to_one fails."""
+    def read(skip_frext):
+        br = BitReader(rbsp)
+        sp = _parse_sps_data(br, skip_frext=skip_frext)
+        if not _sps_sane(sp):
+            raise ValueError("implausible subset SPS fields")
+        if br.flag() != 1:                     # bit_equal_to_one
+            raise ValueError("bit_equal_to_one != 1")
+        mvc = {}
+        n_views = br.ue() + 1
+        mvc["view_id"] = [br.ue() for _ in range(n_views)]
+        mvc["anchor_l0"] = [[]]
+        mvc["anchor_l1"] = [[]]
+        mvc["non_anchor_l0"] = [[]]
+        mvc["non_anchor_l1"] = [[]]
+        for _ in range(1, n_views):
+            mvc["anchor_l0"].append([br.ue() for _ in range(br.ue())])
+            mvc["anchor_l1"].append([br.ue() for _ in range(br.ue())])
+        for _ in range(1, n_views):
+            mvc["non_anchor_l0"].append([br.ue() for _ in range(br.ue())])
+            mvc["non_anchor_l1"].append([br.ue() for _ in range(br.ue())])
+        n_lv = br.ue() + 1
+        for _ in range(n_lv):
+            br.u(8)                            # level_idc
+            for _ in range(br.ue() + 1):       # applicable ops
+                br.u(3)
+                for _ in range(br.ue() + 1):
+                    br.ue()                    # target view ids
+                br.ue()                        # num_views_minus1
+        sp.mvc = mvc
+        return sp
+    try:
+        return read(skip_frext=False)
+    except Exception:
+        return read(skip_frext=True)
+
+
+def _parse_sps_data(br: BitReader, skip_frext: bool = False) -> SPS:
     s = SPS()
     s.profile_idc = br.u(8)
     s.constraint_set_flags = br.u(8)
     s.level_idc = br.u(8)
     s.seq_parameter_set_id = br.ue()
-    if s.profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135):
+    if not skip_frext and s.profile_idc in (
+            100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135):
         s.chroma_format_idc = br.ue()
         if s.chroma_format_idc == 3:
             s.separate_colour_plane_flag = br.flag()

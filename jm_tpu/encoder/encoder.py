@@ -116,6 +116,10 @@ class EncoderConfig:
     adaptive_rounding: bool = False   # JVT-N011 (q_around.c, AdaptiveRounding)
     adapt_rnd_period: int = 16   # offset-list fold period in MBs
     adapt_rnd_w: int = 4         # AdaptRndWFactor* (all six default 4)
+    num_views: int = 1           # 2 = MVC stereo (E40, Annex H): base view
+                                 # AVC NALUs + NAL-20 dependent view with
+                                 # inter-view prediction (lencod.c:894-952)
+    view1_qp_offset: int = 0     # QP delta for the dependent view
     pipeline: str = "host"       # "host" (serial numpy reference path) |
                                  # "device" (batched jnp/XLA pipeline,
                                  # ops/enc_jax.py; falls back per-frame
@@ -153,6 +157,10 @@ class Encoder:
         use_wp = cfg.weighted_pred or cfg.weighted_bipred
         profile = 100 if (cfg.transform8x8 or cfg.scaling_matrix) else \
             (77 if (cfg.entropy == "cabac" or use_b or use_wp) else 66)
+        if cfg.num_views == 2:
+            profile = 100              # MVC stereo: High-compatible base
+                                       # view (lencod writes profile 100
+                                       # for the base SPS, parset.c)
         if cfg.chroma_format == 2:
             profile = 122              # High 4:2:2
         # B pictures need both anchors resident in the decoder DPB, so the
@@ -312,6 +320,12 @@ class Encoder:
                                   cfg.width, cfg.height, num_b=cfg.num_b,
                                   initial_qp=cfg.rc_initial_qp)
         self._pending = []            # (disp, Y, U, V) awaiting next anchor
+        # MVC stereo (E40): dependent-view inputs keyed by display index,
+        # view-1 reference list (most recent first), and the map from a
+        # view-0 frame uid to its view-1 companion (B anchors)
+        self._v1_pending: dict = {}
+        self.refs_v1: list[Frame] = []
+        self._v1_of: dict = {}
         self.display_idx = 0          # next display index (absolute)
         self._idr_disp = 0            # display index of last IDR (poc base)
         # cyclic pseudo-random intra refresh (lencod/src/intrarefresh.c:34
@@ -390,15 +404,22 @@ class Encoder:
                 slices.append(addrs)
         return slices
 
-    def encode_frame(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> bytes:
+    def encode_frame(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray,
+                     view1=None) -> bytes:
         """Push one display-order frame. With num_b == 0 the coded picture
         is returned immediately; with B pictures the mini-GOP buffers until
         its next anchor arrives (call flush() at end of sequence). Mirrors
         the reference frame re-ordering of lencod.c prepare_frame_params/
-        SetImageType."""
+        SetImageType. view1: (Y, U, V) of the dependent view when
+        cfg.num_views == 2 (MVC stereo, E40)."""
         cfg = self.cfg
         disp = self.display_idx
         self.display_idx += 1
+        if cfg.num_views == 2:
+            if view1 is None:
+                raise ValueError("num_views=2 needs the view1 planes")
+            self._v1_pending[disp] = tuple(
+                np.asarray(p, np.uint8) for p in view1)
         if cfg.num_b == 0 or not self.refs:
             return self._emit_anchor(Y, U, V, disp)
         self._pending.append((disp, np.asarray(Y, np.uint8),
@@ -593,6 +614,10 @@ class Encoder:
         payload = b""
         if is_idr:
             payload += annexb_bytes(3, NalUnitType.SPS, write_sps(self.sps))
+            if cfg.num_views == 2:
+                from .syntax import write_subset_sps
+                payload += annexb_bytes(3, NalUnitType.SUBSET_SPS,
+                                        write_subset_sps(self.sps))
             payload += annexb_bytes(3, NalUnitType.PPS, write_pps(self.pps))
         sei_msgs = []
         if is_idr and cfg.sei_user_data is not None:
@@ -606,7 +631,18 @@ class Encoder:
             from .sei_write import build_sei_rbsp
             payload += annexb_bytes(0, NalUnitType.SEI,
                                     build_sei_rbsp(sei_msgs))
+        if cfg.num_views == 2:
+            # prefix NAL (type 14) announcing the base view (H.7.4.1;
+            # lencod.c writes one per base VCL NALU)
+            from ..bitstream.nal import mvc_ext_bytes
+            payload += annexb_bytes(
+                3, NalUnitType.PREFIX, b"",
+                mvc_ext=mvc_ext_bytes(0 if is_idr else 1, 0,
+                                      1 if is_idr else 0, 1))
         payload += slice_bytes
+        if cfg.num_views == 2:
+            payload += self._emit_view1(disp, frame, poc, self.frame_num,
+                                        anchor=is_idr)
 
         if is_idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
@@ -744,6 +780,108 @@ class Encoder:
                 best_bins = stats["bins"]
         return best, best_bins
 
+    def _emit_view1(self, disp: int, v0_frame: Frame, poc: int,
+                    frame_num: int, anchor: bool, b_anchors=None,
+                    as_ref: bool = True, qp_view=None) -> bytes:
+        """Encode + serialize the dependent-view picture of the current
+        access unit (E40; lencod.c:894-952 view-interleaved loop).
+
+        Anchor AUs (base IDR): P slice predicting ONLY from the view-0
+        picture (inter-view, H.8.2); the view-1 ref list flushes.
+        Non-anchor P AUs: temporal view-1 refs + the view-0 picture
+        appended (the decoder's default MVC list order). B AUs: temporal
+        view-1 anchors only (inter_view_flag=0 conformant choice)."""
+        from ..bitstream.nal import mvc_ext_bytes
+        cfg = self.cfg
+        Y1, U1, V1 = self._v1_pending.pop(disp)
+        qp1 = max(0, min(51, (qp_view if qp_view is not None else cfg.qp)
+                         + cfg.view1_qp_offset))
+        stype = SliceType.B if b_anchors else SliceType.P
+        fe = _FrameEncoder(self, stype, Y1, U1, V1)
+        fe.is_view1 = True
+        fe.qp = qp1
+        fe.qpc = chroma_qp(qp1, self.pps.chroma_qp_index_offset)
+        fe.lam = lambda_me(qp1)
+        fe.lam4 = lambda_mode4(qp1)
+        ref_mod_l0 = ref_mod_l1 = None
+        if stype == SliceType.B:
+            from ..decoder.b_slice import ColMotion, ref_lists_b
+            v1_prev = self._v1_of[b_anchors[0].uid]
+            v1_next = self._v1_of[b_anchors[1].uid]
+            fe.refs_list = [v1_prev]
+            fe.refs_list1 = [v1_next]
+            mv0, r0, mv1, r1, rp0, rp1 = v1_next.motion
+            fe.b_col = ColMotion(mv0, r0, mv1, r1, self.mb_w,
+                                 v1_next.is_long_term, rp0, rp1)
+            nref = 1
+        elif anchor:
+            self.refs_v1 = []                  # IDR flush for the view
+            fe.refs_list = [v0_frame]
+            nref = 1
+        else:
+            # non-anchor: inter-view ref FIRST via a reorder command
+            # (modification_of_pic_nums_idc 5, H.8.2.2.3) so the decoder's
+            # list matches regardless of its DPB depth, then temporal refs
+            nact = max(1, min(cfg.num_ref, len(self.refs_v1)))
+            fe.refs_list = [v0_frame] + list(self.refs_v1[:nact])
+            nref = len(fe.refs_list)
+            ref_mod_l0 = [(5, 0)]          # abs_diff_view_idx_minus1 = 0
+        save_nact = self.num_ref_active
+        self.num_ref_active = nref
+        try:
+            pic = fe.encode()
+        finally:
+            self.num_ref_active = save_nact
+        recY, recU, recV = fe.recY.copy(), fe.recU.copy(), fe.recV.copy()
+        if cfg.deblock:
+            self._deblock(recY, recU, recV, pic)
+        v1f = Frame(poc=poc, frame_num=frame_num, Y=recY, U=recU, V=recV,
+                    is_ref=as_ref)
+        if as_ref:
+            v1f.uid = self._uid
+            self._uid += 1
+            v1f.motion = (pic.mv.copy(), pic.ref_idx.copy(),
+                          pic.mv_l1.copy(), pic.ref_idx_l1.copy(),
+                          pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())
+            # mirror the decoder's dpb1 sliding window exactly
+            # (reference Bs enter the window too)
+            self.refs_v1.insert(0, v1f)
+            del self.refs_v1[self.dpb_size:]
+            self._v1_of[v0_frame.uid] = v1f
+        if stype == SliceType.B:
+            from ..decoder.b_slice import ref_lists_b
+            d0, d1 = ref_lists_b(self.refs_v1, poc)
+            ref_mod_l0 = self._ref_mod_ops(d0, fe.refs_list[0])
+            ref_mod_l1 = self._ref_mod_ops(d1, fe.refs_list1[0])
+        common = dict(slice_type=stype, frame_num=frame_num,
+                      idr=anchor, qp=qp1, idr_pic_id=self.idr_pic_id,
+                      poc_lsb=poc % 256, ref_mod_l0=ref_mod_l0,
+                      num_ref_idx_l0=nref, wp_l0=None,
+                      slice_group_change_cycle=cfg.sg_change_cycle)
+        if stype == SliceType.B:
+            common["ref_mod_l0"] = ref_mod_l0
+            common.update(num_ref_idx_l1=1, is_ref=as_ref,
+                          ref_mod_l1=ref_mod_l1)
+        ext = mvc_ext_bytes(0 if anchor else 1, 1,
+                            1 if anchor else 0, 0)
+        nri = 3 if (as_ref and stype != SliceType.B) else (2 if as_ref
+                                                           else 0)
+        out = b""
+        pic_bins = 0
+        for addrs in self.slice_plan:
+            if cfg.entropy == "cabac":
+                rbsp, bins = self._serialize_cabac_best_init(
+                    pic, stype, mb_addrs=addrs, **common)
+                pic_bins += bins
+            else:
+                rbsp = serialize_slice(pic, self.sps, self.pps,
+                                       mb_addrs=addrs, **common)
+            out += annexb_bytes(nri, NalUnitType.SLICE_EXT, rbsp,
+                                mvc_ext=ext)
+        if cfg.entropy == "cabac":
+            out += self._cabac_zero_words(out, pic_bins)
+        return out
+
     def _emit_b(self, Y, U, V, disp: int, prev_anchor: Frame,
                 next_anchor: Frame, as_ref: bool = False,
                 layer: int = 1, qp_offset: int | None = None) -> bytes:
@@ -870,6 +1008,15 @@ class Encoder:
             fe, pic = _encode_once()
             frame, common, (recY, recU, recV) = _finalize(fe, pic)
             payload = _serialize_once(pic, common)
+        if cfg.num_views == 2:
+            from ..bitstream.nal import mvc_ext_bytes
+            payload = annexb_bytes(
+                2 if as_ref else 0, NalUnitType.PREFIX, b"",
+                mvc_ext=mvc_ext_bytes(1, 0, 0, 1)) + payload
+            payload += self._emit_view1(
+                disp, frame, poc, self.frame_num, anchor=False,
+                b_anchors=(prev_anchor, next_anchor), as_ref=as_ref,
+                qp_view=qp_b)
         if as_ref:
             self.frame_num = (self.frame_num + 1) % self.sps.max_frame_num
         if self.rc is not None:
@@ -922,7 +1069,9 @@ class _FrameEncoder:
         self.recY = np.zeros_like(self.origY)
         self.recU = np.zeros_like(self.origU)
         self.recV = np.zeros_like(self.origV)
-        self.ref = enc.refs[0] if stype == SliceType.P else None
+        self.ref = enc.refs[0] if (stype == SliceType.P and enc.refs) \
+            else None
+        self.is_view1 = False            # MVC dependent view (E40)
         self.forced_intra: set = set()   # intra refresh (E34)
         self.wp = None                   # decoder-exact WPParams (E31)
         self.cabac_rate = None           # exact CABAC RDO rate (rdo.CabacRate)
@@ -1098,6 +1247,7 @@ class _FrameEncoder:
         return (cfg.pipeline == "device"
                 and self.qctx is None
                 and self.burc is None
+                and not self.is_view1
                 and self.stype == SliceType.P
                 and self.cfi == 1
                 and self.enc.num_ref_active == 1
@@ -1136,7 +1286,8 @@ class _FrameEncoder:
         sr = self.enc.cfg.search_range
         fast_me = self.enc.cfg.search_mode >= 1   # UMHex/UMHexSimple/EPZS
         if self.stype == SliceType.P:
-            self.refs_list = self.enc._ref_list_p()
+            if not self.is_view1:
+                self.refs_list = self.enc._ref_list_p()
             if fast_me:
                 from .me_epzs import EPZSearcher
                 self.epzs = EPZSearcher(

@@ -29,11 +29,58 @@ CBP_INV_MONO_INTER = {int(cbp): i for i, (_, cbp) in enumerate(CBP_MAP_MONO)}
 
 def write_sps(sps) -> bytes:
     bw = BitWriter()
+    _write_sps_data(bw, sps)
+    bw.rbsp_trailing_bits()
+    return bw.get_bytes()
+
+
+def write_subset_sps(sps, view_ids=(0, 1)) -> bytes:
+    """Subset SPS for Stereo High (NAL 15, spec 7.3.2.1.3 +
+    H.7.3.2.1.4 sps_mvc_extension). Unlike the reference's writer (which
+    omits the FRExt block for profiles 118/128 — the JM 19.0 bug noted in
+    decoder/parset.parse_subset_sps), this emits the spec-correct layout,
+    which the reference ldecod parses fine. Stereo ref structure: the
+    dependent view predicts from view 0 in both anchor and non-anchor
+    access units (list 0 only)."""
+    import copy
+    sub = copy.copy(sps)
+    sub.profile_idc = 128                     # Stereo High
+    bw = BitWriter()
+    _write_sps_data(bw, sub)
+    bw.flag(1)                                # bit_equal_to_one
+    bw.ue(len(view_ids) - 1)                  # num_views_minus1
+    for v in view_ids:
+        bw.ue(v)
+    for _ in view_ids[1:]:                    # anchor refs
+        bw.ue(1)                              # num_anchor_refs_l0
+        bw.ue(0)                              # anchor_ref_l0 -> view 0
+        bw.ue(0)                              # num_anchor_refs_l1
+    for _ in view_ids[1:]:                    # non-anchor refs
+        bw.ue(1)
+        bw.ue(0)
+        bw.ue(0)
+    bw.ue(0)                                  # num_level_values_signalled-1
+    bw.u(sps.level_idc, 8)
+    bw.ue(0)                                  # num_applicable_ops_minus1
+    bw.u(0, 3)                                # op temporal_id
+    bw.ue(0)                                  # num_target_views_minus1
+    bw.ue(view_ids[-1])                       # target view id
+    bw.ue(len(view_ids) - 1)                  # op num_views_minus1
+    bw.flag(0)                                # mvc_vui_parameters_present
+    bw.flag(0)                                # additional_extension2_flag
+                                              # (7.3.2.1.3 — a 1 here sends
+                                              # decoders into the
+                                              # additional-data loop)
+    bw.rbsp_trailing_bits()
+    return bw.get_bytes()
+
+
+def _write_sps_data(bw: BitWriter, sps) -> None:
     bw.u(sps.profile_idc, 8)
     bw.u(sps.constraint_set_flags, 8)
     bw.u(sps.level_idc, 8)
     bw.ue(sps.seq_parameter_set_id)
-    if sps.profile_idc in (100, 110, 122, 244, 44):
+    if sps.profile_idc in (100, 110, 122, 244, 44, 118, 128):
         bw.ue(sps.chroma_format_idc)
         if sps.chroma_format_idc == 3:
             bw.flag(sps.separate_colour_plane_flag)
@@ -73,8 +120,6 @@ def write_sps(sps) -> bytes:
         _write_vui(bw, vui)
     else:
         bw.flag(0)  # vui_parameters_present
-    bw.rbsp_trailing_bits()
-    return bw.get_bytes()
 
 
 def _write_vui(bw: BitWriter, v: dict) -> None:

@@ -80,6 +80,26 @@ def main(argv=None) -> int:
     cfg = prm.to_encoder_config()
     cfg.qp = prm.QPISlice
     cfg.qp_p = prm.QPPSlice
+
+    # MVC stereo (E40): the View1ConfigFile supplies the dependent view's
+    # InputFile/ReconFile (lencod.c second-view config; tuning params of
+    # the second view are accepted-and-shared with view 0)
+    frames1 = []
+    v1_recon_path = ""
+    if prm.NumberOfViews == 2:
+        from ..config import parse_cfg_text
+        v1_input = ""
+        if prm.View1ConfigFile:
+            with open(prm.View1ConfigFile, encoding="latin-1") as fh:
+                kv1 = parse_cfg_text(fh.read())
+            v1_input = kv1.get("InputFile", "")
+            v1_recon_path = kv1.get("ReconFile", "")
+        frames1 = read_yuv420_frames(
+            v1_input, prm.SourceWidth, prm.SourceHeight,
+            prm.FramesToBeEncoded, prm.StartFrame,
+            chroma_format=prm.YUVFormat if prm.YUVFormat in (1, 2) else 1)
+        if len(frames1) < len(frames):
+            raise SystemExit("view-1 input shorter than view 0")
     enc = Encoder(cfg)
 
     print(" Frame     Bit/pic    QP   SnrY    SnrU    SnrV    "
@@ -91,8 +111,9 @@ def main(argv=None) -> int:
     ssim_acc = np.zeros(3)
     msssim_acc = np.zeros(3)
     t_seq0 = time.time()
-    for Y, U, V in frames:
-        out += enc.encode_frame(Y, U, V)
+    for i, (Y, U, V) in enumerate(frames):
+        out += enc.encode_frame(Y, U, V,
+                                view1=frames1[i] if frames1 else None)
     out += enc.flush()
     t_seq = time.time() - t_seq0
     qp_of = {"I": prm.QPISlice, "P": prm.QPPSlice, "B": prm.QPBSlice}
