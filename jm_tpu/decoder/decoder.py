@@ -71,7 +71,12 @@ class H264Decoder:
             self.stats["nal_bits"][t] = (self.stats["nal_bits"].get(t, 0)
                                          + 8 * (len(nal.rbsp) + 1))
             self.stats["nal_count"][t] = self.stats["nal_count"].get(t, 0) + 1
-            self._handle_nal(nal)
+            try:
+                self._handle_nal(nal)
+            except EOFError as e:
+                # truncated NAL payload (ldecod prints "incomplete NALU"
+                # and aborts the picture; we fail the call cleanly)
+                raise ValueError(f"truncated NAL unit: {e}") from e
         self._finish_picture()
         return self._outputs[start:]
 
