@@ -701,6 +701,264 @@ def chroma_residual_inter(origU, origV, predU, predV, qpc):
 
 
 # ---------------------------------------------------------------------------
+# band-window machinery (gather-free data-dependent window extraction)
+#
+# XLA lowers vmapped multi-axis dynamic_slice gathers to a SERIAL per-
+# window loop (~2us each; the profiled production step spent 530ms there
+# at 1080p). The TPU-native replacement: (1) a dense per-MB-column "band"
+# rearrangement of the reference planes (pure slices/reshapes), so every
+# window's columns live inside its MB's band; (2) a row gather whose
+# slices are full contiguous band rows (fast path); (3) column extraction
+# as a one-hot dot_general on the MXU (exact: u8 values and one-hot
+# weights are exactly representable in bf16, and each output sums exactly
+# one nonzero product).
+# ---------------------------------------------------------------------------
+
+def band_geometry(sr: int):
+    """(offset, width) of the per-MB-column luma band for search range sr:
+    band m spans picture columns [16m - off, 16m - off + width)."""
+    off = sr + 8
+    width = -(-(16 + 2 * off) // 32) * 32
+    off = (width - 16) // 2
+    if off > PAD:
+        raise ValueError(f"search range {sr} exceeds plane padding")
+    return off, width
+
+
+def cband_geometry(sr: int):
+    off = (4 * sr + 6) // 8 + 3
+    width = -(-(8 + 2 * off) // 16) * 16
+    off = (width - 8) // 2
+    if off > PAD:
+        raise ValueError(f"search range {sr} exceeds chroma padding")
+    return off, width
+
+
+def build_band(planes, mb_w: int, sr: int):
+    """(4, Hp, Wp) u8 -> (mb_w, 4, Hp, BW) u8 per-MB-column bands."""
+    off, bw = band_geometry(sr)
+    hp = planes.shape[1]
+    chunks = []
+    for k in range(bw // 16):
+        s = PAD - off + 16 * k
+        c = lax.slice_in_dim(planes, s, s + 16 * mb_w, axis=2)
+        c = c.reshape(4, hp, mb_w, 16).transpose(2, 0, 1, 3)
+        chunks.append(c)
+    return jnp.concatenate(chunks, axis=3)
+
+
+def build_cband(padU, padV, mb_w: int, sr: int):
+    """padded U/V -> (mb_w, 2, Hc+2P, BWC) u8 chroma bands."""
+    off, bw = cband_geometry(sr)
+    uv = jnp.stack([padU, padV])                   # (2, Hcp, Wcp)
+    hp = uv.shape[1]
+    chunks = []
+    for k in range(bw // 8):
+        s = PAD - off + 8 * k
+        c = lax.slice_in_dim(uv, s, s + 8 * mb_w, axis=2)
+        c = c.reshape(2, hp, mb_w, 8).transpose(2, 0, 1, 3)
+        chunks.append(c)
+    return jnp.concatenate(chunks, axis=3)
+
+
+def _band_rows(band, mb_idx, r0, nrows: int):
+    """Row gather: (Q,) mb_idx, (Q,) r0 (plane-array row of window top)
+    -> (Q, P, nrows, BW). Slices are contiguous full band rows."""
+    p, bw = band.shape[1], band.shape[3]
+
+    def one(m, r):
+        return lax.dynamic_slice(band, (m, 0, r, 0), (1, p, nrows, bw))[0]
+    return jax.vmap(one)(mb_idx, r0)
+
+
+def _col_extract(w_rows, c0, ncols: int):
+    """One-hot column extraction: (Q, P, R, BW) x (Q,) c0 ->
+    (Q, P, R, ncols) int16. Exact (see module note)."""
+    q, p, r, bw = w_rows.shape
+    C = (c0[:, None, None] + jnp.arange(ncols)[None, None, :]
+         == jnp.arange(bw)[None, :, None]).astype(jnp.bfloat16)
+    w = jax.lax.dot_general(
+        w_rows.astype(jnp.bfloat16).reshape(q, p * r, bw), C,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    return w.astype(jnp.int16).reshape(q, p, r, ncols)
+
+
+# dense quarter-pel tap table: position t in [1, 7] relative to a window
+# anchored one integer sample up-left of the integer MV. For (tx, ty):
+# sample = plane[p1][yi+dy1, xi+dx1] (+ plane[p2][...] avg) with all
+# offsets static per grid position (QPEL_TAB inlined).
+def _qpel_block_at(win, tx: int, ty: int, bs: int = 8):
+    xi, xf = tx >> 2, tx & 3
+    yi, yf = ty >> 2, ty & 3
+    p1, dx1, dy1, p2, dx2, dy2 = QPEL_TAB[(xf, yf)]
+    a = win[:, p1, yi + dy1:yi + dy1 + bs, xi + dx1:xi + dx1 + bs] \
+        .astype(jnp.int32)
+    if p2 < 0:
+        return a
+    b = win[:, p2, yi + dy2:yi + dy2 + bs, xi + dx2:xi + dx2 + bs] \
+        .astype(jnp.int32)
+    return (a + b + 1) >> 1
+
+
+def qpel_refine_dense(band, orig_q, int_mv, pred, lam, mb_xy, sr: int,
+                      y0: int = 0):
+    """Two-stage (half, then quarter) 3x3 refinement of all 9 partition
+    jobs per MB, evaluated DENSELY: SATD at every position of the 7x7
+    quarter-pel grid around each job's integer MV (all static slices of
+    one 10x10 4-plane window per qjob), then the exact sequential
+    two-stage argmin (center-first tie order of the serial search)
+    applied to the cost grid. Bit-identical decisions to
+    subpel_refine_jobs, ~10x faster.
+
+    y0: picture row of band-array row 0 (-PAD handled internally; pass 0
+    for full-frame bands built by build_band).
+    Returns (mv_q (N, 9, 2) qpel, cost (N, 9))."""
+    n = int_mv.shape[0]
+    off, _bw = band_geometry(sr)
+    oq = orig_q[:, QJ_QUAD].astype(jnp.int32)            # (N, 16, 8, 8)
+    qj_mask = jnp.asarray(QJ_MASK)
+    qoff_x = jnp.asarray((QJ_QUAD % 2) * 8)
+    qoff_y = jnp.asarray((QJ_QUAD // 2) * 8)
+    cmx = int_mv[:, QJ_PARENT, 0]                        # (N, 16)
+    cmy = int_mv[:, QJ_PARENT, 1]
+    mb_idx = jnp.broadcast_to((mb_xy[:, 0:1] // 16), cmx.shape)
+    r0 = (mb_xy[:, 1:2] - y0) + qoff_y[None, :] + cmy - 1 + PAD
+    c0 = qoff_x[None, :] + cmx - 1 + off
+    rows = _band_rows(band, mb_idx.reshape(-1), r0.reshape(-1), 10)
+    win = _col_extract(rows, c0.reshape(-1), 10)         # (NQ,4,10,10) i16
+
+    # SATD at every 7x7 grid position, accumulated to job level
+    grid = []
+    for ty in range(1, 8):
+        for tx in range(1, 8):
+            blk = _qpel_block_at(win, tx, ty)
+            s = (_satd8_raw(oq.reshape(-1, 8, 8) - blk)
+                 .reshape(n, 16) @ qj_mask) >> 1         # (N, 9)
+            grid.append(s)
+    grid = jnp.stack(grid, axis=-1).reshape(n, 9, 7, 7)  # [.., ty-1, tx-1]
+
+    # rate term: lambda * se_bits(mv - pred) per axis, outer-added
+    se = jnp.asarray(_SE_BITS)
+    tj = jnp.arange(1, 8)
+    mvx_all = 4 * int_mv[..., 0:1] + (tj - 4)[None, None]   # (N, 9, 7)
+    mvy_all = 4 * int_mv[..., 1:2] + (tj - 4)[None, None]
+    bits_x = se[jnp.clip(jnp.abs(mvx_all - pred[:, None, 0:1]), 0, 4095)]
+    bits_y = se[jnp.clip(jnp.abs(mvy_all - pred[:, None, 1:2]), 0, 4095)]
+    cost = grid + lam * (bits_y[..., :, None] + bits_x[..., None, :])
+
+    # stage 1: strict-< scan over the 9 half-pel positions in _DELTAS
+    # order (center first) — exact tie semantics of the serial search
+    best = None
+    for (dx, dy) in _DELTAS:
+        c = cost[..., 3 + 2 * dy, 3 + 2 * dx]
+        if best is None:
+            best = (c, jnp.zeros_like(c), jnp.zeros_like(c))
+        else:
+            bc, bdx, bdy = best
+            upd = c < bc
+            best = (jnp.where(upd, c, bc),
+                    jnp.where(upd, dx, bdx), jnp.where(upd, dy, bdy))
+    cost_h, hdx, hdy = best
+
+    # stage 2: strict-< scan over the 3x3 quarter neighborhood of the
+    # half winner (center = the half winner itself, kept on ties)
+    best = None
+    for (dx, dy) in _DELTAS:
+        c = jnp.zeros_like(cost_h)
+        for sx in (-1, 0, 1):
+            for sy in (-1, 0, 1):
+                sel = (hdx == sx) & (hdy == sy)
+                c = jnp.where(sel, cost[..., 3 + 2 * sy + dy,
+                                        3 + 2 * sx + dx], c)
+        if best is None:
+            best = (c, jnp.zeros_like(c), jnp.zeros_like(c))
+        else:
+            bc, bdx, bdy = best
+            upd = c < bc
+            best = (jnp.where(upd, c, bc),
+                    jnp.where(upd, dx, bdx), jnp.where(upd, dy, bdy))
+    cost_q, qdx, qdy = best
+    mvq = jnp.stack([4 * int_mv[..., 0] + 2 * hdx + qdx,
+                     4 * int_mv[..., 1] + 2 * hdy + qdy], axis=-1)
+    return mvq.astype(jnp.int32), cost_q
+
+
+def mc_luma_quads_band(band, mv_quad, mb_xy, sr: int, y0: int = 0):
+    """Quadrant-granular luma MC from bands: (N, 4, 2) qpel MVs ->
+    (N, 16, 16) int32 prediction; bit-identical to mc_luma_quads."""
+    n = mv_quad.shape[0]
+    off, _bw = band_geometry(sr)
+    qx = jnp.asarray([0, 8, 0, 8])
+    qy = jnp.asarray([0, 0, 8, 8])
+    x4 = mv_quad[..., 0]
+    y4 = mv_quad[..., 1]
+    xi, xf = x4 >> 2, x4 & 3                              # (N, 4)
+    yi, yf = y4 >> 2, y4 & 3
+    mb_idx = jnp.broadcast_to(mb_xy[:, 0:1] // 16, xi.shape)
+    r0 = (mb_xy[:, 1:2] - y0) + qy[None] + yi + PAD
+    c0 = qx[None] + xi + off
+    rows = _band_rows(band, mb_idx.reshape(-1), r0.reshape(-1), 9)
+    win = _col_extract(rows, c0.reshape(-1), 9)           # (N4,4,9,9) i16
+
+    # runtime (xf, yf) -> 16-combo select of static tap blocks
+    xf = xf.reshape(-1)
+    yf = yf.reshape(-1)
+    out = None
+    for fy in range(4):
+        for fx in range(4):
+            p1, dx1, dy1, p2, dx2, dy2 = QPEL_TAB[(fx, fy)]
+            a = win[:, p1, dy1:dy1 + 8, dx1:dx1 + 8].astype(jnp.int32)
+            blk = a if p2 < 0 else \
+                (a + win[:, p2, dy2:dy2 + 8, dx2:dx2 + 8]
+                 .astype(jnp.int32) + 1) >> 1
+            m = ((xf == fx) & (yf == fy))[:, None, None]
+            out = blk if out is None else jnp.where(m, blk, out)
+    q = out.reshape(n, 2, 2, 8, 8)
+    return q.transpose(0, 1, 3, 2, 4).reshape(n, 16, 16)
+
+
+def mc_chroma_quads_band(cband, mv_quad, mb_xy, sr: int, y0c: int = 0):
+    """Quadrant-granular chroma MC from chroma bands; bit-identical to
+    mc_chroma_quads. Returns (predU, predV) each (N, 8, 8) int32."""
+    n = mv_quad.shape[0]
+    off, _bw = cband_geometry(sr)
+    qx = jnp.asarray([0, 4, 0, 4])
+    qy = jnp.asarray([0, 0, 4, 4])
+    x8 = qx[None] * 8 + mv_quad[..., 0]                   # rel MB, eighth
+    y8 = qy[None] * 8 + mv_quad[..., 1]
+    xi, xf = x8 >> 3, x8 & 7
+    yi, yf = y8 >> 3, y8 & 7
+    mb_idx = jnp.broadcast_to(mb_xy[:, 0:1] // 16, xi.shape)
+    r0 = (mb_xy[:, 1:2] // 2 - y0c) + yi + PAD
+    c0 = xi + off
+    rows = _band_rows(cband, mb_idx.reshape(-1), r0.reshape(-1), 5)
+    win = _col_extract(rows, c0.reshape(-1), 5).astype(jnp.int32)
+    a = win[:, :, :4, :4]
+    b = win[:, :, :4, 1:]
+    c = win[:, :, 1:, :4]
+    d = win[:, :, 1:, 1:]
+    xfq = xf.reshape(-1)[:, None, None, None]
+    yfq = yf.reshape(-1)[:, None, None, None]
+    blk = ((8 - xfq) * (8 - yfq) * a + xfq * (8 - yfq) * b
+           + (8 - xfq) * yfq * c + xfq * yfq * d + 32) >> 6  # (N4,2,4,4)
+    uv = blk.reshape(n, 2, 2, 2, 4, 4).transpose(0, 3, 1, 4, 2, 5) \
+        .reshape(n, 2, 8, 8)
+    return uv[:, 0], uv[:, 1]
+
+
+def skip_cost_band(band, skip_mv, mb_xy, orig_q, sr: int, y0: int = 0):
+    """SAD of the whole MB predicted at the (approximate) skip MV, via
+    band windows; bit-identical to the former per-quadrant gather."""
+    n = skip_mv.shape[0]
+    mv4 = jnp.broadcast_to(skip_mv[:, None, :], (n, 4, 2))
+    pred16 = mc_luma_quads_band(band, mv4, mb_xy, sr, y0)
+    o = orig_q.astype(jnp.int32).reshape(n, 2, 2, 8, 8) \
+        .transpose(0, 1, 3, 2, 4).reshape(n, 16, 16)
+    return jnp.abs(o - pred16).sum(axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
 # the full P-frame step
 # ---------------------------------------------------------------------------
 
@@ -721,15 +979,20 @@ def p_frame_step(origY, origU, origV, planes, padU, padV,
     orig_q = orig_mbs.reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4) \
         .reshape(n, 4, 8, 8).astype(jnp.int16)
 
+    # 0. per-MB-column bands (gather-free window source; see band-window
+    #    machinery above)
+    band = build_band(planes, mb_w, sr)
+    cband = build_cband(padU, padV, mb_w, sr)
+
     # 1. integer sweep (zero-predictor rate term)
     int_mv, _ = me_int_sweep(origY, planes[0], mb_w, mb_h, sr, lam)
 
     # 2. approximate qpel predictor from the integer 16x16 field
     pred = approx_pred_field(int_mv[:, 0], mb_w, mb_h)
 
-    # 3. subpel refinement of all 9 jobs
-    mv_q, cost_q = subpel_refine_jobs(planes, orig_q, int_mv, pred, lam,
-                                      mb_xy, w, h)
+    # 3. subpel refinement of all 9 jobs (dense 7x7 qpel cost grid)
+    mv_q, cost_q = qpel_refine_dense(band, orig_q, int_mv, pred, lam,
+                                     mb_xy, sr)
 
     # 4. partition mode decision
     mode_costs = jnp.stack(
@@ -741,12 +1004,7 @@ def p_frame_step(origY, origU, origV, planes, padU, padV,
     # 5. skip candidate: SAD at the approximate skip MV (plain SAD,
     #    md_low twin); serializer derives true P_Skip from final motion
     skip_mv = pred                                             # (N, 2)
-    g16 = jax.vmap(jax.vmap(lambda a, b: _gather_qpel(planes, a, b, 8, w, h)))
-    qx = jnp.asarray([(0, 0), (8, 0), (0, 8), (8, 8)], jnp.int32)
-    sx = (mb_xy[:, 0:1] + qx[None, :, 0]) * 4 + skip_mv[:, 0:1]
-    sy = (mb_xy[:, 1:2] + qx[None, :, 1]) * 4 + skip_mv[:, 1:1 + 1]
-    skip_pred = g16(sx, sy)                                    # (N,4,8,8)
-    cost_skip = jnp.abs(orig_q.astype(jnp.int32) - skip_pred).sum(axis=(1, 2, 3))
+    cost_skip = skip_cost_band(band, skip_mv, mb_xy, orig_q, sr)
     take_skip = cost_skip <= cost_inter
     cost_inter = jnp.minimum(cost_inter, cost_skip)
 
@@ -767,10 +1025,10 @@ def p_frame_step(origY, origU, origV, planes, padU, padV,
     mv4 = mv_quad[:, blk_quad]                                 # (N, 16, 2)
 
     # 8. prediction + residual + recon
-    pred_y16 = mc_luma_quads(planes, mv_quad, mb_xy, w, h)     # (N,16,16)
+    pred_y16 = mc_luma_quads_band(band, mv_quad, mb_xy, sr)    # (N,16,16)
     scan, nnz, cbp_l, recY_mbs = luma_residual_inter(orig_mbs, pred_y16, qp)
 
-    pred_u, pred_v = mc_chroma_quads(padU, padV, mv_quad, mb_xy, w, h)
+    pred_u, pred_v = mc_chroma_quads_band(cband, mv_quad, mb_xy, sr)
     orig_u = origU.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
     orig_v = origV.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
     cdc, cac, cnnz, cbp_c, recU_mbs, recV_mbs = chroma_residual_inter(
