@@ -62,16 +62,13 @@ def main():
     frames = make_sequence()
     cfg = EncoderConfig(width=W, height=H, qp=QP, pipeline="device")
 
-    # warm-up: compile the I and P device programs (cached afterwards)
+    # warm-up: compile the I and pipelined P device programs (cached)
     warm = Encoder(cfg)
-    warm.encode_frame(*frames[0])
-    warm.encode_frame(*frames[1])
+    warm.encode_stream(frames[:3])
 
     enc = Encoder(cfg)
-    per_frame_bytes = []
     t0 = time.time()
-    for f in frames:
-        per_frame_bytes.append(enc.encode_frame(*f))
+    per_frame_bytes = enc.encode_stream(frames)
     dt = time.time() - t0
     fps = N_FRAMES / dt
 

@@ -43,6 +43,55 @@ def lambda_mode4(qp: int) -> int:
     return 4 * lambda_me(qp)
 
 
+class DeviceFrame(Frame):
+    """A DPB Frame whose reconstruction lives on the device (the
+    pipelined encoder's resident reference state). Pixel planes are
+    materialized lazily on first host access, so the fast IPPP loop never
+    pays the device->host transfer."""
+
+    def __init__(self, poc: int, frame_num: int, state):
+        self._state = state            # (planes, padU, padV) device arrays
+        self._dev = state              # classic device path's plane cache
+        super().__init__(poc=poc, frame_num=frame_num, Y=None, U=None,
+                         V=None)
+
+    def _materialize(self):
+        if self._Y is None and self._state is not None:
+            import jax
+            planes, padU, padV = self._state
+            P = ip.PAD
+            self._Y = np.asarray(jax.device_get(planes[0]))[P:-P, P:-P]
+            self._U = np.asarray(jax.device_get(padU))[P:-P, P:-P]
+            self._V = np.asarray(jax.device_get(padV))[P:-P, P:-P]
+
+    @property
+    def Y(self):
+        self._materialize()
+        return self._Y
+
+    @Y.setter
+    def Y(self, v):
+        self._Y = v
+
+    @property
+    def U(self):
+        self._materialize()
+        return self._U
+
+    @U.setter
+    def U(self, v):
+        self._U = v
+
+    @property
+    def V(self):
+        self._materialize()
+        return self._V
+
+    @V.setter
+    def V(self, v):
+        self._V = v
+
+
 @dataclass
 class EncoderConfig:
     width: int = 176
@@ -434,6 +483,215 @@ class Encoder:
         if self._pending:
             return self._emit_group()
         return b""
+
+    # ---- pipelined device IPPP driver ---------------------------------
+
+    def _pipe_ok(self) -> bool:
+        """The fully-resident pipelined path covers single-slice IPPP
+        CAVLC 4:2:0 with fixed QP (the md_low P fast path of
+        ops/enc_jax.p_frame_pipe); everything else goes through
+        encode_frame."""
+        cfg = self.cfg
+        return (cfg.pipeline == "device" and cfg.num_b == 0
+                and cfg.num_views == 1 and self.rc is None
+                and self.errdo is None and not cfg.rdo
+                and not cfg.transform8x8 and not cfg.sub8x8
+                and cfg.enable_ipcm == 0 and cfg.num_ref == 1
+                and not cfg.weighted_pred and not cfg.rd_picture_decision
+                and cfg.entropy == "cavlc" and cfg.chroma_format == 1
+                and cfg.slice_mode == 0 and cfg.num_slice_groups == 1
+                and cfg.intra_mb_refresh == 0 and cfg.long_term_period == 0
+                and not self.quant_custom and not cfg.rdoq
+                and cfg.deblock and cfg.search_range <= 24
+                and cfg.qp_p is None)
+
+    def encode_stream(self, frames) -> list:
+        """Encode an iterable of (Y, U, V) display-order frames; returns
+        the per-frame Annex-B payloads. On the covered fast path
+        (``_pipe_ok``) P frames run through ``p_frame_pipe``: one device
+        program per frame (ME..recon + deblock + next-ref prep, all
+        resident), double-buffered so the host serializes frame N while
+        the device encodes frame N+1 (the pipelining lencod cannot do —
+        its frame loop is strictly serial, lencod.c:911)."""
+        if not self._pipe_ok():
+            return [self.encode_frame(*f) for f in frames]
+        import jax
+
+        from ..ops import enc_jax as EJ
+        cfg = self.cfg
+        qpc_cb = np.array([chroma_qp(q, self.pps.cb_qp_offset)
+                           for q in range(52)], np.int32)
+        qpc_cr = np.array([chroma_qp(q, self.pps.cr_qp_offset)
+                           for q in range(52)], np.int32)
+        qp = cfg.qp
+        qpc = chroma_qp(qp, self.pps.chroma_qp_index_offset)
+
+        def ref_state():
+            """Device reference state of the DPB head (used only when no
+            dispatch is in flight)."""
+            ref = self.refs[0]
+            state = getattr(ref, "_state", None)
+            if state is None:
+                state = getattr(ref, "_dev", None)
+            if state is None:
+                state = EJ.prep_ref(ref.Y, ref.U, ref.V)
+                ref._dev = state
+            return state
+
+        def dispatch(Y, U, V, s):
+            out = EJ.p_frame_pipe(
+                Y, U, V, s[0], s[1], s[2], qp, qpc,
+                lambda_me(qp), lambda_mode4(qp), qpc_cb, qpc_cr,
+                mb_w=self.mb_w, mb_h=self.mb_h, sr=cfg.search_range)
+            return out, out.pop("state")
+
+        payloads = []
+        pending = None      # (out-dict, disp, orig, new_state)
+        dev_state = None    # reference state for the NEXT dispatch (the
+                            # in-flight frame's deblocked recon)
+        for f in frames:
+            Y, U, V = (np.asarray(p, np.uint8) for p in f)
+            # coding index of THIS frame (the in-flight frame hasn't
+            # bumped frame_idx yet)
+            idx = self.frame_idx + (1 if pending is not None else 0)
+            intra_due = (cfg.intra_period > 0 and
+                         idx % cfg.intra_period == 0)
+            if idx == 0 or intra_due or (not self.refs
+                                         and pending is None):
+                if pending is not None:
+                    payloads.append(self._pipe_finalize(*pending)[0])
+                    pending = None
+                payloads.append(self.encode_frame(Y, U, V))
+                dev_state = None
+                continue
+            disp = self.display_idx
+            self.display_idx += 1
+            out, new_state = dispatch(Y, U, V,
+                                      dev_state if dev_state is not None
+                                      else ref_state())
+            if pending is not None:
+                payload, fell_back = self._pipe_finalize(*pending)
+                payloads.append(payload)
+                if fell_back:
+                    # the speculated reference state was wrong: redo this
+                    # frame's dispatch against the corrected DPB head
+                    out, new_state = dispatch(Y, U, V, ref_state())
+            pending = (out, disp, (Y, U, V), new_state)
+            dev_state = new_state
+        if pending is not None:
+            payloads.append(self._pipe_finalize(*pending)[0])
+        return payloads
+
+    def _pipe_finalize(self, out, disp, orig, new_state) -> bytes:
+        """Fetch a dispatched p_frame_pipe's syntax tensors, commit the
+        PictureData, serialize, and advance the DPB/bookkeeping. Falls
+        back to the classic per-frame path when the speculation failed
+        (intra MBs chosen, or |level| > 127)."""
+        import jax
+        o = jax.device_get(out)
+        if bool(o["intra_any"]) or bool(o["ovf"]):
+            # rare: redo the frame via the classic path (exact); restore
+            # this frame's own display index (later frames may already
+            # have claimed theirs)
+            saved = self.display_idx
+            self.display_idx = disp
+            payload = self.encode_frame(*orig)
+            self.display_idx = saved
+            return payload, True
+
+        cfg = self.cfg
+        qp = cfg.qp
+        poc = 2 * (disp - self._idr_disp)
+        n = self.mb_w * self.mb_h
+        pic = PictureData(self.mb_w, self.mb_h)
+        pic.mb_class[:] = MB_INTER
+        pic.inter_mode[:] = o["inter_mode"]
+        blk_quad = np.array([(b // 8) * 2 + ((b % 4) // 2)
+                             for b in range(16)])
+        mv_quad = o["mv_quad"].astype(np.int32)
+        pic.mv[:] = mv_quad[:, blk_quad]
+        pic.ref_idx[:] = 0
+        ref = self.refs[0]
+        pic.ref_pic_id[:] = ref.uid
+        pic.pdir[:] = 0
+        pic.luma_coef[:] = o["luma8"]
+        pic.luma_nnz[:] = o["luma_nnz8"]
+        pic.chroma_dc[:] = o["chroma_dc"]
+        pic.chroma_coef[:] = o["chroma8"]
+        pic.chroma_nnz[:] = o["chroma_nnz8"]
+        pic.cbp[:] = o["cbp8"]
+        pic.qp[:] = qp
+        pic.slice_id[:] = 0
+        self._derive_skip_fast(pic)
+        self._last_pipe_pic = pic
+
+        slice_bytes = self._serialize_anchor_slices(
+            pic, SliceType.P, qp, poc, False, None)
+        frame = DeviceFrame(poc=poc, frame_num=self.frame_num,
+                            state=new_state)
+        frame.uid = self._uid
+        self._uid += 1
+        frame.motion = (pic.mv.copy(), pic.ref_idx.copy(),
+                        pic.mv_l1.copy(), pic.ref_idx_l1.copy(),
+                        pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())
+        self._store_ref(frame)
+        self.frame_num = (self.frame_num + 1) % self.sps.max_frame_num
+        self.frame_idx += 1
+        self.stats.append({"type": "P", "bits": len(slice_bytes) * 8})
+        self.results.append({"disp": disp, "type": "P",
+                             "bits": len(slice_bytes) * 8, "frame": frame,
+                             "qp": qp})
+        return slice_bytes, False
+
+    def _derive_skip_fast(self, pic) -> None:
+        """Vectorized P_Skip derivation (spec 8.4.1.1) for the all-inter
+        single-slice fast path; identical to the per-MB PredCtx loop
+        (tests/test_pipe_stream.py asserts this)."""
+        mw, mh = self.mb_w, self.mb_h
+        mv = pic.mv.reshape(mh, mw, 16, 2).astype(np.int32)
+        # neighbor 4x4 blocks of the MB's (0,0) block: A = left MB blk 3,
+        # B = up MB blk 12, C = up-right MB blk 12, D = up-left MB blk 15
+        mva = np.zeros((mh, mw, 2), np.int32)
+        mva[:, 1:] = mv[:, :-1, 3]
+        mvb = np.zeros((mh, mw, 2), np.int32)
+        mvb[1:] = mv[:-1, :, 12]
+        mvc = np.zeros((mh, mw, 2), np.int32)
+        if mh > 1:
+            mvc[1:, :-1] = mv[:-1, 1:, 12]
+        mvd_ = np.zeros((mh, mw, 2), np.int32)
+        if mh > 1 and mw > 1:
+            mvd_[1:, 1:] = mv[:-1, :-1, 15]
+        has_a = np.zeros((mh, mw), bool)
+        has_a[:, 1:] = True
+        has_b = np.zeros((mh, mw), bool)
+        has_b[1:] = True
+        has_c = np.zeros((mh, mw), bool)
+        has_c[1:, :-1] = True
+        has_d = np.zeros((mh, mw), bool)
+        has_d[1:, 1:] = True
+        # C unavailable -> D (mv_neighbor fallback in mv_pred)
+        mvc = np.where(has_c[..., None], mvc, mvd_)
+        has_c_eff = has_c | has_d
+        # all refs equal (0) on this path: the directional single-match
+        # rule fires iff exactly one neighbor is available
+        cnt = (has_a.astype(np.int32) + has_b.astype(np.int32)
+               + has_c_eff.astype(np.int32))
+        mva_e = np.where(has_a[..., None], mva, 0)
+        mvb_e = np.where(has_b[..., None], mvb, 0)
+        mvc_e = np.where(has_c_eff[..., None], mvc, 0)
+        single = mva_e + mvb_e + mvc_e          # exactly one is nonzero-mask
+        med = np.median(np.stack([mva_e, mvb_e, mvc_e]), axis=0) \
+            .astype(np.int32)
+        pred = np.where((cnt == 1)[..., None], single, med)
+        # skip MV = 0 when A/B missing or zero-motion with ref 0 (8.4.1.1)
+        a_zero = ~has_a | ((mva == 0).all(-1))
+        b_zero = ~has_b | ((mvb == 0).all(-1))
+        skip_mv = np.where((a_zero | b_zero)[..., None], 0, pred)
+        cand = ((pic.cbp == 0) & (pic.inter_mode == 0)
+                & (pic.mb_class == MB_INTER)
+                & (pic.ref_idx[:, 0] == 0)).reshape(mh, mw)
+        eq = (mv[:, :, 0] == skip_mv).all(-1)
+        pic.skip[:] = (cand & eq).reshape(-1)
 
     def _emit_group(self) -> bytes:
         disp, Y, U, V = self._pending[-1]

@@ -66,8 +66,8 @@ def compute_bs_jax(mb_class, luma_nnz, transform8x8, mv, mv_l1,
             a8.reshape(mb_h, mb_w, 2, 2).transpose(0, 2, 1, 3)
             .reshape(2 * mb_h, 2 * mb_w), 2, 0), 2, 1)
 
-    r0 = expand_q(ref_pic_id.astype(jnp.int64))
-    r1 = expand_q(ref_pic_id_l1.astype(jnp.int64))
+    r0 = expand_q(ref_pic_id.astype(jnp.int32))
+    r1 = expand_q(ref_pic_id_l1.astype(jnp.int32))
 
     def cmp_mv(a, b):
         return (jnp.abs(a - b) >= 4).any(axis=-1)
@@ -402,12 +402,15 @@ def deblock_jax(Y, U, V, bs_v, bs_h, qp, disable, a_off, b_off,
             vmask = valid[:, None, None]
             S = lax.dynamic_update_slice(
                 S, jnp.where(vmask, cur, orig_cur)[:, None], (0, w, 0, 0))
-            # left fringe (cols left_sl of tile w-1); lanes with no left
-            # keep the old values (new == old there by enable masking,
-            # but w-1 may alias w at w==0: values are then unchanged
-            # reads, so the write is a no-op)
+            # left fringe (cols left_sl of tile w-1). Lanes with no left
+            # keep the CURRENT values; these must be re-read after the
+            # cur commit because the clamped index at w==0 aliases the
+            # current wave (a stale pre-filter read would clobber it).
             lm = (valid & has_left)[:, None, None]
-            lv = jnp.where(lm, new_left, orig_left[:, :, left_sl])
+            old_left = lax.dynamic_slice_in_dim(
+                S, jnp.maximum(w - 1, 0), 1, axis=1)[:, 0][:, :,
+                                                           left_sl]
+            lv = jnp.where(lm, new_left, old_left)
             S = lax.dynamic_update_slice(
                 S, lv[:, None], (0, jnp.maximum(w - 1, 0), 0, left_sl.start))
             # top fringe (rows of tile (b-1, w-2)): shift lanes up by one

@@ -962,14 +962,10 @@ def skip_cost_band(band, skip_mv, mb_xy, orig_q, sr: int, y0: int = 0):
 # the full P-frame step
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "sr"))
-def p_frame_step(origY, origU, origV, planes, padU, padV,
-                 qp, qpc, lam, lam4, *, mb_w: int, mb_h: int, sr: int):
-    """One device dispatch encoding a whole P picture (single reference).
-
-    Returns a dict of decision + coefficient + reconstruction tensors the
-    host commits into PictureData (see encoder._encode_p_frame_device).
-    """
+def _p_frame_core(origY, origU, origV, planes, padU, padV,
+                  qp, qpc, lam, lam4, *, mb_w: int, mb_h: int, sr: int):
+    """Shared body of the whole-picture P encode (single reference):
+    ME/subpel/mode/skip/MC/residual/recon as batched tensor ops."""
     n = mb_w * mb_h
     h, w = mb_h * 16, mb_w * 16
     mb_xy = jnp.stack([(jnp.arange(n) % mb_w) * 16,
@@ -1052,4 +1048,76 @@ def p_frame_step(origY, origU, origV, planes, padU, padV,
         "chroma_nnz": cnnz,
         "intra_mask": intra_mask,
         "recY": recY, "recU": recU, "recV": recV,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "sr"))
+def p_frame_step(origY, origU, origV, planes, padU, padV,
+                 qp, qpc, lam, lam4, *, mb_w: int, mb_h: int, sr: int):
+    """One device dispatch encoding a whole P picture (single reference).
+
+    Returns a dict of decision + coefficient + reconstruction tensors the
+    host commits into PictureData (see encoder._encode_p_frame_device).
+    """
+    return _p_frame_core(origY, origU, origV, planes, padU, padV,
+                         qp, qpc, lam, lam4, mb_w=mb_w, mb_h=mb_h, sr=sr)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "sr"))
+def p_frame_pipe(origY, origU, origV, planes, padU, padV,
+                 qp, qpc, lam, lam4, qpc_cb_tab, qpc_cr_tab,
+                 *, mb_w: int, mb_h: int, sr: int):
+    """Fully-resident pipelined P step: encode + boundary strengths +
+    in-loop deblock + next-frame reference prep, one device program.
+
+    The reconstruction never crosses the PCIe/host boundary: the deblocked
+    picture becomes the returned next-reference state (planes/padU/padV),
+    and the host only downloads the compact syntax tensors (int8-packed;
+    `ovf` flags any |level| > 127, in which case the caller falls back to
+    the wide `luma_scan`/`chroma_scan`/`chroma_dc` leaves of
+    p_frame_step). Speculative on intra: if `intra_mask` has any set bit
+    the caller must re-encode the frame on the fallback path (the state
+    returned here assumed all-inter reconstruction).
+
+    Replaces the per-frame host round trip of round 2 (recon download ->
+    host deblock (native C) -> upload -> prep_ref) measured at ~500ms of
+    the 1430ms 1080p frame time."""
+    from .deblock_jax import compute_bs_jax, deblock_jax
+
+    n = mb_w * mb_h
+    out = _p_frame_core(origY, origU, origV, planes, padU, padV,
+                        qp, qpc, lam, lam4, mb_w=mb_w, mb_h=mb_h, sr=sr)
+
+    # boundary strengths from the committed (all-inter, single-ref) state
+    zeros = jnp.zeros(n, jnp.int32)
+    ref0 = jnp.full((n, 4), 7, jnp.int32)
+    refm1 = jnp.full((n, 4), -1, jnp.int32)
+    bs_v, bs_h = compute_bs_jax(
+        zeros.astype(jnp.int8), out["luma_nnz"], zeros,
+        out["mv4"], jnp.zeros_like(out["mv4"]), ref0, refm1, mb_w, mb_h)
+    qp_arr = jnp.broadcast_to(jnp.asarray(qp, jnp.int32), (n,))
+    dY, dU, dV = deblock_jax(
+        out["recY"], out["recU"], out["recV"], bs_v, bs_h, qp_arr,
+        zeros, zeros, zeros, zeros, zeros, qpc_cb_tab, qpc_cr_tab,
+        mb_w=mb_w, mb_h=mb_h)
+
+    state = (make_luma_planes_dev(dY),
+             jnp.pad(dU, PAD, mode="edge"),
+             jnp.pad(dV, PAD, mode="edge"))
+
+    ovf = ((jnp.abs(out["luma_scan"]) > 127).any()
+           | (jnp.abs(out["chroma_scan"]) > 127).any())
+    return {
+        "inter_mode": out["inter_mode"].astype(jnp.int8),
+        "mv_quad": out["mv4"][:, jnp.asarray([0, 2, 8, 10])]
+        .astype(jnp.int8),
+        "luma8": out["luma_scan"].astype(jnp.int8),
+        "luma_nnz8": out["luma_nnz"].astype(jnp.int8),
+        "cbp8": out["cbp"].astype(jnp.uint8),
+        "chroma_dc": out["chroma_dc"],
+        "chroma8": out["chroma_scan"].astype(jnp.int8),
+        "chroma_nnz8": out["chroma_nnz"].astype(jnp.int8),
+        "intra_any": out["intra_mask"].any(),
+        "ovf": ovf,
+        "state": state,
     }
