@@ -538,12 +538,35 @@ class Encoder:
                 ref._dev = state
             return state
 
+        from ..ops import deblock_jax as DJ
+        n = self.mb_w * self.mb_h
+        qp_arr = jax.device_put(np.full(n, qp, np.int32))
+        zeros = jax.device_put(np.zeros(n, np.int32))
+        d_cb = jax.device_put(qpc_cb)
+        d_cr = jax.device_put(qpc_cr)
+
         def dispatch(Y, U, V, s):
-            out = EJ.p_frame_pipe(
+            # composed from separately-jitted (persistently cached)
+            # programs: core encode -> bS -> in-loop deblock -> next-ref
+            # prep -> int8 pack. All dispatches are async; nothing
+            # crosses the host boundary here.
+            core = EJ.p_frame_step(
                 Y, U, V, s[0], s[1], s[2], qp, qpc,
-                lambda_me(qp), lambda_mode4(qp), qpc_cb, qpc_cr,
+                lambda_me(qp), lambda_mode4(qp),
                 mb_w=self.mb_w, mb_h=self.mb_h, sr=cfg.search_range)
-            return out, out.pop("state")
+            bs_v, bs_h = EJ.p_frame_bs(core["luma_nnz"], core["mv4"],
+                                       mb_w=self.mb_w, mb_h=self.mb_h)
+            dY, dU, dV = DJ.deblock_jax(
+                core["recY"], core["recU"], core["recV"], bs_v, bs_h,
+                qp_arr, zeros, zeros, zeros, zeros, zeros, d_cb, d_cr,
+                mb_w=self.mb_w, mb_h=self.mb_h)
+            state = EJ.prep_ref(dY, dU, dV)
+            out = EJ.pack_syntax(
+                core["inter_mode"], core["mv4"], core["luma_scan"],
+                core["luma_nnz"], core["cbp"], core["chroma_dc"],
+                core["chroma_scan"], core["chroma_nnz"],
+                core["intra_mask"])
+            return out, state
 
         payloads = []
         pending = None      # (out-dict, disp, orig, new_state)
@@ -1555,7 +1578,7 @@ class _FrameEncoder:
                 # fast-full-search tables: per-reference per-quadrant SADs
                 # over the whole displacement window (me_fullfast analog)
                 self.qsads = [
-                    ME.full_search_quadrant_sads(
+                    ME.full_search_blk4_sads(
                         self.origY, f.luma_planes[0], self.mb_w, self.mb_h,
                         sr, ip.PAD)
                     for f in self.refs_list]
@@ -1570,10 +1593,10 @@ class _FrameEncoder:
                     self.origY, self.refs_list1[:1], self.mb_w, self.mb_h,
                     sr, self.lam, self.pic.mv_l1, use_hme=self.enc.cfg.hme)
             else:
-                self.qsads = [ME.full_search_quadrant_sads(
+                self.qsads = [ME.full_search_blk4_sads(
                     self.origY, self.refs_list[0].luma_planes[0],
                     self.mb_w, self.mb_h, sr, ip.PAD)]
-                self.qsads1 = [ME.full_search_quadrant_sads(
+                self.qsads1 = [ME.full_search_blk4_sads(
                     self.origY, self.refs_list1[0].luma_planes[0],
                     self.mb_w, self.mb_h, sr, ip.PAD)]
         use_cabac_rate = (self.enc.cfg.entropy == "cabac"
@@ -1970,6 +1993,11 @@ class _FrameEncoder:
                 ac = self._q4(w, qpc, intra, plane=comp + 1)
                 ac_scan = RN.to_scan(ac)
                 ac_scan[:, 0] = 0
+            # per-component chroma AC thresholding (block.c:1141, strict <)
+            cost_c = sum(RN.coeff_cost_scan(ac_scan[b], start=1)
+                         for b in range(nb))
+            if cost_c < RN.CHROMA_COEFF_COST:
+                ac_scan[:, :] = 0
             store.append((dc_lev, ac_scan, pred))
             if (ac_scan[:, 1:] != 0).any():
                 any_ac = True
@@ -2089,64 +2117,123 @@ class _FrameEncoder:
         pred16 = self.pctx.mv_pred(addr, 0, 0, 4, 4, 0)
 
         # ---- partition mode decision over fast-full tables ----
+        # Per-partition/per-ref MV predictors with incremental intra-MB
+        # commits, like the reference's PartitionMotionSearch (each
+        # partition's predictor sees the mode's earlier partitions in
+        # all_mv; mv_search.c) — the search's rate term then prices mvd
+        # against the predictor the serializer will actually use.
         candidates = {}
         for mode, parts in self.PART_TABLE.items():
             total = self.lam * self.MODE_BITS[mode]
             commit = []
+            pic.mv[addr] = 0
+            pic.ref_idx[addr] = -1
             for (bx, by, bw, bh, quads) in parts:
                 best = None
                 blk = self.origY[py + by * 4: py + by * 4 + bh * 4,
                                  px + bx * 4: px + bx * 4 + bw * 4]
                 seed = None
                 for r in range(nref):
+                    pred = self.pctx.mv_pred(addr, bx, by, bw, bh, r)
                     if self.epzs is not None:
-                        imv0 = self.epzs.search(addr, r, quads, pred16,
+                        imv0 = self.epzs.search(addr, r, quads, pred,
                                                 seed=seed)
                         if r == 0:
                             seed = imv0
                     else:
-                        csum = self.qsads[r][addr][:, list(quads)] \
-                            .sum(axis=1, dtype=np.int64)
-                        imv, _ = ME.best_int_mv(csum[None], sr)
-                        imv0 = imv[0]
-                    ref_bits = (2 * r + 1 if nref > 2 else r) if nref > 1 else 0
+                        blks = ME.QUAD_BLKS[list(quads)].ravel()
+                        csum = (self.qsads[r][addr][:, blks]
+                                .sum(axis=1, dtype=np.int64)
+                                + ME.int_rate_tab(pred, sr, self.lam))
+                        imv0 = ME.best_int_mv_tiebreak(
+                            csum, ME.spiral_rank_tab(pred, sr), sr)
+                    # te(v) length of ref_idx_l0 (1 bit when the list has
+                    # two entries, ue(v) otherwise; vlc.c refbits)
+                    ref_bits = (1 if nref == 2 else ME.ue_len(r)) \
+                        if nref > 1 else 0
                     qmv, cost = ME.subpel_refine(
                         blk, self.refs_list[r].luma_planes,
                         px + bx * 4, py + by * 4, imv0, self.w, self.h,
-                        pred16, self.lam, extra_bits=ref_bits,
+                        pred, self.lam, extra_bits=ref_bits,
                         use_satd=cfg.subpel_satd)
                     if best is None or cost < best[0]:
                         best = (cost, r, qmv)
                 total += best[0]
                 commit.append((bx, by, bw, bh, quads, best[1], best[2]))
+                # provisional commit: later partitions of this mode (and
+                # their predictors) see this partition's motion
+                for yy in range(by, by + bh):
+                    for xx in range(bx, bx + bw):
+                        pic.mv[addr, yy * 4 + xx] = best[2]
+                for q in quads:
+                    pic.ref_idx[addr, q] = best[1]
             candidates[mode] = (total, commit)
+        pic.mv[addr] = 0
+        pic.ref_idx[addr] = -1
 
         # ---- P8x8 sub-partition refinement (E7, mode_decision_P8x8.c) ----
         sub_commit = None
         if cfg.sub8x8:
             total3 = self.lam * self.MODE_BITS[3]
             sub_commit = []
+            # quadrants see earlier quadrants' chosen sub-motion, like
+            # submacroblock_mode_decision's sequential quadrant loop
+            pic.mv[addr] = 0
+            pic.ref_idx[addr] = -1
             for (bx, by, _bw, _bh, quads, r, qmv8) in candidates[3][1]:
                 planes = self.refs_list[r].luma_planes
+                pic.ref_idx[addr, quads[0]] = r
                 best_q = None
                 for sm, parts in ME.SUB_PARTS.items():
                     mvs, cost_q = [], self.lam * ME.SUB_MODE_BITS[sm]
                     for (sx, sy, sw, sh) in parts:
+                        pred = self.pctx.mv_pred(addr, bx + sx, by + sy,
+                                                 sw, sh, r)
                         blk = self.origY[py + (by + sy) * 4:
                                          py + (by + sy + sh) * 4,
                                          px + (bx + sx) * 4:
                                          px + (bx + sx + sw) * 4]
-                        qmv, c = ME.subpel_refine(
-                            blk, planes, px + (bx + sx) * 4,
-                            py + (by + sy) * 4, qmv8, self.w, self.h,
-                            pred16, self.lam, use_satd=cfg.subpel_satd,
-                            qpel_start=True)
+                        if self.qsads is not None:
+                            # dedicated integer search per sub-block from
+                            # the 4x4 SAD tables (BlockMotionSearch per
+                            # 8x4/4x8/4x4; mv_search.c) — a seeded-only
+                            # refinement cannot capture sub-8x8 motion
+                            # divergence
+                            ids = [(by + sy + yy) * 4 + bx + sx + xx
+                                   for yy in range(sh) for xx in range(sw)]
+                            csum = (self.qsads[r][addr][:, ids]
+                                    .sum(axis=1, dtype=np.int64)
+                                    + ME.int_rate_tab(pred, sr, self.lam))
+                            simv = ME.best_int_mv_tiebreak(
+                                csum, ME.spiral_rank_tab(pred, sr), sr)
+                            qmv, c = ME.subpel_refine(
+                                blk, planes, px + (bx + sx) * 4,
+                                py + (by + sy) * 4, simv, self.w, self.h,
+                                pred, self.lam, use_satd=cfg.subpel_satd)
+                        else:
+                            qmv, c = ME.subpel_refine(
+                                blk, planes, px + (bx + sx) * 4,
+                                py + (by + sy) * 4, qmv8, self.w, self.h,
+                                pred, self.lam, use_satd=cfg.subpel_satd,
+                                qpel_start=True)
                         mvs.append(qmv)
                         cost_q += c
+                        for yy in range(by + sy, by + sy + sh):
+                            for xx in range(bx + sx, bx + sx + sw):
+                                pic.mv[addr, yy * 4 + xx] = qmv
                     if best_q is None or cost_q < best_q[0]:
                         best_q = (cost_q, sm, mvs)
+                # leave the winning sub-mode's motion committed for the
+                # next quadrant's predictors
+                for k, (sx, sy, sw, sh) in enumerate(
+                        ME.SUB_PARTS[best_q[1]]):
+                    for yy in range(by + sy, by + sy + sh):
+                        for xx in range(bx + sx, bx + sx + sw):
+                            pic.mv[addr, yy * 4 + xx] = best_q[2][k]
                 total3 += best_q[0]
                 sub_commit.append((bx, by, quads[0], r, best_q[1], best_q[2]))
+            pic.mv[addr] = 0
+            pic.ref_idx[addr] = -1
             if total3 < candidates[3][0]:
                 candidates[3] = (total3, candidates[3][1])
             else:
@@ -2228,8 +2315,8 @@ class _FrameEncoder:
             if best is None or j < best[0]:
                 best = (j, MBState(self, addr))
 
-        # inter partitions, best 3 by pre-cost
-        for m in sorted(candidates, key=lambda k: candidates[k][0])[:3]:
+        # inter partitions (md_high trials every enabled inter mode)
+        for m in sorted(candidates, key=lambda k: candidates[k][0]):
             base.restore()
             self._commit_inter_p(addr, m, candidates[m][1],
                                  sub_commit if m == 3 else None, skip_mv)
@@ -2360,6 +2447,23 @@ class _FrameEncoder:
         else:
             lev4 = self._q4(w4, self.qp, False)
             scan4 = RN.to_scan(lev4)
+        # JM coefficient thresholding (macroblock.c:901,1248): zero inter
+        # 8x8 quadrants whose run-weighted cost is negligible, then the
+        # whole MB if the surviving total still is
+        qb_map = [[0, 1, 4, 5], [2, 3, 6, 7], [8, 9, 12, 13],
+                  [10, 11, 14, 15]]
+        total_cost = 0
+        for qb in qb_map:
+            cq = sum(RN.coeff_cost_scan(scan4[b]) for b in qb)
+            if cq <= RN.LUMA_COEFF_COST:
+                scan4[qb] = 0
+            else:
+                total_cost += cq
+        if total_cost <= RN.LUMA_MB_COEFF_COST:
+            scan4[:] = 0
+        if self._rdoq_on:
+            for blk in range(16):
+                pic.luma_nnz[addr, blk] = int((scan4[blk] != 0).sum())
         pred_blocks = pred_y.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3) \
             .reshape(16, 4, 4)
         rec4 = RN.recon_luma_4x4(pred_blocks, scan4, self.qp,
@@ -2382,6 +2486,16 @@ class _FrameEncoder:
             else:
                 lev8 = self._q8(w8, self.qp, False)
                 scan8 = RN.to_scan8(lev8)                 # (4, 64)
+            # thresholding, 8x8-transform twin (COEFF_COST8x8)
+            total8 = 0
+            for qb in range(4):
+                c8 = RN.coeff_cost_scan(scan8[qb], tab=RN.COEFF_COST8)
+                if c8 <= RN.LUMA_COEFF_COST:
+                    scan8[qb] = 0
+                else:
+                    total8 += c8
+            if total8 <= RN.LUMA_MB_COEFF_COST:
+                scan8[:] = 0
             n8 = int((scan8 != 0).sum())
             if n8:
                 pred8 = pred_y.reshape(2, 8, 2, 8).transpose(0, 2, 1, 3) \
@@ -2542,9 +2656,10 @@ class _FrameEncoder:
             if epzs is not None:
                 imv0 = epzs.search(addr, 0, (0, 1, 2, 3), pred_mv)
             else:
-                csum = qs[0][addr].sum(axis=1, dtype=np.int64)
-                imv, _ = ME.best_int_mv(csum[None], sr)
-                imv0 = imv[0]
+                csum = (qs[0][addr].sum(axis=1, dtype=np.int64)
+                        + ME.int_rate_tab(pred_mv, sr, self.lam))
+                imv0 = ME.best_int_mv_tiebreak(
+                    csum, ME.spiral_rank_tab(pred_mv, sr), sr)
             qmv, cost = ME.subpel_refine(origY_mb, planes, px, py, imv0,
                                          self.w, self.h, pred_mv, self.lam,
                                          use_satd=self.enc.cfg.subpel_satd)

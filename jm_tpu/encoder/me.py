@@ -55,30 +55,44 @@ SUB_PARTS = {
 SUB_MODE_BITS = {0: 1, 1: 3, 2: 3, 3: 5}
 
 
-def full_search_quadrant_sads(orig: np.ndarray, ref_pad: np.ndarray,
-                              mb_w: int, mb_h: int, sr: int,
-                              pad: int) -> np.ndarray:
-    """Integer-pel full-search SAD per 8x8 quadrant, batched over all MBs.
+def full_search_blk4_sads(orig: np.ndarray, ref_pad: np.ndarray,
+                          mb_w: int, mb_h: int, sr: int,
+                          pad: int) -> np.ndarray:
+    """Integer-pel full-search SAD per 4x4 block, batched over all MBs.
 
-    Returns (n_mbs, side*side, 4) int32: SAD of each quadrant at each
-    displacement (row-major (dy, dx)). Any rectangular partition's SAD is
-    a sum of quadrant SADs — the fast-full-search table reuse of
-    lencod/src/me_fullfast.c (setup_fast_full_search:269) expressed as one
-    batched tensor.
+    Returns (n_mbs, side*side, 16) int32: SAD of each 4x4 block (raster
+    in MB) at each displacement (row-major (dy, dx)). Any partition's SAD
+    is a sum of 4x4 SADs — the full BlockSAD table hierarchy of
+    lencod/src/me_fullfast.c (setup_fast_full_search:269, which builds
+    all 7 block-type tables from the 4x4 base) as one batched tensor.
     """
     H, W = orig.shape
     n = mb_w * mb_h
     side = 2 * sr + 1
-    o = orig.reshape(mb_h, 2, 8, mb_w, 2, 8).transpose(0, 3, 1, 4, 2, 5) \
-            .reshape(n, 4, 8, 8).astype(np.int32)   # (n, quadrant, 8, 8)
-    costs = np.empty((n, side * side, 4), np.int32)
+    o = orig.reshape(mb_h, 4, 4, mb_w, 4, 4).transpose(0, 3, 1, 4, 2, 5) \
+            .reshape(n, 16, 4, 4).astype(np.int32)   # (n, blk, 4, 4)
+    costs = np.empty((n, side * side, 16), np.int32)
     for iy, dy in enumerate(range(-sr, sr + 1)):
         for ix, dx in enumerate(range(-sr, sr + 1)):
             sh = ref_pad[pad + dy: pad + dy + H, pad + dx: pad + dx + W]
-            s = sh.reshape(mb_h, 2, 8, mb_w, 2, 8).transpose(0, 3, 1, 4, 2, 5) \
-                  .reshape(n, 4, 8, 8).astype(np.int32)
+            s = sh.reshape(mb_h, 4, 4, mb_w, 4, 4) \
+                  .transpose(0, 3, 1, 4, 2, 5) \
+                  .reshape(n, 16, 4, 4).astype(np.int32)
             costs[:, iy * side + ix] = np.abs(o - s).sum(axis=(2, 3))
     return costs
+
+
+# 4x4 raster block ids per 8x8 quadrant
+QUAD_BLKS = np.array([[0, 1, 4, 5], [2, 3, 6, 7],
+                      [8, 9, 12, 13], [10, 11, 14, 15]], np.int32)
+
+
+def full_search_quadrant_sads(orig: np.ndarray, ref_pad: np.ndarray,
+                              mb_w: int, mb_h: int, sr: int,
+                              pad: int) -> np.ndarray:
+    """(n, side*side, 4) per-quadrant SADs (aggregated 4x4 table)."""
+    b4 = full_search_blk4_sads(orig, ref_pad, mb_w, mb_h, sr, pad)
+    return b4[:, :, QUAD_BLKS].sum(axis=3)
 
 
 def best_int_mv(costs_part: np.ndarray, sr: int):
@@ -88,6 +102,45 @@ def best_int_mv(costs_part: np.ndarray, sr: int):
     mv = np.stack([flat % side - sr, flat // side - sr], axis=1).astype(np.int32)
     best = np.take_along_axis(costs_part, flat[:, None], axis=1)[:, 0]
     return mv, best
+
+
+# se(v) bit length by |qpel value| (mvd rate table, me_distortion.h mv_cost)
+_SE_BITS_TAB = np.array(
+    [1] + [2 * int(2 * a).bit_length() - 1 for a in range(1, 1 << 14)],
+    np.int32)
+
+
+def int_rate_tab(pred_mv, sr: int, lam: int) -> np.ndarray:
+    """lambda-weighted mvd bits of every integer displacement of the
+    (2sr+1)^2 window against a quarter-pel predictor — the MV_COST term
+    of the reference's integer stage (lencod/src/me_fullsearch.c:93
+    mcost = MV_COST via mvbits[]); row-major (dy, dx), (side*side,)."""
+    d = 4 * np.arange(-sr, sr + 1, dtype=np.int32)
+    bx = _SE_BITS_TAB[np.minimum(np.abs(d - int(pred_mv[0])), (1 << 14) - 1)]
+    by = _SE_BITS_TAB[np.minimum(np.abs(d - int(pred_mv[1])), (1 << 14) - 1)]
+    return lam * (by[:, None] + bx[None, :]).reshape(-1)
+
+
+def spiral_rank_tab(pred_mv, sr: int) -> np.ndarray:
+    """Tie-break ranks mirroring the reference's spiral evaluation order
+    (me_fullsearch.c walks outward rings around the predictor; on equal
+    cost the earlier = nearer candidate is kept, where a row-major argmin
+    would keep the window's top-left corner). Row-major (side*side,),
+    values < 2^13."""
+    cx = int(np.clip(round(pred_mv[0] / 4), -sr, sr))
+    cy = int(np.clip(round(pred_mv[1] / 4), -sr, sr))
+    d = np.arange(-sr, sr + 1, dtype=np.int64)
+    ring = np.maximum(np.abs(d[:, None] - cy), np.abs(d[None, :] - cx))
+    sub = (np.abs(d[:, None] - cy) + np.abs(d[None, :] - cx))
+    return (ring * 64 + np.minimum(sub, 63)).reshape(-1)
+
+
+def best_int_mv_tiebreak(costs: np.ndarray, rank: np.ndarray, sr: int):
+    """argmin with spiral tie-break: (side*side,) costs + ranks."""
+    side = 2 * sr + 1
+    key = costs.astype(np.int64) * 8192 + rank
+    flat = int(np.argmin(key))
+    return np.array([flat % side - sr, flat // side - sr], np.int32)
 
 
 def full_search_int(orig: np.ndarray, ref_pad: np.ndarray, mb_w: int,

@@ -211,3 +211,29 @@ def recon_luma_8x8(pred_q: np.ndarray, lev_scan: np.ndarray,
     deq = rshift_rnd_sf((r * scale) << (qp // 6), 6)
     sp = (_np_inv8(deq) + 32) >> 6
     return np.clip(pred_q + sp, 0, 255).astype(np.uint8)
+
+
+# -- JM coefficient thresholding (lencod block.c COEFF_COST4x4:72,
+#    transform8x8.c COEFF_COST8x8:83; applied per inter 8x8 / MB in
+#    macroblock.c:901,1248 and per chroma component in block.c:1141) ----
+
+COEFF_COST4 = np.array([3, 2, 2, 1, 1, 1] + [0] * 10, np.int64)
+COEFF_COST8 = np.array([3] * 4 + [2] * 8 + [1] * 12 + [0] * 40, np.int64)
+COST_BIG = 1 << 20       # stands in for JM's MAX_VALUE (any |level| > 1)
+LUMA_COEFF_COST = 4      # per inter 8x8 quadrant
+LUMA_MB_COEFF_COST = 5   # per inter MB
+CHROMA_COEFF_COST = 4    # per chroma component (strict <)
+
+
+def coeff_cost_scan(scan, tab=COEFF_COST4, start: int = 0) -> int:
+    """Run-weighted coefficient cost of one scan array (JM quant
+    *_normal/_trellis c_cost accumulation)."""
+    cost, run = 0, 0
+    for k in range(start, len(scan)):
+        v = int(scan[k])
+        if v == 0:
+            run += 1
+        else:
+            cost += COST_BIG if abs(v) > 1 else int(tab[run])
+            run = 0
+    return cost

@@ -632,9 +632,33 @@ def _from_scan(scan):
     return out.reshape(*scan.shape[:-1], 4, 4)
 
 
+# JM coefficient-thresholding tables (lencod block.c COEFF_COST4x4:72)
+_CC4 = np.array([3, 2, 2, 1, 1, 1] + [0] * 10, np.int32)
+_CC_BIG = 1 << 20
+
+
+def _coeff_cost(scan, start: int = 0):
+    """Vectorized run-weighted coefficient cost per scan array
+    (..., 16) -> (...,); twin of residual_np.coeff_cost_scan."""
+    s = scan[..., start:].astype(jnp.int32)
+    k = s.shape[-1]
+    nz = s != 0
+    idx = jnp.broadcast_to(jnp.arange(k), s.shape)
+    prev = lax.associative_scan(jnp.maximum, jnp.where(nz, idx, -1),
+                                axis=-1)
+    prev = jnp.concatenate(
+        [jnp.full((*s.shape[:-1], 1), -1, prev.dtype), prev[..., :-1]],
+        axis=-1)
+    run = idx - prev - 1
+    c = jnp.where(jnp.abs(s) > 1, _CC_BIG,
+                  jnp.asarray(_CC4)[jnp.clip(run, 0, 15)])
+    return jnp.where(nz, c, 0).sum(axis=-1)
+
+
 def luma_residual_inter(orig, pred, qp):
     """orig/pred: (N, 16, 16) -> (scan (N,16,16) i32, nnz (N,16),
-    cbp_luma (N,), recon (N,16,16) u8)."""
+    cbp_luma (N,), recon (N,16,16) u8). Applies JM's inter coefficient
+    thresholding (macroblock.c:901,1248) before reconstruction."""
     n = orig.shape[0]
     res = orig.astype(jnp.int32) - pred.astype(jnp.int32)
     blocks = res.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
@@ -643,7 +667,18 @@ def luma_residual_inter(orig, pred, qp):
     qpv = jnp.broadcast_to(qp, (n, 16))
     lev = Q.quant_4x4(wt, qpv, False)
     scan = _to_scan(lev)
-    d = Q.dequant_4x4(lev, qpv)
+    # thresholding: per 8x8 quadrant <= 4, then whole MB <= 5
+    cost_blk = _coeff_cost(scan)                       # (N, 16)
+    cost_q = cost_blk[:, jnp.asarray(_QB)].sum(axis=2)  # (N, 4)
+    keep_q = cost_q > 4
+    total = jnp.where(keep_q, cost_q, 0).sum(axis=1)
+    keep_mb = total > 5
+    blk_q = jnp.asarray([(b // 8) * 2 + ((b % 4) // 2) for b in range(16)])
+    keep_blk = jnp.take_along_axis(
+        keep_q, jnp.broadcast_to(blk_q, (n, 16)), axis=1) \
+        & keep_mb[:, None]
+    scan = jnp.where(keep_blk[..., None], scan, 0)
+    d = Q.dequant_4x4(_from_scan(scan), qpv)
     r = T.inverse4x4_round(d)
     pred_b = pred.astype(jnp.int32).reshape(n, 4, 4, 4, 4) \
         .transpose(0, 1, 3, 2, 4).reshape(n, 16, 4, 4)
@@ -677,6 +712,9 @@ def chroma_residual_inter(origU, origV, predU, predV, qpc):
     ac = Q.quant_4x4(wt, qpv[..., None], False)
     ac_scan = _to_scan(ac)
     ac_scan = ac_scan.at[..., 0].set(0)
+    # per-component chroma AC thresholding (block.c:1141, strict <)
+    cost_c = _coeff_cost(ac_scan, start=1).sum(axis=2)         # (N, 2)
+    ac_scan = jnp.where((cost_c >= 4)[..., None, None], ac_scan, 0)
     any_ac = (ac_scan[..., 1:] != 0).any(axis=(1, 2, 3))       # (N,)
     any_dc = (dc_lev != 0).any(axis=(1, 2))
     cbp_c = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0)).astype(jnp.int32)
@@ -1061,6 +1099,41 @@ def p_frame_step(origY, origU, origV, planes, padU, padV,
     """
     return _p_frame_core(origY, origU, origV, planes, padU, padV,
                          qp, qpc, lam, lam4, mb_w=mb_w, mb_h=mb_h, sr=sr)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"))
+def p_frame_bs(luma_nnz, mv4, *, mb_w: int, mb_h: int):
+    """Boundary strengths of the committed all-inter single-ref P
+    picture (pipelined path)."""
+    from .deblock_jax import compute_bs_jax
+    n = mb_w * mb_h
+    zeros = jnp.zeros(n, jnp.int32)
+    ref0 = jnp.full((n, 4), 7, jnp.int32)
+    refm1 = jnp.full((n, 4), -1, jnp.int32)
+    return compute_bs_jax(zeros.astype(jnp.int8), luma_nnz, zeros,
+                          mv4, jnp.zeros_like(mv4), ref0, refm1,
+                          mb_w, mb_h)
+
+
+@jax.jit
+def pack_syntax(inter_mode, mv4, luma_scan, luma_nnz, cbp, chroma_dc,
+                chroma_scan, chroma_nnz, intra_mask):
+    """int8-pack the syntax tensors for the host download; `ovf` flags
+    any |level| > 127 (caller falls back to the wide tensors)."""
+    ovf = ((jnp.abs(luma_scan) > 127).any()
+           | (jnp.abs(chroma_scan) > 127).any())
+    return {
+        "inter_mode": inter_mode.astype(jnp.int8),
+        "mv_quad": mv4[:, jnp.asarray([0, 2, 8, 10])].astype(jnp.int8),
+        "luma8": luma_scan.astype(jnp.int8),
+        "luma_nnz8": luma_nnz.astype(jnp.int8),
+        "cbp8": cbp.astype(jnp.uint8),
+        "chroma_dc": chroma_dc,
+        "chroma8": chroma_scan.astype(jnp.int8),
+        "chroma_nnz8": chroma_nnz.astype(jnp.int8),
+        "intra_any": intra_mask.any(),
+        "ovf": ovf,
+    }
 
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "sr"))

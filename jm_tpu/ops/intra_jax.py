@@ -534,6 +534,11 @@ def i_frame_step(origY, origU, origV, qp, qpc, lam, lam4,
         cac_q = Q.quant_4x4(wt, qpc2[..., None], True)
         cac_scan = _to_scan(cac_q)
         cac_scan = cac_scan.at[..., 0].set(0)
+        # per-component chroma AC thresholding (block.c:1141, strict <;
+        # JM applies it to intra chroma as well)
+        from .enc_jax import _coeff_cost
+        cost_c = _coeff_cost(cac_scan, start=1).sum(axis=2)
+        cac_scan = jnp.where((cost_c >= 4)[..., None, None], cac_scan, 0)
         any_ac = (cac_scan[..., 1:] != 0).any((1, 2, 3))
         any_dc = (cdc_lev != 0).any((1, 2))
         cbp_c = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0))

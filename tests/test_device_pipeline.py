@@ -79,6 +79,10 @@ def test_chroma_residual_kernel_matches_numpy():
             acq = RN.np_quant_4x4(w, qpc, False)
             acs = RN.to_scan(acq)
             acs[:, 0] = 0
+            # per-component chroma AC thresholding (block.c:1141)
+            if sum(RN.coeff_cost_scan(acs[b], start=1)
+                   for b in range(4)) < RN.CHROMA_COEFF_COST:
+                acs[:, :] = 0
             store.append((dc_lev, acs, p))
             any_ac |= bool((acs[:, 1:] != 0).any())
             any_dc |= bool((dc_lev != 0).any())
