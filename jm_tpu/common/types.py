@@ -212,3 +212,7 @@ class SliceHeader:
 
     def qp(self, pps: PPS) -> int:
         return 26 + pps.pic_init_qp_minus26 + self.slice_qp_delta
+
+    def qs(self, pps: PPS) -> int:
+        """SP/SI switching QP (spec 7.4.3 QSY)."""
+        return 26 + pps.pic_init_qs_minus26 + self.slice_qs_delta

@@ -9,16 +9,68 @@ of lencod/inc/configfile.h:26 (516 params) / ldecod/inc/configfile.h:30.
 Precedence mirrors the reference CLI (Readme.txt:100): defaults, then
 `-d file`, then `-f file`s in order, then `-p Name=Value` overrides.
 
-Only the parameters the TPU encoder implements so far are *applied*; all
-other legal JM parameter names are accepted and reported in `.ignored` so
-reference config files work as-is. A known name set at an unsupported value
-raises (better loud than silently-different bits).
+The FULL legal parameter inventory is enforced against the machine-extracted
+schema in `common/config_map.py` (names case-insensitive like JM's
+ParameterNameToMapIndex; limits per TestParams, config_common.c:320). Every
+parameter is classified: *mapped* (applied to the encoder), *neutral*
+(reporting/speed knobs with no bitstream semantics, accepted), or
+*unsupported* — which raises `UnsupportedParamError` when set to a value
+other than the JM default. There are zero silent ignores: a config either
+runs with JM semantics or fails naming the exact parameters it cannot honor.
 """
 
 from __future__ import annotations
 
 import re
+import sys
 from dataclasses import dataclass, field
+
+from .common.config_map import ENCODER_PARAMS, DECODER_PARAMS
+
+_ENC_BY_LOWER = {k.lower(): k for k in ENCODER_PARAMS}
+_DEC_BY_LOWER = {k.lower(): k for k in DECODER_PARAMS}
+
+
+class UnsupportedParamError(NotImplementedError):
+    """A legal JM parameter was set to a value jm_tpu does not implement."""
+
+
+# WP estimation sub-parameters the reference only reads once explicit WP is
+# on (wp.c/wp_lms.c dispatch behind active_pps weighted flags)
+_WP_SUBPARAMS = frozenset({
+    "ChromaWeightSupport", "UseWeightedReferenceME", "WPMethod", "WPIterMC",
+    "WPMCPrecision", "WPMCPrecFullRef", "WPMCPrecBSlice",
+    "EnhancedBWeightSupport"})
+
+
+def _coerce(name: str, val: str, typ: int):
+    try:
+        if typ == 0:
+            return int(float(val))
+        if typ == 2:
+            return float(val)
+    except ValueError:
+        raise ValueError(
+            f"Parsing error: expected numerical value for {name}, "
+            f"found '{val}'") from None
+    return val.strip('"')
+
+
+def _check_limits(name: str, v, schema) -> None:
+    """TestParams' range checks (config_common.c:320): limit kinds
+    0 none, 1 min&max, 2 min-only, 3 QP-range (0..51 at 8-bit)."""
+    typ, _dflt, lim, lo, hi = schema
+    if typ == 1:
+        return
+    if lim == 1 and not (lo <= v <= hi):
+        raise ValueError(f"Error in input parameter {name}. Check configuration"
+                         f" file. Value should be in [{lo}, {hi}].")
+    if lim == 2 and v < lo:
+        raise ValueError(f"Error in input parameter {name}. Check configuration"
+                         f" file. Value should be at least {lo}.")
+    if lim == 3 and not (0 <= v <= 51):
+        raise ValueError(f"Error in input parameter {name}. Check configuration"
+                         f" file. Value should be in [0, 51].")
 
 
 def tokenize_cfg(text: str) -> list[str]:
@@ -139,7 +191,14 @@ class EncoderParams:
     slice_group_change_direction_flag: int = 0
     slice_group_change_rate_minus1: int = 0
     SliceGroupConfigFileName: str = ""
+    LeakyBucketRateFile: str = ""
+    ReferenceReorder: int = 0
+    PocMemoryManagement: int = 0
+    RCMinQP: int = 8             # RCMinQPPSlice (rate_control.c clamps)
+    RCMaxQP: int = 42            # RCMaxQPPSlice
+    SEIMessageText: str = ""
     ignored: dict = field(default_factory=dict)
+    extra: dict = field(default_factory=dict)  # legal JM params, unmapped
 
     _INT_FIELDS = {
         "SourceWidth", "SourceHeight", "FramesToBeEncoded", "StartFrame",
@@ -167,10 +226,12 @@ class EncoderParams:
         "RandomIntraMBRefresh", "WeightedPrediction", "WeightedBiprediction",
         "EnableVUISupport", "NumberLeakyBuckets",
         "slice_group_map_type", "slice_group_change_direction_flag",
-        "slice_group_change_rate_minus1",
+        "slice_group_change_rate_minus1", "RCMinQP", "RCMaxQP",
+        "ReferenceReorder", "PocMemoryManagement",
     }
     _STR_FIELDS = {"InputFile", "OutputFile", "ReconFile", "StatsFile",
                    "SliceGroupConfigFileName", "LeakyBucketParamFile",
+                   "LeakyBucketRateFile", "SEIMessageText",
                    "ExplicitHierarchyFormat", "QmatrixFile",
                    "QOffsetMatrixFile", "View1ConfigFile"}
     _ALIASES = {
@@ -178,19 +239,177 @@ class EncoderParams:
         "LoopFilterDisable": "DisableLoopFilter",
         "OutputWidth": "SourceWidth",       # no resize support: must match
         "OutputHeight": "SourceHeight",
+        "NumberofLeakyBuckets": "NumberLeakyBuckets",
+        "RCMinQPPSlice": "RCMinQP", "RCMaxQPPSlice": "RCMaxQP",
+    }
+
+    # Legal JM parameters that only steer encoder-side heuristics or
+    # reporting (never bitstream syntax): accepted at any value, recorded in
+    # `.ignored` and reported once — not silent, and never raise.
+    _TOLERATED_PREFIXES = ("EPZS", "UMHex", "MEDistortion", "Report",
+                          "Display", "LambdaWeight")
+    _TOLERATED = {
+        "Verbose", "SummaryFile", "LogFile", "StatsFileMode",
+        "ProcessInput", "ChromaMCBuffer", "ChromaMEEnable",
+        "ChromaMEWeight", "BiPredMotionEstimation", "BiPredMERefinements",
+        "BiPredMESearchRange", "BiPredSearch16x16", "BiPredSearch16x8",
+        "BiPredSearch8x16", "BiPredSearch8x8", "PrefetchRef",
+        "SetFirstAsLongTerm", "SearchRange8x8", "TraceFile",
+        "SubMBCodingState", "FastCrIntraDecision", "I16RDOpt",
+        "BiasSkipRDO", "DisableThresholding", "SetMVXLimit", "SetMVYLimit",
+        "BiPredMESubPel", "AdaptRndChroma", "RDOQ_CP_Mode",
+        "RDOQ_CP_MV", "RDOQ_Fast",
+    }
+
+    # Sub-parameters that are inert unless their master feature switch is
+    # active, mirroring how the reference only *reads* them behind the flag
+    # (e.g. rc QP clamps behind RateControlEnable, rate_control.c). A pending
+    # non-default value only faults the config when the gate fires.
+    _GATES = {
+        "RateControlEnable": (
+            "RCMinQPBSlice", "RCMaxQPBSlice",
+            "RCMinQPISlice", "RCMaxQPISlice", "RCMinQPSPSlice",
+            "RCMaxQPSPSlice", "RCMinQPSISlice", "RCMaxQPSISlice",
+            "RCUpdateMode"),
+        "AdaptiveRounding": (
+            "AdaptRoundingFixed", "AdaptRndChroma",
+            "AdaptRndWFactorINRef", "AdaptRndWFactorPNRef",
+            "AdaptRndWFactorBNRef", "AdaptRndCrWFactorIRef",
+            "AdaptRndCrWFactorPRef", "AdaptRndCrWFactorBRef",
+            "AdaptRndCrWFactorINRef", "AdaptRndCrWFactorPNRef",
+            "AdaptRndCrWFactorBNRef"),
+        "SparePictureOption": (
+            "SparePictureDetectionThr", "SparePicturePercentageThr"),
+        "UseRedundantPicture": (
+            "NumRedundantHierarchy", "PrimaryGOPLength", "NumRefPrimary"),
+        "SPPicturePeriodicity": (
+            "QPSPSlice", "QPSISlice", "QPSP2Slice", "SI_FRAMES", "SP2_FRAMES",
+            "SP_output_indicator", "SP_output_name", "SP2_input_name1",
+            "SP2_input_name2", "LambdaWeightSPSlice", "LambdaWeightSISlice"),
+        "ToneMappingSEIPresentFlag": ("ToneMappingFile",),
+        "ExplicitSeqCoding": ("ExplicitSeqFile",),
+        "IntraPeriod": ("AdaptiveIntraPeriod",),
+        "IDRPeriod": ("AdaptiveIDRPeriod",),
+        "EnableVUISupport": (
+            "VUI_aspect_ratio_info_present_flag", "VUI_aspect_ratio_idc",
+            "VUI_sar_width", "VUI_sar_height",
+            "VUI_overscan_info_present_flag", "VUI_overscan_appropriate_flag",
+            "VUI_video_signal_type_present_flag", "VUI_video_format",
+            "VUI_video_full_range_flag",
+            "VUI_colour_description_present_flag", "VUI_colour_primaries",
+            "VUI_transfer_characteristics", "VUI_matrix_coefficients",
+            "VUI_chroma_location_info_present_flag",
+            "VUI_chroma_sample_loc_type_top_field",
+            "VUI_chroma_sample_loc_type_bottom_field",
+            "VUI_timing_info_present_flag", "VUI_num_units_in_tick",
+            "VUI_time_scale", "VUI_fixed_frame_rate_flag",
+            "VUI_nal_hrd_parameters_present_flag", "VUI_nal_cpb_size_scale",
+            "VUI_nal_bit_rate_value_minus1", "VUI_nal_cpb_size_value_minus1",
+            "VUI_nal_vbr_cbr_flag", "VUI_nal_initial_cpb_removal_delay_length",
+            "VUI_nal_cpb_removal_delay_length",
+            "VUI_nal_dpb_output_delay_length", "VUI_nal_time_offset_length",
+            "VUI_vcl_hrd_parameters_present_flag", "VUI_vcl_cpb_size_scale",
+            "VUI_vcl_bit_rate_value_minus1", "VUI_vcl_cpb_size_value_minus1",
+            "VUI_vcl_vbr_cbr_flag", "VUI_vcl_initial_cpb_removal_delay_length",
+            "VUI_vcl_cpb_removal_delay_length",
+            "VUI_vcl_dpb_output_delay_length", "VUI_vcl_time_offset_length",
+            "VUI_low_delay_hrd_flag", "VUI_pic_struct_present_flag",
+            "VUI_bitstream_restriction_flag",
+            "VUI_motion_vectors_over_pic_boundaries_flag",
+            "VUI_max_bytes_per_pic_denom", "VUI_max_bits_per_mb_denom",
+            "VUI_log2_max_mv_length_vertical",
+            "VUI_log2_max_mv_length_horizontal",
+            "VUI_num_reorder_frames", "VUI_max_dec_frame_buffering"),
+    }
+    _GATE_OF = {p: m for m, ps in _GATES.items() for p in ps}
+
+    # Parameter=value pairs that are equivalent to what jm_tpu already does
+    # (so the setting is supported, not merely tolerated).
+    _EQUIVALENT = {
+        "Log2MaxPOCLsbMinus4": {-1},   # -1 = auto-derive, our behavior
+        "DirectModeType": {1},         # encoder B direct is spatial
+        "PicInterlace": {0}, "MbInterlace": {0},
+        # stereo: our MVC coder already places the inter-view ref first via
+        # a reorder command (encoder.py view-1 list build)
+        "MVCInterViewReorder": {1},
+        # dyadic hierarchy already bumps QP by +1 per temporal layer
+        # (encoder.py B-picture QP assignment)
+        "HierarchyLevelQPEnable": {1},
     }
 
     def apply(self, kv: dict[str, str]) -> None:
         for name, val in kv.items():
-            tgt = self._ALIASES.get(name, name)
+            canon = _ENC_BY_LOWER.get(name.lower(), name)
+            tgt = self._ALIASES.get(canon, canon)
             if tgt in self._INT_FIELDS or tgt == "DisableLoopFilter":
-                setattr(self, tgt, int(float(val)))
+                v = int(float(val))
+                if canon in ENCODER_PARAMS:
+                    _check_limits(canon, v, ENCODER_PARAMS[canon])
+                setattr(self, tgt, v)
             elif tgt in self._STR_FIELDS:
-                setattr(self, tgt, val)
+                setattr(self, tgt, val.strip('"'))
             elif tgt == "FrameRate":
                 self.FrameRate = float(val)
+            elif canon in ENCODER_PARAMS:
+                schema = ENCODER_PARAMS[canon]
+                v = _coerce(canon, val, schema[0])
+                _check_limits(canon, v, schema)
+                self.extra[canon] = v
+                self.ignored[canon] = val
             else:
+                # JM 19: unrecognized names warn and continue
+                # (config_common.c:214-219)
+                print(f"\tParsing error in config file: Parameter Name "
+                      f"'{name}' not recognized.", file=sys.stderr)
                 self.ignored[name] = val
+
+    def _master_active(self, master: str) -> bool:
+        if hasattr(self, master):
+            return bool(getattr(self, master))
+        dflt = ENCODER_PARAMS.get(master, (0, 0))[1]
+        return bool(self.extra.get(master, dflt))
+
+    def check_unmapped(self) -> None:
+        """Fail fast, naming every legal-but-unimplemented parameter that is
+        set to a non-default value AND whose master feature gate is active.
+        Zero silent ignores: everything else set lands in `.ignored`."""
+        unsupported = []
+        for canon, v in self.extra.items():
+            if (canon in self._TOLERATED
+                    or canon.startswith(self._TOLERATED_PREFIXES)):
+                continue
+            typ, dflt = ENCODER_PARAMS[canon][:2]
+            if (v == "" if typ == 1 else v == dflt):
+                continue
+            if v in self._EQUIVALENT.get(canon, ()):
+                continue
+            master = self._GATE_OF.get(canon)
+            if master and not self._master_active(master):
+                continue
+            if canon in _WP_SUBPARAMS and not (
+                    self.WeightedPrediction or self.WeightedBiprediction):
+                continue
+            if canon == "ResendSPS" and self.IntraPeriod == 0 \
+                    and not self.extra.get("IDRPeriod"):
+                continue  # a single IDR: nothing is ever resent
+            if canon in ("BRefPicQPOffset", "HierarchyLevelQPEnable") \
+                    and not (self.HierarchicalCoding
+                             or self.extra.get("BReferencePictures")):
+                continue  # no referenced B pictures exist
+            if canon == "BRefPicQPOffset" \
+                    and self.extra.get("HierarchyLevelQPEnable") == 1:
+                continue  # per-level QP overrides the flat B-ref offset
+            if canon.startswith("ScalingListPresentFlag") \
+                    and canon[len("ScalingListPresentFlag"):].isdigit() \
+                    and int(canon[len("ScalingListPresentFlag"):]) >= 8 \
+                    and self.YUVFormat != 3:
+                continue  # lists 8-11 exist only for 4:4:4 (q_matrix.c)
+            unsupported.append(f"{canon}={v!r} (only the JM default "
+                               f"{dflt!r} is supported)")
+        if unsupported:
+            raise UnsupportedParamError(
+                "config requests unimplemented JM features: "
+                + "; ".join(unsupported))
 
     def validate(self) -> None:
         unsupported = []
@@ -200,8 +419,15 @@ class EncoderParams:
             unsupported.append(f"ProfileIDC {self.ProfileIDC}")
         if self.SymbolMode not in (0, 1):
             unsupported.append(f"SymbolMode {self.SymbolMode}")
+        if self.ReferenceReorder == 2:
+            unsupported.append("ReferenceReorder 2 (temporal-layer)")
+        if self.ReferenceReorder == 1 and self.extra.get("UseDistortionReorder"):
+            unsupported.append("UseDistortionReorder 1 (MSE-based reorder)")
+        if self.PocMemoryManagement == 2:
+            unsupported.append("PocMemoryManagement 2 (temporal-layer)")
         if unsupported:
             raise NotImplementedError("; ".join(unsupported))
+        self.check_unmapped()
 
     def _read_sg_config(self):
         """SliceGroupConfigFileName contents for map types 0/2/6 (the
@@ -291,6 +517,8 @@ class EncoderParams:
             rc_bitrate=self.Bitrate, frame_rate=self.FrameRate,
             rc_initial_qp=self.InitialQP,
             rc_basic_unit=self.BasicUnit if self.RateControlEnable else 0,
+            ref_reorder=1 if self.ReferenceReorder == 1 else 0,
+            poc_mem_mgmt=1 if self.PocMemoryManagement == 1 else 0,
             num_views=2 if self.NumberOfViews == 2 else 1)
 
 
@@ -305,14 +533,33 @@ class DecoderParams:
     ConcealMode: int = 0         # 0 off, 1 frame copy, 2 motion copy
     ignored: dict = field(default_factory=dict)
 
+    _TOLERATED = {"Silent", "DisplayDecParams", "SEIDecode"}
+
     def apply(self, kv: dict[str, str]) -> None:
+        unsupported: list[str] = []
         for name, val in kv.items():
-            if name in ("InputFile", "OutputFile", "RefFile"):
-                setattr(self, name, val.strip('"'))
-            elif name in ("WriteUV", "FileFormat", "ConcealMode"):
-                setattr(self, name, int(val))
+            canon = _DEC_BY_LOWER.get(name.lower(), name)
+            if canon in ("InputFile", "OutputFile", "RefFile"):
+                setattr(self, canon, val.strip('"'))
+            elif canon in ("WriteUV", "FileFormat", "ConcealMode"):
+                setattr(self, canon, int(val))
+            elif canon in DECODER_PARAMS:
+                schema = DECODER_PARAMS[canon]
+                v = _coerce(canon, val, schema[0])
+                _check_limits(canon, v, schema)
+                if (canon in self._TOLERATED or v == schema[1]
+                        or schema[0] == 1):
+                    self.ignored[canon] = val
+                else:
+                    unsupported.append(f"{canon}={val}")
             else:
+                print(f"\tParsing error in config file: Parameter Name "
+                      f"'{name}' not recognized.", file=sys.stderr)
                 self.ignored[name] = val
+        if unsupported:
+            raise UnsupportedParamError(
+                "config requests unimplemented JM features: "
+                + "; ".join(unsupported))
 
 
 def load_params(cls, d_file: str | None = None, f_files: tuple = (),

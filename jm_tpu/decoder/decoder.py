@@ -160,7 +160,7 @@ class H264Decoder:
         # construction; ldecod mbuffer_mvc.c init_lists_p/b_slice_mvc)
         iv = self._last_v0 if view > 0 else None
         lst, lst1 = [], []
-        if hdr.slice_type == SliceType.P:
+        if hdr.slice_type in (SliceType.P, SliceType.SP):
             if view > 0 and hdr.is_idr:
                 # MVC anchor picture: inter-view prediction only (H.8.2;
                 # the view-1 DPB flushes when this picture is stored)

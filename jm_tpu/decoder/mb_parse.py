@@ -102,6 +102,13 @@ class PictureData:
         self.ref_pic_id_l1 = np.full((n, 4), -1, np.int64)
         # encoder-side: chosen inter partition mode (coded P mb_type 0..3)
         self.inter_mode = np.full(n, -1, np.int8)
+        # SP/SI switching slices (spec 8.6; ldecod itrans_sp block.c:395):
+        # per-MB flag for the transform-domain requantization path, the
+        # switching QP QS, and sp_for_switch_flag
+        self.sp_mb = np.zeros(n, bool)
+        self.sp_slice = np.zeros(n, bool)   # any MB of an SP/SI slice
+        self.sp_qs = np.zeros(n, np.int32)
+        self.sp_switch = np.zeros(n, bool)
 
     # -- neighbor helpers (same-slice availability) -------------------------
 
@@ -122,6 +129,8 @@ class SliceContext:
 
     def __post_init__(self) -> None:
         self.qp = self.header.qp(self.pps)
+        self.qs = self.header.qs(self.pps)
+        self.sp_switch = bool(self.header.sp_for_switch_flag)
 
     def next_mb(self, addr: int) -> int:
         return addr + 1 if self.mb_succ is None else int(self.mb_succ[addr])
@@ -562,8 +571,17 @@ class MBParser:
                 addr = nxt(addr)
                 if addr >= n or not br.more_rbsp_data():
                     break
-        elif stype in (SliceType.P, SliceType.B):
+        elif stype in (SliceType.P, SliceType.B, SliceType.SP):
             is_b = stype == SliceType.B
+            is_sp = stype == SliceType.SP
+
+            def mark_sp(a):
+                # smb: inter MBs of SP slices take the requantizing
+                # reconstruction (mb_prediction.c:266 smb)
+                pic.sp_mb[a] = pic.mb_class[a] == MB_INTER
+                pic.sp_slice[a] = True
+                pic.sp_qs[a] = self.ctx.qs
+                pic.sp_switch[a] = self.ctx.sp_switch
             while addr < n:
                 skip_run = br.ue()
                 for _ in range(skip_run):
@@ -574,6 +592,8 @@ class MBParser:
                         self._parse_b_skip(addr)
                     else:
                         self._parse_p_skip(addr)
+                        if is_sp:
+                            mark_sp(addr)
                     addr = nxt(addr)
                 if addr >= n or not br.more_rbsp_data():
                     break
@@ -587,6 +607,8 @@ class MBParser:
                         self._parse_b_mb(addr, mb_type)
                 else:
                     self._parse_p_mb(addr, mb_type)
+                    if is_sp:
+                        mark_sp(addr)
                 addr = nxt(addr)
                 if not br.more_rbsp_data():
                     break

@@ -37,6 +37,30 @@ def _np_dequant_4x4(coef, qp, tab=None):
     return rshift_rnd_sf((coef.astype(np.int64) * scale) << per, 4).astype(np.int32)
 
 
+def _np_fwd4(x):
+    """Batched spec forward 4x4 core transform (lcommon transform.c
+    forward4x4): rows then columns with factors (1,2,1,1)."""
+    x = x.astype(np.int64)
+    p0 = x[..., :, 0] + x[..., :, 3]
+    p3 = x[..., :, 0] - x[..., :, 3]
+    p1 = x[..., :, 1] + x[..., :, 2]
+    p2 = x[..., :, 1] - x[..., :, 2]
+    t = np.stack([p0 + p1, (p3 << 1) + p2, p0 - p1, p3 - (p2 << 1)], axis=-1)
+    q0 = t[..., 0, :] + t[..., 3, :]
+    q3 = t[..., 0, :] - t[..., 3, :]
+    q1 = t[..., 1, :] + t[..., 2, :]
+    q2 = t[..., 1, :] - t[..., 2, :]
+    return np.stack([q0 + q1, (q3 << 1) + q2, q0 - q1, q3 - (q2 << 1)],
+                    axis=-2)
+
+
+# SP requantization constant (ldecod/inc/quant.h:151, EQ. 8-425)
+_SP_A = np.array([[16, 20, 16, 20],
+                  [20, 25, 20, 25],
+                  [16, 20, 16, 20],
+                  [20, 25, 20, 25]], np.int64)
+
+
 def _np_inv4(d):
     """Batched spec inverse 4x4 (no rounding); d: (..., 4, 4) int."""
     d = d.astype(np.int64)
@@ -503,6 +527,16 @@ class Reconstructor:
             pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = yb
             pred_u[by * cbh:(by + 1) * cbh, bx * 2:bx * 2 + 2] = ub
             pred_v[by * cbh:(by + 1) * cbh, bx * 2:bx * 2 + 2] = vb
+        if pic.sp_mb[addr]:
+            # SP slice inter MB: transform-domain requantization of
+            # pred+residual at QS (spec 8.6.1; ldecod itrans_sp
+            # block.c:395 / itrans_sp_cr block.c:483)
+            self.Y[py:py + 16, px:px + 16] = self._sp_luma(addr, pred_y)
+            cu, cv = self._sp_chroma(addr, pred_u, pred_v)
+            cx, cy = mbx * 8, mby * mh
+            self.U[cy:cy + mh, cx:cx + 8] = cu
+            self.V[cy:cy + mh, cx:cx + 8] = cv
+            return
         res = res_l[addr].reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
         self.Y[py:py + 16, px:px + 16] = np.clip(pred_y + res, 0, 255)
         for comp, plane, pr in ((0, self.U, pred_u), (1, self.V, pred_v)):
@@ -510,6 +544,93 @@ class Reconstructor:
                 .transpose(0, 2, 1, 3).reshape(mh, 8)
             cx, cy = mbx * 8, mby * mh
             plane[cy:cy + mh, cx:cx + 8] = np.clip(pr + resc, 0, 255)
+
+    def _sp_luma(self, addr, pred_y):
+        """itrans_sp for all 16 luma 4x4 blocks (block.c:395). Raw levels
+        serve as the recovered coefficients icof: JM stores dequantized
+        cof = level * dequant << qp_per and recovers (cof >> qp_per) /
+        dequant == level exactly (flat lists; SP profiles carry none)."""
+        from ..common.tables import QUANT_SCALE_4x4, DEQUANT_SCALE_4x4
+        pic = self.pic
+        qp = int(pic.qp[addr])
+        qs = int(pic.sp_qs[addr])
+        qp_per, qp_rem = qp // 6, qp % 6
+        qs_per, qs_rem = qs // 6, qs % 6
+        qbits = 15 + qs_per
+        Q = QUANT_SCALE_4x4[qs_rem].astype(np.int64)
+        D_sp = DEQUANT_SCALE_4x4[qs_rem].astype(np.int64)
+        D_qp = DEQUANT_SCALE_4x4[qp_rem].astype(np.int64)
+        pred_b = pred_y.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3) \
+            .astype(np.int64)                              # (by,bx,4,4)
+        PB = _np_fwd4(pred_b)
+        lev = _inv_scan_4x4(pic.luma_coef[addr:addr + 1])[0] \
+            .reshape(4, 4, 4, 4).astype(np.int64)          # raster (by,bx)
+        if pic.sp_switch[addr]:
+            il = np.sign(PB) * rshift_rnd_sf(np.abs(PB) * Q, qbits) + lev
+        else:
+            base = PB + ((lev * D_qp * _SP_A) << qp_per >> 6)
+            il = np.sign(base) * rshift_rnd_sf(np.abs(base) * Q, qbits)
+        cof = (il * D_sp) << qs_per
+        res = _np_inv4(cof)
+        rec = np.clip(rshift_rnd_sf(res, 6), 0, 255)
+        return rec.transpose(0, 2, 1, 3).reshape(16, 16)
+
+    def _sp_chroma(self, addr, pred_u, pred_v):
+        """itrans_sp_cr (block.c:483), 4:2:0: AC blocks like luma, the
+        2x2 DC plane requantized through the prediction's 2x2 Hadamard;
+        chroma QP is QP_SCALE_CR of the luma QP/QS (no PPS offset —
+        block.c:497-500)."""
+        from ..common.tables import QUANT_SCALE_4x4, DEQUANT_SCALE_4x4
+        pic = self.pic
+        qpc = chroma_qp(int(pic.qp[addr]), 0)
+        qsc = chroma_qp(int(pic.sp_qs[addr]), 0)
+        qp_per, qp_rem = qpc // 6, qpc % 6
+        qs_per, qs_rem = qsc // 6, qsc % 6
+        qbits = 15 + qs_per
+        Q = QUANT_SCALE_4x4[qs_rem].astype(np.int64)
+        D_sp = DEQUANT_SCALE_4x4[qs_rem].astype(np.int64)
+        D_qp = DEQUANT_SCALE_4x4[qp_rem].astype(np.int64)
+        sw = bool(pic.sp_switch[addr])
+        out = []
+        for comp, pred in ((0, pred_u), (1, pred_v)):
+            pred_b = pred.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3) \
+                .astype(np.int64)                          # (by,bx,4,4)
+            PB = _np_fwd4(pred_b)
+            # 2x2 Hadamard of the prediction DCs (mp1)
+            pdc = PB[:, :, 0, 0]                           # (2,2) [by][bx]
+            mp1 = np.array([
+                pdc[0, 0] + pdc[1, 0] + pdc[0, 1] + pdc[1, 1],
+                pdc[0, 0] - pdc[1, 0] + pdc[0, 1] - pdc[1, 1],
+                pdc[0, 0] + pdc[1, 0] - pdc[0, 1] - pdc[1, 1],
+                pdc[0, 0] - pdc[1, 0] - pdc[0, 1] + pdc[1, 1]], np.int64)
+            lev = _inv_scan_4x4(
+                pic.chroma_coef[addr:addr + 1, comp])[0] \
+                .reshape(2, 2, 4, 4).astype(np.int64)      # raster (by,bx)
+            dc_lev = pic.chroma_dc[addr, comp].astype(np.int64)  # (4,) scan
+            dcl = np.array([dc_lev[0], dc_lev[1], dc_lev[2], dc_lev[3]],
+                           np.int64)            # [n1 + 2*n2] = [bx + 2*by]
+            if sw:
+                ildc = np.sign(mp1) * rshift_rnd_sf(
+                    np.abs(mp1) * int(Q[0, 0]), qbits + 1) + dcl
+                mp1q = (ildc * int(D_sp[0, 0])) << qs_per
+                il = np.sign(PB) * rshift_rnd_sf(np.abs(PB) * Q, qbits) + lev
+            else:
+                bdc = mp1 + ((dcl * int(D_qp[0, 0]) * 16) << qp_per >> 5)
+                ildc = np.sign(bdc) * rshift_rnd_sf(
+                    np.abs(bdc) * int(Q[0, 0]), qbits + 1)
+                mp1q = (ildc * int(D_sp[0, 0])) << qs_per
+                base = PB + ((lev * D_qp * _SP_A) << qp_per >> 6)
+                il = np.sign(base) * rshift_rnd_sf(np.abs(base) * Q, qbits)
+            cof = (il * D_sp) << qs_per
+            # inverse 2x2 Hadamard of the requantized DC plane
+            cof[0, 0, 0, 0] = (mp1q[0] + mp1q[1] + mp1q[2] + mp1q[3]) >> 1
+            cof[0, 1, 0, 0] = (mp1q[0] + mp1q[1] - mp1q[2] - mp1q[3]) >> 1
+            cof[1, 0, 0, 0] = (mp1q[0] - mp1q[1] + mp1q[2] - mp1q[3]) >> 1
+            cof[1, 1, 0, 0] = (mp1q[0] - mp1q[1] - mp1q[2] + mp1q[3]) >> 1
+            res = _np_inv4(cof)
+            rec = np.clip(rshift_rnd_sf(res, 6), 0, 255)
+            out.append(rec.transpose(0, 2, 1, 3).reshape(8, 8))
+        return out
 
     def _recon_ipcm(self, addr):
         pic = self.pic

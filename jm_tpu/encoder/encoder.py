@@ -142,6 +142,14 @@ class EncoderConfig:
     rd_picture_decision: bool = False  # multi-pass QP+-1 picture RD (E4,
                                        # lencod RDPictureDecision/image_mp.c)
     long_term_period: int = 0    # mark every Nth anchor long-term via MMCO
+    ref_reorder: int = 0         # ReferenceReorder=1: POC-distance list0
+                                 # order + explicit modification commands
+                                 # (lencod list_reorder.c
+                                 # poc_ref_pic_reorder_frame_default:82)
+    poc_mem_mgmt: int = 0        # PocMemoryManagement=1: MMCO 1 unmarks the
+                                 # min-POC short-term ref when the DPB is
+                                 # full (lencod mmco.c
+                                 # poc_based_ref_management_frame_pic:300)
                                  # (E24, lencod mmco.c adaptive marking)
     num_decoders: int = 0        # errdo: simulated lossy decoders (E32,
     loss_rate_a: int = 0         # lencod NumberOfDecoders / LossRateA)
@@ -359,6 +367,7 @@ class Encoder:
         self.frame_num = 0
         self.idr_pic_id = 0
         self.refs: list[Frame] = []   # most recent first
+        self._cur_poc = None          # POC of the picture being coded
         self._uid = 0
         self.stats = []
         self.results = []             # per-picture {disp, type, bits, frame}
@@ -408,11 +417,66 @@ class Encoder:
     def _ref_list_p(self) -> list:
         """List-0 mirror of the decoder's ref_list_p (dpb.py): short-term
         by PicNum descending (== insertion order here), long-term tail by
-        index."""
+        index. With ReferenceReorder=1 the short-term run is re-sorted by
+        absolute POC distance to the current picture and the slice header
+        carries matching modification commands (_poc_reorder_cmds)."""
         st = [f for f in self.refs if not f.is_long_term]
+        if self.cfg.ref_reorder == 1 and self._cur_poc is not None:
+            cp = self._cur_poc
+            st = sorted(st, key=lambda f: (abs(f.poc - cp),
+                                           0 if f.poc > cp else 1))
         lt = sorted((f for f in self.refs if f.is_long_term),
                     key=lambda f: f.long_term_frame_idx)
         return (st + lt)[:self.num_ref_active]
+
+    def _picnum(self, f) -> int:
+        """PicNum of a short-term ref relative to the current frame_num
+        (spec 8.2.4.1 wrap)."""
+        return (f.frame_num if f.frame_num <= self.frame_num
+                else f.frame_num - self.sps.max_frame_num)
+
+    def _poc_reorder_cmds(self):
+        """ref_pic_list_modification commands reproducing `_ref_list_p`'s
+        POC order from the decoder's default PicNum order — the emission
+        loop of lencod/src/list_reorder.c:196-238 (abs_diff_pic_num
+        commands, early stop once the remainder already matches)."""
+        default = [f for f in self.refs if not f.is_long_term]
+        default = default[:self.num_ref_active]
+        target = [f for f in self._ref_list_p() if not f.is_long_term]
+        n = len(target)
+        if target == default[:n]:
+            return None
+        max_fn = self.sps.max_frame_num
+        cmds = []
+        pred = self.frame_num
+        cur = [self._picnum(f) for f in default]
+        want = [self._picnum(f) for f in target]
+        for i, pn in enumerate(want):
+            diff = pn - pred
+            if diff <= 0:
+                amp = -diff - 1
+                cmds.append((0, max_fn - 1 if amp < 0 else amp))
+            else:
+                cmds.append((1, diff - 1))
+            pred = pn
+            # simulate the list state to allow early termination
+            rest = [x for x in cur[i:] if x != pn]
+            cur = cur[:i] + [pn] + rest
+            if cur[i + 1:n] == want[i + 1:]:
+                break
+        return cmds
+
+    def _poc_mmco(self):
+        """PocMemoryManagement=1: when the DPB holds exactly
+        sps.num_ref_frames short-term refs, unmark the min-POC one via
+        MMCO op 1 (mmco.c poc_based_ref_management_frame_pic:300).
+        Returns (mmco_ops, victim_frame) or (None, None)."""
+        st = [f for f in self.refs if not f.is_long_term]
+        if len(st) + sum(f.is_long_term for f in self.refs) \
+                != self.sps.max_num_ref_frames or not st:
+            return None, None
+        victim = min(st, key=lambda f: f.poc)
+        return ((1, self.frame_num - self._picnum(victim) - 1),), victim
 
     def _store_ref(self, frame: Frame, long_term: bool = False) -> None:
         """Mirror of DPB.store bookkeeping (sliding window spares
@@ -790,6 +854,7 @@ class Encoder:
             self.frame_num = 0  # spec 7.4.3: IDR pictures have frame_num 0
             self._idr_disp = disp
         poc = 2 * (disp - self._idr_disp)
+        self._cur_poc = poc
         if self.rc is not None:
             if is_intra:
                 # nominal GOP horizon for streaming allocation
@@ -819,6 +884,12 @@ class Encoder:
                    and self.frame_idx % cfg.long_term_period == 0)
         long_term_flag = 1 if (lt_mark and is_idr) else 0
         mmco_ops = ((4, 1), (6, 0)) if (lt_mark and not is_idr) else None
+        poc_victim = None
+        if cfg.poc_mem_mgmt == 1 and not is_idr and mmco_ops is None:
+            mmco_ops, poc_victim = self._poc_mmco()
+        ref_mod_l0 = (self._poc_reorder_cmds()
+                      if cfg.ref_reorder == 1 and stype == SliceType.P
+                      else None)
 
         # multi-pass RD picture decision (E4, lencod image_mp.c
         # frame_picture_mp_* + rdpicdecision.c rd_pic_decision): trial the
@@ -851,7 +922,7 @@ class Encoder:
                     lambda fe_, pic_, sizes, q=q: self._serialize_anchor_slices(
                         pic_, stype, q, poc, is_idr, wp_l0,
                         long_term_flag=long_term_flag, mmco_ops=mmco_ops,
-                        sizes_out=sizes))
+                        ref_mod_l0=ref_mod_l0, sizes_out=sizes))
                 recY, recU, recV = fe.recY.copy(), fe.recU.copy(), fe.recV.copy()
                 if cfg.deblock:
                     self._deblock(recY, recU, recV, pic)
@@ -862,7 +933,8 @@ class Encoder:
                     self._deblock(recY, recU, recV, pic)
                 slice_bytes = self._serialize_anchor_slices(
                     pic, stype, q, poc, is_idr, wp_l0,
-                    long_term_flag=long_term_flag, mmco_ops=mmco_ops)
+                    long_term_flag=long_term_flag, mmco_ops=mmco_ops,
+                    ref_mod_l0=ref_mod_l0)
             if len(qps) == 1:
                 best = (0.0, q, pic, recY, recU, recV, slice_bytes)
                 break
@@ -887,6 +959,10 @@ class Encoder:
                         pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())
         if is_idr:
             self.refs = []
+        if poc_victim is not None:
+            # the decoder executes the MMCO before storing the current
+            # picture (spec 8.2.5.4.1); mirror that marking here
+            self.refs.remove(poc_victim)
         self._store_ref(frame, long_term=lt_mark)
         if self.errdo is not None:   # advance the simulated lossy decoders
             self.errdo.update(pic, recY, self.mb_w, is_ref=True)
@@ -956,13 +1032,15 @@ class Encoder:
 
     def _serialize_anchor_slices(self, pic, stype, qp, poc, is_idr,
                                  wp_l0, long_term_flag=0,
-                                 mmco_ops=None, sizes_out=None) -> bytes:
+                                 mmco_ops=None, ref_mod_l0=None,
+                                 sizes_out=None) -> bytes:
         cfg = self.cfg
         common = dict(slice_type=stype, frame_num=self.frame_num, idr=is_idr,
                       qp=qp, idr_pic_id=self.idr_pic_id,
                       num_ref_idx_l0=self.num_ref_active,
                       poc_lsb=poc % 256, wp_l0=wp_l0,
                       long_term_flag=long_term_flag, mmco_ops=mmco_ops,
+                      ref_mod_l0=ref_mod_l0,
                       slice_group_change_cycle=cfg.sg_change_cycle)
         nal_type = NalUnitType.IDR if is_idr else NalUnitType.SLICE
         out = b""
@@ -1171,6 +1249,7 @@ class Encoder:
         from ..decoder.b_slice import ColMotion
         cfg = self.cfg
         poc = 2 * (disp - self._idr_disp)
+        self._cur_poc = poc
         if self.rc is not None:
             qp_b = self.rc.pict_qp("B")
         elif qp_offset is not None:      # explicit GOP per-entry offset

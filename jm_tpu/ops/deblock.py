@@ -98,6 +98,20 @@ def compute_bs(pic, mb_w: int, mb_h: int):
     is_mb_h[3::4, :] = True
     bs_h[1:, :] = edge_bs(sl(fields, np.s_[:-1, :]), sl(fields, np.s_[1:, :]),
                           is_mb_h)
+    # SP/SI slices: every edge of an SP-slice MbQ is forced to 4 (MB edge)
+    # or 3 (internal) regardless of content (ldecod
+    # loop_filter_normal.c:100,230; spec 8.7.2.1)
+    sp = getattr(pic, "sp_slice", None)
+    if sp is not None and sp.any():
+        spq = np.repeat(np.repeat(sp.reshape(mb_h, mb_w), 4, 0), 4, 1)
+        mbe_v = np.zeros((H, W), bool)
+        mbe_v[:, ::4] = True
+        mbe_h = np.zeros((H, W), bool)
+        mbe_h[::4, :] = True
+        bs_v = np.where(spq, np.where(mbe_v, 4, 3), bs_v).astype(np.int8)
+        bs_h = np.where(spq, np.where(mbe_h, 4, 3), bs_h).astype(np.int8)
+        bs_v[:, 0] = 0
+        bs_h[0, :] = 0
     return bs_v, bs_h
 
 

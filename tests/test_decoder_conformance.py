@@ -47,6 +47,8 @@ def _load_yuv(path, n_frames, chroma=420):
     ("fmo_t5d1.264", "fmo_t5d1_rec.yuv", 3),  # FMO wipe, reverse direction
     ("fmo_t6.264", "fmo_t6_rec.yuv", 3),     # FMO explicit (sg6conf)
     ("poc1b.264", "poc1b_rec.yuv", 9),       # POC type 1, B pyramid
+    ("sp1.264", "sp1_rec.yuv", 9),           # SP switching slices (E35):
+                                             # I-P-P-SP-P, QS 30 requant
 ])
 def test_bit_exact_vs_jm(golden_dir, stream, recon, n):
     frames = sorted(decode_file(str(golden_dir / stream)), key=lambda f: f.poc)
