@@ -194,6 +194,10 @@ class EncoderParams:
     LeakyBucketRateFile: str = ""
     ReferenceReorder: int = 0
     PocMemoryManagement: int = 0
+    SPPicturePeriodicity: int = 0
+    PartitionMode: int = 0
+    QPSPSlice: int = 24
+    QPSP2Slice: int = 0
     RCMinQP: int = 8             # RCMinQPPSlice (rate_control.c clamps)
     RCMaxQP: int = 42            # RCMaxQPPSlice
     SEIMessageText: str = ""
@@ -228,6 +232,8 @@ class EncoderParams:
         "slice_group_map_type", "slice_group_change_direction_flag",
         "slice_group_change_rate_minus1", "RCMinQP", "RCMaxQP",
         "ReferenceReorder", "PocMemoryManagement",
+        "SPPicturePeriodicity", "QPSPSlice", "QPSP2Slice",
+        "PartitionMode",
     }
     _STR_FIELDS = {"InputFile", "OutputFile", "ReconFile", "StatsFile",
                    "SliceGroupConfigFileName", "LeakyBucketParamFile",
@@ -247,7 +253,7 @@ class EncoderParams:
     # reporting (never bitstream syntax): accepted at any value, recorded in
     # `.ignored` and reported once — not silent, and never raise.
     _TOLERATED_PREFIXES = ("EPZS", "UMHex", "MEDistortion", "Report",
-                          "Display", "LambdaWeight")
+                          "Display", "LambdaWeight", "AdaptRndCr")
     _TOLERATED = {
         "Verbose", "SummaryFile", "LogFile", "StatsFileMode",
         "ProcessInput", "ChromaMCBuffer", "ChromaMEEnable",
@@ -258,7 +264,9 @@ class EncoderParams:
         "SubMBCodingState", "FastCrIntraDecision", "I16RDOpt",
         "BiasSkipRDO", "DisableThresholding", "SetMVXLimit", "SetMVYLimit",
         "BiPredMESubPel", "AdaptRndChroma", "RDOQ_CP_Mode",
-        "RDOQ_CP_MV", "RDOQ_Fast",
+        "RDOQ_CP_MV", "RDOQ_Fast", "AdaptRoundingFixed",
+        "AdaptRndWFactorINRef", "AdaptRndWFactorPNRef",
+        "AdaptRndWFactorBNRef",
     }
 
     # Sub-parameters that are inert unless their master feature switch is
@@ -283,7 +291,7 @@ class EncoderParams:
         "UseRedundantPicture": (
             "NumRedundantHierarchy", "PrimaryGOPLength", "NumRefPrimary"),
         "SPPicturePeriodicity": (
-            "QPSPSlice", "QPSISlice", "QPSP2Slice", "SI_FRAMES", "SP2_FRAMES",
+            "QPSISlice", "SI_FRAMES", "SP2_FRAMES",
             "SP_output_indicator", "SP_output_name", "SP2_input_name1",
             "SP2_input_name2", "LambdaWeightSPSlice", "LambdaWeightSISlice"),
         "ToneMappingSEIPresentFlag": ("ToneMappingFile",),
@@ -415,7 +423,7 @@ class EncoderParams:
         unsupported = []
         if self.Transform8x8Mode not in (0, 1):
             unsupported.append(f"Transform8x8Mode {self.Transform8x8Mode}")
-        if self.ProfileIDC not in (66, 77, 100, 122, 118, 128):
+        if self.ProfileIDC not in (66, 77, 88, 100, 122, 118, 128):
             unsupported.append(f"ProfileIDC {self.ProfileIDC}")
         if self.SymbolMode not in (0, 1):
             unsupported.append(f"SymbolMode {self.SymbolMode}")
@@ -518,6 +526,9 @@ class EncoderParams:
             rc_initial_qp=self.InitialQP,
             rc_basic_unit=self.BasicUnit if self.RateControlEnable else 0,
             ref_reorder=1 if self.ReferenceReorder == 1 else 0,
+            sp_periodicity=self.SPPicturePeriodicity,
+            data_partition=1 if self.PartitionMode == 1 else 0,
+            qp_sp=self.QPSPSlice, qp_sp2=self.QPSP2Slice,
             poc_mem_mgmt=1 if self.PocMemoryManagement == 1 else 0,
             num_views=2 if self.NumberOfViews == 2 else 1)
 

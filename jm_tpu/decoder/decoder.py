@@ -13,6 +13,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..bitstream.bitreader import BitReader
 from ..bitstream.nal import NalUnit, NalUnitType, split_annexb
 from ..common.types import SliceType
 from ..ops.deblock import deblock_picture
@@ -51,6 +52,11 @@ class H264Decoder:
         self.concealed_count = 0
         self._prev_ref_frame_num = None
         self._prev_poc = 0
+        # field (PAFF) decoding state (D21/E42)
+        self._field_refs: list = []     # reference fields, newest first
+        self._dp_pending = None         # data-partitioned slice (D3)
+        self._pending_field = None      # first field awaiting its pair
+        self._uid_next = 1 << 20        # field uids, disjoint from DPB's
         # D20 decoder statistics (ldecod/src/dec_statistics.c twin):
         # bits per NAL type, MB class / skip histograms, slice counts
         self.stats = {
@@ -77,6 +83,7 @@ class H264Decoder:
                 # truncated NAL payload (ldecod prints "incomplete NALU"
                 # and aborts the picture; we fail the call cleanly)
                 raise ValueError(f"truncated NAL unit: {e}") from e
+        self._flush_dp()
         self._finish_picture()
         return self._outputs[start:]
 
@@ -84,6 +91,18 @@ class H264Decoder:
 
     def _handle_nal(self, nal: NalUnit) -> None:
         t = nal.nal_unit_type
+        if t == NalUnitType.DPA:
+            self._flush_dp()
+            self._dp_pending = {"a": nal, "b": None, "c": None}
+            return
+        if t in (NalUnitType.DPB, NalUnitType.DPC):
+            if self._dp_pending is None:
+                # ldecod: "found data partition B/C without matching DP A,
+                # discarding" (image.c)
+                return
+            self._dp_pending["b" if t == NalUnitType.DPB else "c"] = nal
+            return
+        self._flush_dp()
         if t == NalUnitType.SPS:
             sps = parse_sps(nal.rbsp)
             self.sps_map[sps.seq_parameter_set_id] = sps
@@ -112,7 +131,7 @@ class H264Decoder:
         else:
             pass  # aux NALs handled in later phases
 
-    def _handle_slice(self, nal: NalUnit) -> None:
+    def _handle_slice(self, nal: NalUnit, dp_readers=None) -> None:
         view = (nal.mvc_ext["view_id"]
                 if nal.nal_unit_type == NalUnitType.SLICE_EXT else 0)
         smap = self.sps_map if view == 0 else (
@@ -131,6 +150,17 @@ class H264Decoder:
                 self.dpb1 = DPB(sps)
             dpb = self.dpb1
 
+        fld = int(getattr(hdr, "field_pic_flag", 0))
+        if sps.mb_adaptive_frame_field_flag and not fld:
+            raise NotImplementedError(
+                "MBAFF frames are not supported yet (E42)")
+        if fld:
+            if pps.entropy_coding_mode_flag:
+                raise NotImplementedError(
+                    "CABAC field pictures not supported yet (E42)")
+            if hdr.slice_type == SliceType.B:
+                raise NotImplementedError(
+                    "B field pictures not supported yet (E42)")
         if self._is_new_picture(hdr):
             self._finish_picture()
             pctx = self.poc_ctx if view == 0 else self.poc_ctx1
@@ -139,12 +169,16 @@ class H264Decoder:
                     and self._prev_ref_frame_num is not None
                     and self.dpb is not None and self.dpb.frames):
                 self._conceal_frame_num_gap(hdr, sps, poc)
-            pic = PictureData(sps.pic_width_in_mbs, sps.frame_height_in_mbs,
+            mb_h = sps.frame_height_in_mbs // 2 if fld \
+                else sps.frame_height_in_mbs
+            pic = PictureData(sps.pic_width_in_mbs, mb_h,
                               sps.chroma_format_idc)
+            pic.field_mode = bool(fld)
             self._cur = {
                 "pic": pic, "sps": sps, "pps": pps, "poc": poc,
                 "headers": [], "slice_params": [], "n_slices": 0,
                 "mb_succ": None, "view": view, "hdr0": hdr,
+                "parity": (int(hdr.bottom_field_flag) if fld else None),
             }
             if pps.num_slice_groups_minus1 > 0:
                 from ..common.fmo import mb_to_slice_group_map, next_mb_arrays
@@ -160,7 +194,17 @@ class H264Decoder:
         # construction; ldecod mbuffer_mvc.c init_lists_p/b_slice_mvc)
         iv = self._last_v0 if view > 0 else None
         lst, lst1 = [], []
-        if hdr.slice_type in (SliceType.P, SliceType.SP):
+        if cur.get("parity") is not None and \
+                hdr.slice_type in (SliceType.P, SliceType.SP):
+            if hdr.ref_pic_list_mod_l0:
+                raise NotImplementedError(
+                    "field ref list modification not supported yet")
+            nact = hdr.num_ref_idx_l0_active_minus1 + 1
+            lst = self._field_ref_list_p(hdr, sps, cur["parity"])[:nact]
+            if len(lst) < nact:
+                raise ValueError("insufficient reference fields")
+            lst1 = []
+        elif hdr.slice_type in (SliceType.P, SliceType.SP):
             if view > 0 and hdr.is_idr:
                 # MVC anchor picture: inter-view prediction only (H.8.2;
                 # the view-1 DPB flushes when this picture is stored)
@@ -202,10 +246,18 @@ class H264Decoder:
                              [f.is_long_term for f in lst],
                              compute_mvscale(cur["poc"], lst, col.poc))
         if pps.entropy_coding_mode_flag:
+            if dp_readers is not None:
+                raise ValueError("data partitioning is CAVLC-only")
             from .mb_parse_cabac import MBParserCABAC
             parser = MBParserCABAC(pic, ctx, br)
         else:
+            if dp_readers is not None:
+                br.ue()     # DP_A slice_id (ldecod image.c:1628)
             parser = MBParser(pic, ctx, br)
+            if dp_readers is not None:
+                parser.dp_mode = True
+                parser.br_b = dp_readers.get("b")
+                parser.br_c = dp_readers.get("c")
         if self.conceal_mode:
             try:
                 parser.parse_slice_data()
@@ -250,6 +302,10 @@ class H264Decoder:
                     tuple(getattr(h, "delta_pic_order_cnt", ()) or ()))
 
         return (hdr.frame_num != h0.frame_num
+                or getattr(hdr, "field_pic_flag", 0) !=
+                getattr(h0, "field_pic_flag", 0)
+                or getattr(hdr, "bottom_field_flag", 0) !=
+                getattr(h0, "bottom_field_flag", 0)
                 or hdr.pic_parameter_set_id != h0.pic_parameter_set_id
                 or hdr.is_idr != h0.is_idr
                 or (hdr.is_idr and hdr.idr_pic_id != h0.idr_pic_id)
@@ -330,7 +386,8 @@ class H264Decoder:
 
         from .wp import WPParams
         wp = WPParams(hdr0, pps, lst0, lst1, cur["poc"])
-        rec = Reconstructor(pic, sps, pps, lst0, lst1, wp)
+        rec = Reconstructor(pic, sps, pps, lst0, lst1, wp,
+                            cur_parity=cur.get("parity"))
         Y, U, V = rec.run()
 
         # deblock (per-MB slice params)
@@ -368,6 +425,9 @@ class H264Decoder:
         frame.motion = (pic.mv.copy(), pic.ref_idx.copy(),
                         pic.mv_l1.copy(), pic.ref_idx_l1.copy(),
                         pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())
+        if cur.get("parity") is not None:
+            self._finish_field(cur, frame, hdr0, pic)
+            return
         dpb = self.dpb if view == 0 else self.dpb1
         dpb.store(frame,
                   mmco_ops=(hdr0.mmco_ops
@@ -392,8 +452,131 @@ class H264Decoder:
         st["mb_ipcm"] += int((cls == MB_IPCM).sum())
         st["mb_inter"] += int((cls == MB_INTER).sum())
         st["mb_skip"] += int(pic.skip.sum())
-        self._outputs.append(DecodedFrame(cur["poc"], Y, U, V,
+        Yc, Uc, Vc = _crop_output(sps, Y, U, V)
+        self._outputs.append(DecodedFrame(cur["poc"], Yc, Uc, Vc,
                                           view_id=view))
+
+
+    def _flush_dp(self) -> None:
+        """Complete a pending data-partitioned slice (NAL 2/3/4): the
+        DPA carries the slice header + MB headers, DPB/DPC the intra/
+        inter residual SEs behind a slice_id partition header
+        (ldecod read_new_slice DP assembly, image.c)."""
+        if self._dp_pending is None:
+            return
+        dp, self._dp_pending = self._dp_pending, None
+        readers = {}
+        pps0 = next(iter(self.pps_map.values())) if self.pps_map else None
+        for key in ("b", "c"):
+            n = dp[key]
+            if n is None:
+                continue
+            br = BitReader(n.rbsp)
+            br.ue()                         # slice_id
+            if pps0 is not None and getattr(
+                    pps0, "redundant_pic_cnt_present_flag", 0):
+                br.ue()                     # redundant_pic_cnt
+            readers[key] = br
+        self._handle_slice(dp["a"], dp_readers=readers)
+
+    # ---- field (PAFF) decoding: D21/E42 ------------------------------
+
+    def _field_ref_list_p(self, hdr, sps, parity) -> list:
+        """Initial P-field list0 (spec 8.2.4.2.2 + 8.2.4.2.5): frame
+        units ordered by FrameNumWrap descending, fields taken
+        alternately starting with the current parity."""
+        max_fn = sps.max_frame_num
+        cur_fn = hdr.frame_num
+
+        def fnw(f):
+            return (f.frame_num - max_fn if f.frame_num > cur_fn
+                    else f.frame_num)
+        units: dict = {}
+        for f in self._field_refs:
+            if not f.is_long_term:
+                units.setdefault(fnw(f), []).append(f)
+        order = [units[k] for k in sorted(units, reverse=True)]
+        same = [f for u in order for f in u if f.parity == parity]
+        opp = [f for u in order for f in u if f.parity != parity]
+        out, i, j = [], 0, 0
+        while i < len(same) or j < len(opp):
+            if i < len(same):
+                out.append(same[i])
+                i += 1
+            if j < len(opp):
+                out.append(opp[j])
+                j += 1
+        return out
+
+    def _finish_field(self, cur, frame, hdr0, pic) -> None:
+        """Store a decoded field as a reference (frame-unit sliding
+        window, mbuffer.c) and weave complementary pairs into display
+        frames."""
+        frame.parity = cur["parity"]
+        frame.uid = self._uid_next
+        self._uid_next += 1
+        if hdr0.is_idr:
+            self._field_refs = []
+        if hdr0.adaptive_ref_pic_marking_mode_flag:
+            raise NotImplementedError("field MMCO not supported yet")
+        if frame.is_ref:
+            self._field_refs.insert(0, frame)
+            # sliding window over frame units (a complementary pair or an
+            # unpaired field counts one unit; spec 8.2.5.3, mbuffer.c)
+            units = []
+            for f in self._field_refs:       # newest first
+                if units and f.frame_num == units[-1][0].frame_num \
+                        and len(units[-1]) == 1 \
+                        and f.parity != units[-1][0].parity:
+                    units[-1].append(f)
+                else:
+                    units.append([f])
+            cap = max(1, cur["sps"].max_num_ref_frames)
+            while len(units) > cap:
+                for f in units.pop():        # oldest unit
+                    self._field_refs.remove(f)
+        # output weaving
+        pend = self._pending_field
+        if (pend is not None and pend.frame_num == frame.frame_num
+                and pend.parity != frame.parity):
+            top, bot = ((pend, frame) if pend.parity == 0
+                        else (frame, pend))
+            H2, W = top.Y.shape
+            Y = np.empty((H2 * 2, W), top.Y.dtype)
+            Y[0::2], Y[1::2] = top.Y, bot.Y
+            ch, cw = top.U.shape
+            U = np.empty((ch * 2, cw), top.U.dtype)
+            U[0::2], U[1::2] = top.U, bot.U
+            V = np.empty((ch * 2, cw), top.V.dtype)
+            V[0::2], V[1::2] = top.V, bot.V
+            Y, U, V = _crop_output(cur["sps"], Y, U, V)
+            self._outputs.append(DecodedFrame(
+                min(top.poc, bot.poc), Y, U, V,
+                view_id=cur.get("view", 0)))
+            self._pending_field = None
+        else:
+            self._pending_field = frame
+        self.stats["pictures"] += 1
+        self.stats["slices"] += cur["n_slices"]
+
+
+def _crop_output(sps, Y, U, V):
+    """Apply SPS frame cropping (spec 7.4.2.1.1): CropUnitX/Y scale by
+    chroma subsampling and (2 - frame_mbs_only_flag)."""
+    if not sps.frame_cropping_flag:
+        return Y, U, V
+    sub_w = 2 if sps.chroma_format_idc in (1, 2) else 1
+    sub_h = 2 if sps.chroma_format_idc == 1 else 1
+    ux = sub_w * 1
+    uy = sub_h * (2 - sps.frame_mbs_only_flag)
+    l, r = sps.frame_crop_left_offset * ux, sps.frame_crop_right_offset * ux
+    t, b = sps.frame_crop_top_offset * uy, sps.frame_crop_bottom_offset * uy
+    H, W = Y.shape
+    Y = Y[t:H - b, l:W - r]
+    cs_h, cs_w = H // U.shape[0], W // U.shape[1]
+    U = U[t // cs_h:(H - b) // cs_h, l // cs_w:(W - r) // cs_w]
+    V = V[t // cs_h:(H - b) // cs_h, l // cs_w:(W - r) // cs_w]
+    return Y, U, V
 
 
 def decode_file(path: str) -> list[DecodedFrame]:

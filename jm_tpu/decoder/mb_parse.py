@@ -106,6 +106,7 @@ class PictureData:
         # per-MB flag for the transform-domain requantization path, the
         # switching QP QS, and sp_for_switch_flag
         self.sp_mb = np.zeros(n, bool)
+        self.field_mode = False     # field picture (decoded at half height)
         self.sp_slice = np.zeros(n, bool)   # any MB of an SP/SI slice
         self.sp_qs = np.zeros(n, np.int32)
         self.sp_switch = np.zeros(n, bool)
@@ -143,6 +144,12 @@ class MBParser:
         self.pic = pic
         self.ctx = ctx
         self.br = br
+        # data partitioning (D3): residual SEs read from partition B
+        # (intra) / C (inter) when present (assignSE2partition_DP,
+        # lencod header.c:37; ldecod elements.h partition map)
+        self.br_b = None
+        self.br_c = None
+        self.dp_mode = False
         self.mb_w = pic.mb_w
         self.qp = ctx.qp
         self.pctx = PredCtx(pic)
@@ -180,10 +187,22 @@ class MBParser:
                 for dx in range(2):
                     pic.i4_modes[addr, blk_tl + dy * 4 + dx] = mode
 
+    def _res_br(self, addr: int):
+        """Reader carrying this MB's residual SEs: partition B for intra
+        MBs, C for inter MBs, the single slice reader otherwise. A missing
+        partition yields zero coefficients (ldecod ei_flag semantics)."""
+        if not self.dp_mode:
+            return self.br
+        br = (self.br_b if self.pic.mb_class[addr] != MB_INTER
+              else self.br_c)
+        if br is None:
+            raise ValueError("missing data partition for residual data")
+        return br
+
     def _read_luma_residual_8x8(self, addr: int, cbp: int) -> None:
         """CAVLC 8x8: each 8x8 read as 4 interleaved 4x4 CAVLC blocks
         (ldecod read_comp_cavlc.c read_comp_coeff_8x8_CAVLC:856)."""
-        pic, br = self.pic, self.br
+        pic, br = self.pic, self._res_br(addr)
         for blk8 in range(4):
             if not (cbp & (1 << blk8)):
                 continue
@@ -207,7 +226,7 @@ class MBParser:
     # ---- residual reading -------------------------------------------------
 
     def _read_luma_residual(self, addr: int, cbp: int, is_i16: bool) -> None:
-        pic, br = self.pic, self.br
+        pic, br = self.pic, self._res_br(addr)
         if is_i16:
             nc = self._nc_luma(addr, 0)
             coeffs, _tc = residual_block_cavlc(br, nc, 16)
@@ -229,7 +248,7 @@ class MBParser:
                 pic.luma_nnz[addr, blk] = tc
 
     def _read_chroma_residual(self, addr: int, cbp: int, intra: bool) -> None:
-        pic, br = self.pic, self.br
+        pic, br = self.pic, self._res_br(addr)
         cbp_chroma = cbp >> 4
         is422 = self.ctx.sps.chroma_format_idc == 2
         if cbp_chroma & 3:

@@ -14,19 +14,22 @@ from __future__ import annotations
 import numpy as np
 
 from ..common.predict_ctx import RASTER2CODE
-from ..common.tables import ZIGZAG_4x4, chroma_qp
+from ..common.tables import FIELD_SCAN_4x4, ZIGZAG_4x4, chroma_qp
 from ..ops import intra as I
 from ..ops import interp as P
 from ..ops.quant import (FLAT_INV_SCALE_4x4, rshift_rnd_sf)
 from .mb_parse import MB_I4, MB_I16, MB_INTER, MB_IPCM, PictureData
 
 _ZZ = np.asarray(ZIGZAG_4x4)
+_FS = np.asarray(FIELD_SCAN_4x4)
 
 
-def _inv_scan_4x4(coef_scan: np.ndarray) -> np.ndarray:
-    """(..., 16) scan order -> (..., 4, 4) raster."""
+def _inv_scan_4x4(coef_scan: np.ndarray, field: bool = False) -> np.ndarray:
+    """(..., 16) scan order -> (..., 4, 4) raster. Field pictures use the
+    field scan of spec 8.5.5 (tables FIELD_SCAN_4x4; ldecod pos_scan
+    selection in read_comp_cavlc.c)."""
     out = np.zeros_like(coef_scan)
-    out[..., _ZZ] = coef_scan
+    out[..., _FS if field else _ZZ] = coef_scan
     return out.reshape(*coef_scan.shape[:-1], 4, 4)
 
 
@@ -180,9 +183,10 @@ def decode_residuals(pic: PictureData, pps):
     tab4, tab8 = build_inv_scale(pps)
     intra = (pic.mb_class != 0).astype(np.int64)       # (n,)
     per = (qp // 6)
+    fld = bool(getattr(pic, "field_mode", False))
 
     # ---- luma AC / 4x4 ----
-    raster = _inv_scan_4x4(pic.luma_coef)          # (n, 16, 4, 4)
+    raster = _inv_scan_4x4(pic.luma_coef, fld)     # (n, 16, 4, 4)
     # per-MB scale table: intra -> list 0, inter -> list 3
     scale_y = tab4[np.where(intra == 1, 0, 3), qp].astype(np.int64)  # (n,4,4)
     deq = rshift_rnd_sf((raster.astype(np.int64) * scale_y[:, None]) <<
@@ -190,7 +194,7 @@ def decode_residuals(pic: PictureData, pps):
     # Intra16x16: DC path
     i16 = pic.mb_class == MB_I16
     if i16.any():
-        dc_r = _inv_scan_4x4(pic.luma_dc)          # (n, 4, 4)
+        dc_r = _inv_scan_4x4(pic.luma_dc, fld)     # (n, 4, 4)
         dc_t = _np_hadamard4(dc_r)
         scale = scale_y[:, 0, 0][:, None, None]
         dc_s = rshift_rnd_sf((dc_t * scale) << per[:, None, None], 6).astype(np.int32)
@@ -224,7 +228,8 @@ def decode_residuals(pic: PictureData, pps):
     qpc_cb = np.array([chroma_qp(int(q), pps.cb_qp_offset) for q in pic.qp], np.int64)
     qpc_cr = np.array([chroma_qp(int(q), pps.cr_qp_offset) for q in pic.qp], np.int64)
     qpc = np.stack([qpc_cb, qpc_cr], axis=1)       # (n, 2)
-    c_raster = _inv_scan_4x4(pic.chroma_coef).astype(np.int64)  # (n,2,blks,4,4)
+    c_raster = _inv_scan_4x4(pic.chroma_coef, fld) \
+        .astype(np.int64)                          # (n,2,blks,4,4)
     # list 1/2 intra Cb/Cr, 4/5 inter
     list_u = np.where(intra == 1, 1, 4)
     list_v = np.where(intra == 1, 2, 5)
@@ -277,11 +282,13 @@ class Reconstructor:
     """Host-side reference reconstruction of one picture."""
 
     def __init__(self, pic: PictureData, sps, pps, ref_frames, ref_frames_l1=(),
-                 wp=None):
+                 wp=None, cur_parity=None):
         """ref_frames: list (ref_idx order, list0) of DPB Frame objects with
         .luma_planes (INT,B,H,J) and .chroma_pad (U, V) padded planes.
-        wp: WPParams or None."""
+        wp: WPParams or None. cur_parity: None for frame pictures, 0/1 for
+        top/bottom field pictures (chroma MV parity adjustment)."""
         self.pic = pic
+        self.cur_parity = cur_parity
         self.sps = sps
         self.pps = pps
         self.refs = ref_frames
@@ -465,8 +472,16 @@ class Reconstructor:
         y4 = (py + by * 4) * 4 + mvy
         yb = P.mc_luma_block(ref.luma_planes, x4, y4, 4, 4, self.w, self.h)
         cx8 = (px // 2 + bx * 2) * 8 + mvx
+        # field decoding: opposite-parity reference shifts the chroma
+        # vector by -/+2 quarter-pel (spec 8.4.1.4.1; ldecod
+        # mb_prediction.c:145 set_chroma_vector)
+        cadj = 0
+        if self.cur_parity is not None:
+            rpar = getattr(ref, "parity", None)
+            if rpar is not None and rpar != self.cur_parity:
+                cadj = -2 if self.cur_parity == 0 else 2
         if self.crows == 2:
-            cy8 = (py // 2 + by * 2) * 8 + mvy
+            cy8 = (py // 2 + by * 2) * 8 + mvy + cadj
             cbh, chh = 2, self.h // 2
         else:
             cy8 = (py + by * 4) * 8 + mvy * 2

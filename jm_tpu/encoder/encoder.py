@@ -150,6 +150,12 @@ class EncoderConfig:
                                  # min-POC short-term ref when the DPB is
                                  # full (lencod mmco.c
                                  # poc_based_ref_management_frame_pic:300)
+    sp_periodicity: int = 0      # SPPicturePeriodicity: every Nth non-I
+                                 # picture is an SP switching picture (E35)
+    data_partition: int = 0      # PartitionMode=1: 3-partition slices
+                                 # (D3/E-side; NAL 2/3/4, CAVLC only)
+    qp_sp: int = 24              # QPSPSlice: slice QP of SP pictures
+    qp_sp2: int = 24             # QPSP2Slice: switching QP QS
                                  # (E24, lencod mmco.c adaptive marking)
     num_decoders: int = 0        # errdo: simulated lossy decoders (E32,
     loss_rate_a: int = 0         # lencod NumberOfDecoders / LossRateA)
@@ -214,6 +220,8 @@ class Encoder:
         use_wp = cfg.weighted_pred or cfg.weighted_bipred
         profile = 100 if (cfg.transform8x8 or cfg.scaling_matrix) else \
             (77 if (cfg.entropy == "cabac" or use_b or use_wp) else 66)
+        if cfg.sp_periodicity > 0 or cfg.data_partition:
+            profile = 88               # SP/DP: Extended profile (A.2.3)
         if cfg.num_views == 2:
             profile = 100              # MVC stereo: High-compatible base
                                        # view (lencod writes profile 100
@@ -284,7 +292,9 @@ class Encoder:
                        entropy_coding_mode_flag=1 if cfg.entropy == "cabac" else 0,
                        transform_8x8_mode_flag=1 if cfg.transform8x8 else 0,
                        weighted_pred_flag=1 if cfg.weighted_pred else 0,
-                       weighted_bipred_idc=cfg.weighted_bipred)
+                       weighted_bipred_idc=cfg.weighted_bipred,
+                       deblocking_filter_control_present_flag=
+                       0 if cfg.deblock else 1)
         # custom quant matrices / offsets / adaptive rounding (E10/E12,
         # q_matrix.c + q_offsets.c + q_around.c; encoder/qmatrix.py)
         self.quant_custom = bool(cfg.scaling_matrix or cfg.offset_matrix
@@ -557,6 +567,7 @@ class Encoder:
         encode_frame."""
         cfg = self.cfg
         return (cfg.pipeline == "device" and cfg.num_b == 0
+                and cfg.sp_periodicity == 0 and cfg.data_partition == 0
                 and cfg.num_views == 1 and self.rc is None
                 and self.errdo is None and not cfg.rdo
                 and not cfg.transform8x8 and not cfg.sub8x8
@@ -850,6 +861,9 @@ class Encoder:
         # (IDR would invalidate list-0 references of preceding-in-display Bs)
         is_idr = is_first or (cfg.num_b == 0 and intra_due)
         stype = SliceType.I if is_intra else SliceType.P
+        if (cfg.sp_periodicity > 0 and stype == SliceType.P
+                and self.frame_idx % cfg.sp_periodicity == 0):
+            stype = SliceType.SP     # I-P-..-SP cadence (lencod.c SP cycle)
         if is_idr:
             self.frame_num = 0  # spec 7.4.3: IDR pictures have frame_num 0
             self._idr_disp = disp
@@ -864,12 +878,14 @@ class Encoder:
             qp = self.rc.pict_qp("I" if is_intra else "P")
         else:
             qp = cfg.qp if (is_intra or cfg.qp_p is None) else cfg.qp_p
+        if stype == SliceType.SP:
+            qp = cfg.qp_sp
 
         self.num_ref_active = max(1, min(cfg.num_ref, len(self.refs)))
         wp_l0 = None
         wp = None
         forced_intra = set()
-        if stype == SliceType.P:
+        if stype in (SliceType.P, SliceType.SP):
             forced_intra = self._refresh_set()
             if cfg.weighted_pred:
                 from .wp_est import build_wp_params, estimate_explicit
@@ -1037,15 +1053,32 @@ class Encoder:
         cfg = self.cfg
         common = dict(slice_type=stype, frame_num=self.frame_num, idr=is_idr,
                       qp=qp, idr_pic_id=self.idr_pic_id,
+                      qs=cfg.qp_sp2 if stype == SliceType.SP else 0,
                       num_ref_idx_l0=self.num_ref_active,
                       poc_lsb=poc % 256, wp_l0=wp_l0,
                       long_term_flag=long_term_flag, mmco_ops=mmco_ops,
                       ref_mod_l0=ref_mod_l0,
                       slice_group_change_cycle=cfg.sg_change_cycle)
         nal_type = NalUnitType.IDR if is_idr else NalUnitType.SLICE
+        use_dp = (cfg.data_partition and not is_idr
+                  and cfg.entropy == "cavlc")
         out = b""
         pic_bins = 0
-        for addrs in self.slice_plan:
+        for sid, addrs in enumerate(self.slice_plan):
+            if use_dp:
+                from .syntax import serialize_slice_dp
+                parts = serialize_slice_dp(pic, self.sps, self.pps,
+                                           slice_id=sid, mb_addrs=addrs,
+                                           **common)
+                unit = b""
+                for ptype, rbsp in zip((NalUnitType.DPA, NalUnitType.DPB,
+                                        NalUnitType.DPC), parts):
+                    if rbsp:
+                        unit += annexb_bytes(3, ptype, rbsp)
+                if sizes_out is not None:
+                    sizes_out.append(len(unit) - 4)
+                out += unit
+                continue
             if cfg.entropy == "cabac":
                 rbsp, bins = self._serialize_cabac_best_init(
                     pic, stype, mb_addrs=addrs, **common)
@@ -1421,6 +1454,7 @@ class _FrameEncoder:
         self.qpc = chroma_qp(self.qp, enc.pps.chroma_qp_index_offset)
         self.lam = lambda_me(self.qp)
         self.lam4 = lambda_mode4(self.qp)
+        self.qs = enc.cfg.qp_sp2 if stype == SliceType.SP else 0
         self.cfi = enc.sps.chroma_format_idc
         self.crows = 4 if self.cfi == 2 else 2   # chroma 4x4 rows per MB
         self.ch_mb = self.crows * 4              # chroma MB height
@@ -1429,8 +1463,8 @@ class _FrameEncoder:
         self.recY = np.zeros_like(self.origY)
         self.recU = np.zeros_like(self.origU)
         self.recV = np.zeros_like(self.origV)
-        self.ref = enc.refs[0] if (stype == SliceType.P and enc.refs) \
-            else None
+        self.ref = enc.refs[0] \
+            if (stype in (SliceType.P, SliceType.SP) and enc.refs) else None
         self.is_view1 = False            # MVC dependent view (E40)
         self.forced_intra: set = set()   # intra refresh (E34)
         self.wp = None                   # decoder-exact WPParams (E31)
@@ -1645,7 +1679,12 @@ class _FrameEncoder:
             return self.pic
         sr = self.enc.cfg.search_range
         fast_me = self.enc.cfg.search_mode >= 1   # UMHex/UMHexSimple/EPZS
-        if self.stype == SliceType.P:
+        if self.stype == SliceType.SP:
+            # SP pictures: the whole slice takes the requantizing path
+            # (deblock forces bS 4/3 via sp_slice; loop_filter_normal.c:100)
+            self.pic.sp_slice[:] = True
+            self.pic.sp_qs[:] = self.qs
+        if self.stype in (SliceType.P, SliceType.SP):
             if not self.is_view1:
                 self.refs_list = self.enc._ref_list_p()
             if fast_me:
@@ -2482,12 +2521,25 @@ class _FrameEncoder:
             pred_u[byy * cbh:(byy + 1) * cbh, bxx * 2:bxx * 2 + 2] = ub
             pred_v[byy * cbh:(byy + 1) * cbh, bxx * 2:bxx * 2 + 2] = vb
 
+        is_sp = self.stype == SliceType.SP
+        if is_sp:
+            pic.sp_mb[addr] = True
+            pic.sp_slice[addr] = True
+            pic.sp_qs[addr] = self.qs
         if no_residual:
-            # forced P_SKIP trial: reconstruction is the prediction
+            # forced P_SKIP trial: reconstruction is the prediction (SP:
+            # the QS-requantized prediction, zero levels)
             cy, cx, ch = mby * self.ch_mb, px // 2, self.ch_mb
-            self.recY[py:py + 16, px:px + 16] = np.clip(pred_y, 0, 255)
-            self.recU[cy:cy + ch, cx:cx + 8] = np.clip(pred_u, 0, 255)
-            self.recV[cy:cy + ch, cx:cx + 8] = np.clip(pred_v, 0, 255)
+            if is_sp:
+                recy, recu, recv = self._sp_recon(addr, pred_y, pred_u,
+                                                  pred_v)
+                self.recY[py:py + 16, px:px + 16] = recy
+                self.recU[cy:cy + ch, cx:cx + 8] = recu
+                self.recV[cy:cy + ch, cx:cx + 8] = recv
+            else:
+                self.recY[py:py + 16, px:px + 16] = np.clip(pred_y, 0, 255)
+                self.recU[cy:cy + ch, cx:cx + 8] = np.clip(pred_u, 0, 255)
+                self.recV[cy:cy + ch, cx:cx + 8] = np.clip(pred_v, 0, 255)
             pic.cbp[addr] = 0
             if (best_mode == 0 and pic.ref_idx[addr, 0] == 0
                     and (pic.mv[addr, 0] == skip_mv).all()):
@@ -2495,8 +2547,13 @@ class _FrameEncoder:
             return
 
         # ---- residual ----
-        cbp_luma = self._code_luma_inter(addr, o, pred_y)
-        cbp_chroma = self._code_chroma_residual(addr, pred_u, pred_v, intra=False)
+        if is_sp:
+            cbp_luma = self._code_luma_inter_sp(addr, o, pred_y)
+            cbp_chroma = self._code_chroma_sp(addr, pred_u, pred_v)
+        else:
+            cbp_luma = self._code_luma_inter(addr, o, pred_y)
+            cbp_chroma = self._code_chroma_residual(addr, pred_u, pred_v,
+                                                    intra=False)
         pic.cbp[addr] = (cbp_chroma << 4) | cbp_luma
 
         # skip: 16x16, ref 0, mv == skip mv, no coefficients
@@ -2616,6 +2673,107 @@ class _FrameEncoder:
         return cbp_luma
 
     # ---- B slices ---------------------------------------------------------
+
+    # ---- SP switching slices (E35) ------------------------------------
+
+    def _sp_lam(self) -> float:
+        # lencod block.c:1551 lambda_mode = 0.85 * 2^((qp-12)/3) * 4
+        return 0.85 * 2.0 ** ((self.qp - 12) / 3.0) * 4.0
+
+    def _code_luma_inter_sp(self, addr, o, pred_y) -> int:
+        """SP inter luma: levels via the JM two-candidate RD quantizer
+        (residual_transform_quant_luma_4x4_sp, block.c:1518), JM quadrant/
+        MB coefficient thresholding applied to the LEVELS before the
+        decoder-twin requantized reconstruction (self-consistent)."""
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        px, py = mbx * 16, mby * 16
+        lam = self._sp_lam()
+        ob = o.astype(np.int64).reshape(4, 4, 4, 4).transpose(0, 2, 1, 3) \
+            .reshape(16, 4, 4)
+        pb = pred_y.astype(np.int64).reshape(4, 4, 4, 4) \
+            .transpose(0, 2, 1, 3).reshape(16, 4, 4)
+        scan4 = np.zeros((16, 16), np.int64)
+        Ps = np.zeros((16, 4, 4), np.int64)
+        for blk in range(16):
+            scan4[blk], Ps[blk] = RN.sp_luma_levels(ob[blk], pb[blk],
+                                                    self.qp, self.qs, lam)
+        qb_map = [[0, 1, 4, 5], [2, 3, 6, 7], [8, 9, 12, 13],
+                  [10, 11, 14, 15]]
+        total_cost = 0
+        for qb in qb_map:
+            cq = sum(RN.coeff_cost_scan(scan4[b]) for b in qb)
+            if cq <= RN.LUMA_COEFF_COST:
+                scan4[qb] = 0
+            else:
+                total_cost += cq
+        if total_cost <= RN.LUMA_MB_COEFF_COST:
+            scan4[:] = 0
+        rec4 = RN.sp_luma_recon(Ps, scan4, self.qp, self.qs)
+        self.recY[py:py + 16, px:px + 16] = \
+            rec4.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+        cbp_luma = 0
+        for q, qb in enumerate(qb_map):
+            nz = False
+            for b in qb:
+                tc = int((scan4[b] != 0).sum())
+                pic.luma_coef[addr, b] = scan4[b]
+                pic.luma_nnz[addr, b] = tc
+                nz = nz or tc > 0
+            if nz:
+                cbp_luma |= 1 << q
+        return cbp_luma
+
+    def _code_chroma_sp(self, addr, pred_u, pred_v) -> int:
+        """SP chroma (residual_transform_quant_chroma_4x4_sp,
+        block.c:1700): DC through the prediction's 2x2 Hadamard, AC like
+        luma; decoder-twin requantized recon."""
+        pic = self.pic
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        cx, cy = mbx * 8, mby * self.ch_mb
+        lam = self._sp_lam()
+        pps = self.enc.pps
+        qpc = chroma_qp(self.qp, pps.chroma_qp_index_offset)
+        qsc = chroma_qp(self.qs, pps.chroma_qp_index_offset)
+        ou = self.origU[cy:cy + 8, cx:cx + 8].astype(np.int64)
+        ov = self.origV[cy:cy + 8, cx:cx + 8].astype(np.int64)
+        any_dc = any_ac = False
+        for comp, (orig8, pred8, plane) in enumerate(
+                ((ou, pred_u, self.recU), (ov, pred_v, self.recV))):
+            dc, ac, P, mp1 = RN.sp_chroma_levels(orig8, pred8, qpc, qsc,
+                                                 lam)
+            pic.chroma_dc[addr, comp] = dc
+            pic.chroma_coef[addr, comp] = ac
+            for b in range(4):
+                pic.chroma_nnz[addr, comp, b] = int((ac[b, 1:] != 0).sum())
+            any_dc = any_dc or bool((dc != 0).any())
+            any_ac = any_ac or bool((ac != 0).any())
+            plane[cy:cy + 8, cx:cx + 8] = RN.sp_chroma_recon(
+                P, mp1, dc, ac, qpc, qsc)
+        return 2 if any_ac else (1 if any_dc else 0)
+
+    def _sp_recon(self, addr, pred_y, pred_u, pred_v):
+        """SP reconstruction with zero levels (forced-skip path): the
+        QS-requantized prediction."""
+        pb = pred_y.astype(np.int64).reshape(4, 4, 4, 4) \
+            .transpose(0, 2, 1, 3).reshape(16, 4, 4)
+        Ps = RN.np_forward4x4(pb)
+        rec4 = RN.sp_luma_recon(Ps, np.zeros((16, 16), np.int64),
+                                self.qp, self.qs)
+        recy = rec4.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+        pps = self.enc.pps
+        qpc = chroma_qp(self.qp, pps.chroma_qp_index_offset)
+        qsc = chroma_qp(self.qs, pps.chroma_qp_index_offset)
+        outc = []
+        for pred8 in (pred_u, pred_v):
+            pbc = pred8.astype(np.int64).reshape(2, 4, 2, 4) \
+                .transpose(0, 2, 1, 3)
+            P = RN.np_forward4x4(pbc.reshape(4, 4, 4)).reshape(2, 2, 4, 4)
+            mp1 = np.array(RN._h2(P))
+            outc.append(RN.sp_chroma_recon(
+                P, mp1, np.zeros(4, np.int64), np.zeros((4, 16), np.int64),
+                qpc, qsc))
+        return recy, outc[0], outc[1]
 
     def _mc_chroma(self, ref, px, py, bx, by, mvx, mvy):
         """Chroma MC for one luma 4x4 (2x2 in 4:2:0, 2x4 in 4:2:2 where the

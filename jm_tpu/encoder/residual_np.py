@@ -237,3 +237,253 @@ def coeff_cost_scan(scan, tab=COEFF_COST4, start: int = 0) -> int:
             cost += COST_BIG if abs(v) > 1 else int(tab[run])
             run = 0
     return cost
+
+
+# ---------------------------------------------------------------------------
+# SP switching slices (E35): encoder-side transform-domain requantization,
+# twin of lencod/src/block.c residual_transform_quant_luma_4x4_sp:1518 and
+# residual_transform_quant_chroma_4x4_sp:1700. Levels quantize the
+# difference between the transformed source and a quantize-dequantize
+# estimate of the transformed prediction; reconstruction requantizes
+# pred+dequant(level) at the switching QP QS (decoder twin:
+# decoder/recon.py _sp_luma/_sp_chroma).
+# ---------------------------------------------------------------------------
+
+SP_A = np.array([[16, 20, 16, 20], [20, 25, 20, 25],
+                 [16, 20, 16, 20], [20, 25, 20, 25]], np.int64)
+
+_LEVRUN_INTER = (4, 2, 2, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0)
+_NTAB_INTER = ((1, 3, 5, 9, 11, 13, 21, 23, 25, 27),
+               (7, 17, 19, 0, 0, 0, 0, 0, 0, 0),
+               (15, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+               (29, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+_LEVRUN_C2 = (2, 1, 0, 0)
+_NTAB_C2 = ((1, 5), (3, 0))
+
+
+def _uvlc_len(n: int) -> int:
+    nn, i = n >> 1, 0
+    while nn:
+        nn >>= 1
+        i += 1
+    return 2 * i + 1
+
+
+def levrun_len_inter(level: int, run: int) -> int:
+    """UVLC length of a (level, run) pair (lencod vlc.c
+    levrun_linfo_inter:399) — the rate term of the SP RD pick."""
+    la = abs(level)
+    if la <= _LEVRUN_INTER[run]:
+        n = _NTAB_INTER[la - 1][run] + 1
+    else:
+        n = (la - _LEVRUN_INTER[run]) * 32 + run * 2
+    return _uvlc_len(n)
+
+
+def levrun_len_c2x2(level: int, run: int) -> int:
+    la = abs(level)
+    if la <= _LEVRUN_C2[run]:
+        n = _NTAB_C2[la - 1][run] + 1
+    else:
+        n = (la - _LEVRUN_C2[run]) * 8 + run * 2
+    return _uvlc_len(n)
+
+
+def _isignab(a: int, b: int) -> int:
+    return -abs(a) if b < 0 else abs(a)
+
+
+def sp_quant_coeffs(Xs, Ps, qp: int, qs: int, lam: float, shift: int,
+                    A_s, rate_fn, run0: int = -1):
+    """Scan-ordered SP level decision for one block. Xs/Ps: int sequences
+    in scan order; shift: 6 for 4x4 (>>6), 5 for chroma DC (>>5); A_s:
+    per-scan-position A factors. Returns (levels scan order, ilev scan
+    order = P + dequantA(level))."""
+    from ..common.tables import QUANT_SCALE_4x4, DEQUANT_SCALE_4x4
+    qp_per, qp_rem = qp // 6, qp % 6
+    qs_per, qs_rem = qs // 6, qs % 6
+    extra = 1 if shift == 5 else 0           # chroma DC uses q_bits+1
+    q_bits = 15 + qp_per + extra
+    q_bits_sp = 15 + qs_per + extra
+    qp_const = ((1 << q_bits) // 6) if not extra else 2 * ((1 << (q_bits - 1)) // 6)
+    qp_const2 = (1 << q_bits_sp) >> 1
+    if extra:
+        qp_const2 = 2 * ((1 << (q_bits_sp - 1)) >> 1)
+    Qqp = QUANT_SCALE_4x4[qp_rem]
+    Qqs = QUANT_SCALE_4x4[qs_rem]
+    Dqp = DEQUANT_SCALE_4x4[qp_rem]
+    n = len(Xs)
+    levels = [0] * n
+    ilevs = [0] * n
+    run = run0
+    for k in range(n):
+        run += 1
+        X, P = int(Xs[k]), int(Ps[k])
+        Qs_k, Qp_k, Dp_k, A_k = (int(Qqs.flat[A_s[k][1]]),
+                                 int(Qqp.flat[A_s[k][1]]),
+                                 int(Dqp.flat[A_s[k][1]]), int(A_s[k][0]))
+        l1p = (abs(P) * Qs_k + qp_const2) >> q_bits_sp
+        l1d = (l1p << q_bits_sp) // Qs_k
+        c_err1 = X - _isignab(l1d, P)
+        l1 = (abs(c_err1) * Qp_k + qp_const) >> q_bits
+        c_err2 = X - P
+        l2 = (abs(c_err2) * Qp_k + qp_const) >> q_bits
+
+        def deq(lv, ce):
+            return (_isignab(lv, ce) * Dp_k * A_k << qp_per) >> shift
+
+        if l1 != l2 and l1 != 0 and l2 != 0:
+            d1 = X - deq(l1, c_err1) - P
+            d2 = X - deq(l2, c_err2) - P
+            r1 = rate_fn(l1, run)
+            r2 = rate_fn(l2, run)
+            D1 = d1 * d1 + lam * r1
+            D2 = d2 * d2 + lam * r2
+            if D1 == D2:
+                level, c_err = ((l1, c_err1) if abs(l1) < abs(l2)
+                                else (l2, c_err2))
+            elif D1 < D2:
+                level, c_err = l1, c_err1
+            else:
+                level, c_err = l2, c_err2
+        elif l1 == l2:
+            level, c_err = l1, c_err1
+        else:
+            level, c_err = (l1, c_err1) if l1 == 0 else (l2, c_err2)
+
+        ilev = 0
+        if level != 0:
+            level = _isignab(level, c_err)
+            levels[k] = level
+            run = -1
+            ilev = (level * Dp_k * A_k << qp_per) >> shift
+        ilevs[k] = ilev + P
+    return levels, ilevs
+
+
+_ZZ4 = ((0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+        (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3))
+
+
+def sp_requant_4x4(ilev_raster, qs: int):
+    """Decoder-matching requantization of the transform-domain mix at QS:
+    cof = sign(rshift_rnd_sf(|ilev| * MF_qs)) * V_qs << qs_per."""
+    from ..common.tables import QUANT_SCALE_4x4, DEQUANT_SCALE_4x4
+    qs_per, qs_rem = qs // 6, qs % 6
+    q_bits_sp = 15 + qs_per
+    half = 1 << (q_bits_sp - 1)
+    Q = QUANT_SCALE_4x4[qs_rem].astype(np.int64)
+    D = DEQUANT_SCALE_4x4[qs_rem].astype(np.int64)
+    il = np.asarray(ilev_raster, np.int64)
+    lv = np.sign(il) * ((np.abs(il) * Q + half) >> q_bits_sp)
+    return (lv * D) << qs_per
+
+
+_A_SCAN = None
+
+
+def _a_scan():
+    global _A_SCAN
+    if _A_SCAN is None:
+        _A_SCAN = [(int(SP_A[j][i]), j * 4 + i) for (j, i) in _ZZ4]
+    return _A_SCAN
+
+
+def sp_luma_levels(orig_blk, pred_blk, qp: int, qs: int, lam: float):
+    """One luma 4x4: (scan levels (16,), P transform raster (4,4))."""
+    X = np_forward4x4(orig_blk[None].astype(np.int64))[0]
+    P = np_forward4x4(pred_blk[None].astype(np.int64))[0]
+    A_s = _a_scan()
+    Xs = [int(X[j, i]) for (j, i) in _ZZ4]
+    Ps = [int(P[j, i]) for (j, i) in _ZZ4]
+    levels, _ = sp_quant_coeffs(Xs, Ps, qp, qs, lam, 6, A_s,
+                                levrun_len_inter)
+    return np.array(levels, np.int64), P
+
+
+def sp_luma_recon(P_raster, scan_levels, qp: int, qs: int):
+    """Decoder-twin recon of one (or batched) SP luma 4x4 from its FINAL
+    levels: base = P + dequantA(level); requant at QS; inverse; clip
+    (== decoder/recon.py _sp_luma math)."""
+    from ..common.tables import DEQUANT_SCALE_4x4
+    qp_per, qp_rem = qp // 6, qp % 6
+    Dqp = DEQUANT_SCALE_4x4[qp_rem].astype(np.int64)
+    lev = from_scan(np.asarray(scan_levels, np.int64))
+    base = P_raster + ((lev * Dqp * SP_A) << qp_per >> 6)
+    cof = sp_requant_4x4(base, qs)
+    res = _np_inv4_local(cof)
+    return np.clip((res + (1 << 5)) >> 6, 0, 255)
+
+
+def _np_inv4_local(d):
+    d = d.astype(np.int64)
+    e0 = d[..., :, 0] + d[..., :, 2]
+    e1 = d[..., :, 0] - d[..., :, 2]
+    e2 = (d[..., :, 1] >> 1) - d[..., :, 3]
+    e3 = d[..., :, 1] + (d[..., :, 3] >> 1)
+    f = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
+    g0 = f[..., 0, :] + f[..., 2, :]
+    g1 = f[..., 0, :] - f[..., 2, :]
+    g2 = (f[..., 1, :] >> 1) - f[..., 3, :]
+    g3 = f[..., 1, :] + (f[..., 3, :] >> 1)
+    return np.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=-2)
+
+
+def _h2(M):
+    """JM hadamard2x2 of the four DCs of a (2,2,4,4) [by][bx] transform
+    stack — index order matches ldecod itrans_sp_cr (block.c:530):
+    m[1] flips the ROW dimension (PB[4][0] term)."""
+    a, b = M[0, 0, 0, 0], M[1, 0, 0, 0]
+    c, d = M[0, 1, 0, 0], M[1, 1, 0, 0]
+    return [int(a + b + c + d), int(a - b + c - d),
+            int(a + b - c - d), int(a - b - c + d)]
+
+
+def sp_chroma_levels(orig8, pred8, qp_c: int, qs_c: int, lam: float):
+    """One chroma component (8x8, 4:2:0): (dc levels scan (4,), ac scan
+    levels (4,16) with [0]=0, P transforms (2,2,4,4), mp1 (4,))."""
+    ob = orig8.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).astype(np.int64)
+    pb = pred8.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).astype(np.int64)
+    X = np_forward4x4(ob.reshape(4, 4, 4)).reshape(2, 2, 4, 4)
+    P = np_forward4x4(pb.reshape(4, 4, 4)).reshape(2, 2, 4, 4)
+    m1, mp1 = _h2(X), _h2(P)
+    dc_levels, _ = sp_quant_coeffs(m1, mp1, qp_c, qs_c, lam, 5,
+                                   [(16, 0)] * 4, levrun_len_c2x2)
+    ac_levels = np.zeros((4, 16), np.int64)
+    A_s = [(int(SP_A[j][i]), j * 4 + i) for (j, i) in _ZZ4[1:]]
+    for by in range(2):
+        for bx in range(2):
+            Xs = [int(X[by, bx][j, i]) for (j, i) in _ZZ4[1:]]
+            Ps = [int(P[by, bx][j, i]) for (j, i) in _ZZ4[1:]]
+            lv, _ = sp_quant_coeffs(Xs, Ps, qp_c, qs_c, lam, 6, A_s,
+                                    levrun_len_inter)
+            ac_levels[by * 2 + bx, 1:] = lv
+    return np.array(dc_levels, np.int64), ac_levels, P, np.array(mp1)
+
+
+def sp_chroma_recon(P, mp1, dc_levels, ac_scan, qp_c: int, qs_c: int):
+    """Decoder-twin recon of one SP chroma component from FINAL levels
+    (== decoder/recon.py _sp_chroma math). Returns 8x8."""
+    from ..common.tables import QUANT_SCALE_4x4, DEQUANT_SCALE_4x4
+    qp_per, qp_rem = qp_c // 6, qp_c % 6
+    qs_per, qs_rem = qs_c // 6, qs_c % 6
+    qb = 15 + qs_per
+    Dqp = DEQUANT_SCALE_4x4[qp_rem].astype(np.int64)
+    Q00 = int(QUANT_SCALE_4x4[qs_rem][0, 0])
+    D00 = int(DEQUANT_SCALE_4x4[qs_rem][0, 0])
+    half2 = 1 << qb
+    bdc = np.asarray(mp1, np.int64) + \
+        ((np.asarray(dc_levels, np.int64) * int(Dqp[0, 0]) * 16)
+         << qp_per >> 5)
+    ildc = np.sign(bdc) * ((np.abs(bdc) * Q00 + half2) >> (qb + 1))
+    m1q = (ildc * D00) << qs_per
+    lev = from_scan(np.asarray(ac_scan, np.int64)).reshape(2, 2, 4, 4)
+    base = P + ((lev * Dqp * SP_A) << qp_per >> 6)
+    cof = sp_requant_4x4(base, qs_c)
+    cof[0, 0, 0, 0] = (m1q[0] + m1q[1] + m1q[2] + m1q[3]) >> 1
+    cof[0, 1, 0, 0] = (m1q[0] + m1q[1] - m1q[2] - m1q[3]) >> 1
+    cof[1, 0, 0, 0] = (m1q[0] - m1q[1] + m1q[2] - m1q[3]) >> 1
+    cof[1, 1, 0, 0] = (m1q[0] - m1q[1] - m1q[2] + m1q[3]) >> 1
+    res = _np_inv4_local(cof)
+    rec = np.clip((res + (1 << 5)) >> 6, 0, 255)
+    return rec.transpose(0, 2, 1, 3).reshape(8, 8)

@@ -305,7 +305,8 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
                        slice_group_change_cycle: int = 0,
                        wp_l0=None, wp_l1=None,
                        long_term_flag: int = 0, mmco_ops=None,
-                       ref_mod_l0=None, ref_mod_l1=None) -> None:
+                       ref_mod_l0=None, ref_mod_l1=None,
+                       qs: int = 0) -> None:
     """Spec 7.3.3 slice header (frame, no FMO/field; B adds
     direct_spatial_mv_pred_flag + list1 actives; non-reference slices omit
     dec_ref_pic_marking — lencod/src/header.c:116 SliceHeader)."""
@@ -319,7 +320,7 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
         bw.u(poc_lsb, sps.log2_max_pic_order_cnt_lsb_minus4 + 4)
     if slice_type == SliceType.B:
         bw.flag(1 if direct_spatial else 0)
-    if slice_type in (SliceType.P, SliceType.B):
+    if slice_type in (SliceType.P, SliceType.SP, SliceType.B):
         override = ((num_ref_idx_l0 - 1) !=
                     pps.num_ref_idx_l0_default_active_minus1)
         if slice_type == SliceType.B:
@@ -343,7 +344,8 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
                 bw.ue(3)
             else:
                 bw.flag(0)
-    if (pps.weighted_pred_flag and slice_type == SliceType.P) or \
+    if (pps.weighted_pred_flag
+            and slice_type in (SliceType.P, SliceType.SP)) or \
             (pps.weighted_bipred_idc == 1 and slice_type == SliceType.B):
         # pred_weight_table (spec 7.3.3.2; lencod/src/header.c:438)
         _write_pred_weight_table(bw, slice_type, wp_l0 or [], wp_l1 or [],
@@ -369,10 +371,14 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
     if pps.entropy_coding_mode_flag and slice_type not in (SliceType.I, SliceType.SI):
         bw.ue(cabac_init_idc)
     bw.se(qp - 26 - pps.pic_init_qp_minus26)
+    if slice_type in (SliceType.SP, SliceType.SI):
+        if slice_type == SliceType.SP:
+            bw.flag(0)                   # sp_for_switch_flag
+        bw.se(qs - 26 - getattr(pps, "pic_init_qs_minus26", 0))
     if pps.deblocking_filter_control_present_flag:
-        bw.ue(0)
-        bw.se(0)
-        bw.se(0)
+        # the encoder only raises the control flag to switch the loop
+        # filter OFF (LoopFilterDisable; lencod header.c DeblockFilter)
+        bw.ue(1)
     if pps.num_slice_groups_minus1 > 0 and \
             pps.slice_group_map_type in (3, 4, 5):
         units = sps.pic_width_in_mbs * sps.frame_height_in_mbs
@@ -389,6 +395,11 @@ class MBWriter:
 
     def __init__(self, bw: BitWriter, pic, sps, pps, slice_qp: int):
         self.bw = bw
+        # data partitioning (D3): residual SEs route to partition B
+        # (intra MBs) / C (inter MBs) when set (assignSE2partition_DP,
+        # lencod header.c:37)
+        self.bw_b = None
+        self.bw_c = None
         self.pic = pic
         self.sps = sps
         self.pps = pps
@@ -398,8 +409,15 @@ class MBWriter:
 
     # ---- residual ---------------------------------------------------------
 
+    def _res_bw(self, addr: int):
+        if self.bw_b is None:
+            return self.bw
+        from ..decoder.mb_parse import MB_INTER
+        return (self.bw_b if self.pic.mb_class[addr] != MB_INTER
+                else self.bw_c)
+
     def _write_luma_residual(self, addr: int, cbp: int, is_i16: bool) -> None:
-        pic, bw = self.pic, self.bw
+        pic, bw = self.pic, self._res_bw(addr)
         if is_i16:
             nc = self.pctx.nc_luma(addr, 0)
             write_residual_block(bw, pic.luma_dc[addr], nc, 16)
@@ -415,7 +433,7 @@ class MBWriter:
                     write_residual_block(bw, pic.luma_coef[addr, blk], nc, 16)
 
     def _write_chroma_residual(self, addr: int, cbp: int) -> None:
-        pic, bw = self.pic, self.bw
+        pic, bw = self.pic, self._res_bw(addr)
         cbp_chroma = cbp >> 4
         nb = 2 * pic.n_crows
         dc_nc = -1 if pic.n_crows == 2 else -2   # ChromaDC 4:2:0 / 4:2:2
@@ -571,7 +589,7 @@ class MBWriter:
     def write_mb(self, addr: int, slice_type: SliceType, num_ref: int,
                  num_ref_l1: int = 1) -> None:
         pic, bw = self.pic, self.bw
-        if slice_type in (SliceType.P, SliceType.B):
+        if slice_type in (SliceType.P, SliceType.SP, SliceType.B):
             if pic.skip[addr]:
                 self.skip_run += 1
                 return
@@ -625,9 +643,49 @@ class MBWriter:
         self._write_chroma_residual(addr, cbp)
 
     def finish(self, slice_type: SliceType) -> None:
-        if slice_type in (SliceType.P, SliceType.B) and self.skip_run > 0:
+        if slice_type in (SliceType.P, SliceType.SP, SliceType.B) \
+                and self.skip_run > 0:
             self.bw.ue(self.skip_run)
             self.skip_run = 0
+
+
+def serialize_slice_dp(pic, sps, pps, *, slice_id: int = 0,
+                       mb_addrs=None, **kw) -> list[bytes]:
+    """Serialize one slice as three data partitions (D3): partition A =
+    slice header + slice_id + MB headers/mvd/cbp, B = intra residual SEs,
+    C = inter residual SEs behind a slice_id partition header
+    (lencod header.c Partition_BC_Header:596, assignSE2partition map).
+    Returns [rbsp_a, rbsp_b, rbsp_c]; empty partitions return b""."""
+    if mb_addrs is None:
+        mb_addrs = range(pic.n_mbs)
+    mb_addrs = list(mb_addrs)
+    slice_type = kw["slice_type"]
+    bw = BitWriter()
+    write_slice_header(bw, sps, pps,
+                       first_mb=mb_addrs[0],
+                       **{k: v for k, v in kw.items()
+                          if k not in ("mb_addrs",)})
+    bw.ue(slice_id)                     # DP_A slice_id (image.c:1628)
+    bwb, bwc = BitWriter(), BitWriter()
+    bwb.ue(slice_id)
+    bwc.ue(slice_id)
+    w = MBWriter(bw, pic, sps, pps, kw["qp"])
+    w.bw_b, w.bw_c = bwb, bwc
+    for addr in mb_addrs:
+        w.write_mb(addr, slice_type, kw.get("num_ref_idx_l0", 1), 1)
+    w.finish(slice_type)
+    out = []
+    for b in (bw, bwb, bwc):
+        if b is not bw and b.bitpos <= _ue_bits(slice_id):
+            out.append(b"")             # no residual SEs landed here
+        else:
+            b.rbsp_trailing_bits()
+            out.append(b.get_bytes())
+    return out
+
+
+def _ue_bits(v: int) -> int:
+    return 2 * ((v + 1).bit_length() - 1) + 1
 
 
 def serialize_slice(pic, sps, pps, *, slice_type: SliceType, frame_num: int,
@@ -637,7 +695,7 @@ def serialize_slice(pic, sps, pps, *, slice_type: SliceType, frame_num: int,
                     slice_group_change_cycle: int = 0,
                     wp_l0=None, wp_l1=None,
                     long_term_flag: int = 0, mmco_ops=None,
-                    ref_mod_l0=None, ref_mod_l1=None) -> bytes:
+                    ref_mod_l0=None, ref_mod_l1=None, qs: int = 0) -> bytes:
     """Serialize one slice; mb_addrs = MB addresses in decode order
     (default: the whole picture in raster order); returns RBSP."""
     if mb_addrs is None:
@@ -652,7 +710,7 @@ def serialize_slice(pic, sps, pps, *, slice_type: SliceType, frame_num: int,
                        slice_group_change_cycle=slice_group_change_cycle,
                        wp_l0=wp_l0, wp_l1=wp_l1,
                        long_term_flag=long_term_flag, mmco_ops=mmco_ops,
-                       ref_mod_l0=ref_mod_l0, ref_mod_l1=ref_mod_l1)
+                       ref_mod_l0=ref_mod_l0, ref_mod_l1=ref_mod_l1, qs=qs)
     native = _native_slice_data(bw, pic, pps, slice_type, qp,
                                 num_ref_idx_l0, mb_addrs)
     if native is not None:
@@ -672,7 +730,8 @@ def _native_slice_data(bw, pic, pps, slice_type, qp, num_ref,
     The native writer is the byte-exact twin of MBWriter (tested in
     tests/test_native.py); B slices and IPCM stay in Python for now."""
     from .. import native as N
-    if not N.available or slice_type not in (SliceType.P, SliceType.I):
+    if not N.available or slice_type not in (SliceType.P, SliceType.SP,
+                                             SliceType.I):
         return None
     addrs = np.ascontiguousarray(mb_addrs, np.int32)
     if (pic.mb_class[addrs] == 3).any():         # IPCM
@@ -705,7 +764,8 @@ def _native_slice_data(bw, pic, pps, slice_type, qp, num_ref,
     try:
         return N.cavlc_slice_data(
             bytes(bw.buf), bw.acc, bw.nacc, pic_dict, addrs,
-            0 if slice_type == SliceType.P else 2, int(num_ref),
+            0 if slice_type in (SliceType.P, SliceType.SP) else 2,
+            int(num_ref),
             int(pps.transform_8x8_mode_flag), int(qp))
     except ValueError:
         return None

@@ -748,7 +748,7 @@ def serialize_slice_cabac(pic, sps, pps, *, slice_type, frame_num, idr, qp,
                           wp_l0=None, wp_l1=None,
                           long_term_flag=0, mmco_ops=None,
                           ref_mod_l0=None, ref_mod_l1=None,
-                          stats=None) -> bytes:
+                          qs=0, stats=None) -> bytes:
     from .syntax import write_slice_header
     if mb_addrs is None:
         mb_addrs = range(pic.n_mbs)

@@ -55,15 +55,19 @@ def compute_bs(pic, mb_w: int, mb_h: int):
     # blocks predicted from one list only carry "no picture" (-1) in the
     # other; JM's NULL ref_pic pointer compares equal across such blocks.
 
-    def cmp_mv(a, b):
-        return (np.abs(a - b) >= 4).any(axis=-1)
+    # field pictures compare vertical MVs against 2 instead of 4 (half
+    # vertical resolution; ldecod loop_filter.c mvlimit)
+    mv_lim = np.array([4, 2 if getattr(pic, "field_mode", False) else 4])
 
-    def edge_bs(sl_p, sl_q, is_mb_edge):
+    def cmp_mv(a, b):
+        return (np.abs(a - b) >= mv_lim).any(axis=-1)
+
+    def edge_bs(sl_p, sl_q, is_mb_edge, mb_edge_bs=4):
         (ip, nn_p, m0p, m1p, r0p, r1p) = sl_p
         (iq, nn_q, m0q, m1q, r0q, r1q) = sl_q
         bs = np.zeros(ip.shape, np.int8)
         either_intra = ip | iq
-        bs[either_intra & is_mb_edge] = 4
+        bs[either_intra & is_mb_edge] = mb_edge_bs
         bs[either_intra & ~is_mb_edge] = 3
         coef = (nn_p > 0) | (nn_q > 0)
         rest = ~either_intra
@@ -96,8 +100,11 @@ def compute_bs(pic, mb_w: int, mb_h: int):
     bs_h = np.zeros((H, W), np.int8)
     is_mb_h = np.zeros((H - 1, W), bool)
     is_mb_h[3::4, :] = True
+    # field pictures: horizontal intra MB edges are bS 3, not 4
+    # (ldecod loop_filter_normal.c:124 "p->structure == FRAME")
+    hor_mb_bs = 3 if getattr(pic, "field_mode", False) else 4
     bs_h[1:, :] = edge_bs(sl(fields, np.s_[:-1, :]), sl(fields, np.s_[1:, :]),
-                          is_mb_h)
+                          is_mb_h, hor_mb_bs)
     # SP/SI slices: every edge of an SP-slice MbQ is forced to 4 (MB edge)
     # or 3 (internal) regardless of content (ldecod
     # loop_filter_normal.c:100,230; spec 8.7.2.1)
@@ -109,7 +116,8 @@ def compute_bs(pic, mb_w: int, mb_h: int):
         mbe_h = np.zeros((H, W), bool)
         mbe_h[::4, :] = True
         bs_v = np.where(spq, np.where(mbe_v, 4, 3), bs_v).astype(np.int8)
-        bs_h = np.where(spq, np.where(mbe_h, 4, 3), bs_h).astype(np.int8)
+        bs_h = np.where(spq, np.where(mbe_h, hor_mb_bs, 3),
+                        bs_h).astype(np.int8)
         bs_v[:, 0] = 0
         bs_h[0, :] = 0
     return bs_v, bs_h

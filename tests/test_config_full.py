@@ -37,7 +37,9 @@ def test_schema_is_complete():
 def test_every_reference_cfg_runs_or_fails_named():
     """Every shipped encoder cfg either parses+validates or raises naming
     the exact unimplemented parameter — never a silent ignore."""
-    expect_ok = {"encoder_baseline.cfg", "encoder_view1.cfg"}
+    expect_ok = {"encoder_baseline.cfg", "encoder_view1.cfg",
+                 "encoder_main.cfg", "encoder_extended.cfg",
+                 "encoder_yuv422.cfg"}
     for fn in sorted(os.listdir(REF_BIN)):
         if not (fn.startswith("encoder") and fn.endswith(".cfg")):
             continue
@@ -145,3 +147,53 @@ def test_poc_mmco_stream_contains_adaptive_marking():
     # at least one non-IDR slice must carry adaptive_ref_pic_marking
     kinds = [n.nal_unit_type for n in split_annexb(out)]
     assert kinds.count(1) >= 4           # non-IDR slices present
+
+
+def test_sp_encode_roundtrip():
+    """E35 encoder side: SPPicturePeriodicity cadence emits SP slices
+    (requantizing transform-domain coding, lencod block.c:1518 twin) that
+    our decoder reproduces bit-exactly; JM ldecod interop verified with
+    /verify (oracle bit-exact on the same path)."""
+    from jm_tpu.encoder.encoder import Encoder, EncoderConfig
+    from jm_tpu.decoder.decoder import H264Decoder
+    from jm_tpu.bitstream.nal import split_annexb
+    from jm_tpu.bitstream.bitreader import BitReader
+    frames = _seq(8)
+    enc = Encoder(EncoderConfig(width=96, height=80, qp=28,
+                                sp_periodicity=3, qp_sp=30, qp_sp2=32))
+    out = b""
+    for Y, U, V in frames:
+        out += enc.encode_frame(Y, U, V)
+    out += enc.flush()
+    assert enc.sps.profile_idc == 88          # Extended (A.2.3)
+    # slice types: ue(first_mb), ue(slice_type) of each VCL NAL
+    sts = []
+    for n in split_annexb(out):
+        if n.nal_unit_type in (1, 5):
+            br = BitReader(n.rbsp)
+            br.ue()
+            sts.append(br.ue())
+    assert sts.count(8) == 2                  # two SP pictures (3, 6)
+    rec = [r["frame"] for r in sorted(enc.results, key=lambda r: r["disp"])]
+    dec = sorted(H264Decoder().decode_annexb(out), key=lambda f: f.poc)
+    assert len(dec) == len(frames)
+    for a, b in zip(rec, dec):
+        assert np.array_equal(a.Y, b.Y) and np.array_equal(a.U, b.U) \
+            and np.array_equal(a.V, b.V)
+
+
+def test_deblock_disable_signalled():
+    """deblock=False must signal disable_deblocking_filter_idc=1 so a
+    conforming decoder reproduces the encoder recon."""
+    from jm_tpu.encoder.encoder import Encoder, EncoderConfig
+    from jm_tpu.decoder.decoder import H264Decoder
+    frames = _seq(4)
+    enc = Encoder(EncoderConfig(width=96, height=80, qp=28, deblock=False))
+    out = b""
+    for Y, U, V in frames:
+        out += enc.encode_frame(Y, U, V)
+    out += enc.flush()
+    rec = [r["frame"] for r in sorted(enc.results, key=lambda r: r["disp"])]
+    dec = sorted(H264Decoder().decode_annexb(out), key=lambda f: f.poc)
+    for a, b in zip(rec, dec):
+        assert np.array_equal(a.Y, b.Y)

@@ -49,6 +49,17 @@ def _load_yuv(path, n_frames, chroma=420):
     ("poc1b.264", "poc1b_rec.yuv", 9),       # POC type 1, B pyramid
     ("sp1.264", "sp1_rec.yuv", 9),           # SP switching slices (E35):
                                              # I-P-P-SP-P, QS 30 requant
+    ("field1.264", "field1_rec.yuv", 6),     # PAFF field pictures (D21):
+                                             # IPPP fields, field scan,
+                                             # SPS cropping 160->144
+    ("field2.264", "field2_rec.yuv", 12),    # fields, 4 ref frames (8-field
+                                             # parity-alternating lists)
+    ("fieldcab.264", "fieldcab_rec.yuv", 6),  # interlace-capable SPS
+                                             # (frame_mbs_only=0), CABAC
+                                             # frame pictures + cropping
+    ("dp1.264", "dp1_rec.yuv", 6),           # data partitioning (D3):
+                                             # NAL 2/3/4 slices, residual
+                                             # SEs split intra->B inter->C
 ])
 def test_bit_exact_vs_jm(golden_dir, stream, recon, n):
     frames = sorted(decode_file(str(golden_dir / stream)), key=lambda f: f.poc)
@@ -59,3 +70,38 @@ def test_bit_exact_vs_jm(golden_dir, stream, recon, n):
         np.testing.assert_array_equal(f.Y, Yr, err_msg=f"frame {i} Y")
         np.testing.assert_array_equal(f.U, Ur, err_msg=f"frame {i} U")
         np.testing.assert_array_equal(f.V, Vr, err_msg=f"frame {i} V")
+
+
+def test_mbaff_rejected_loudly(golden_dir):
+    """MBAFF (E42 remainder) must reject, never silently corrupt."""
+    import pytest
+    from jm_tpu.decoder.decoder import decode_file
+    with pytest.raises(NotImplementedError, match="MBAFF"):
+        decode_file(str(golden_dir / "mbaff1.264"))
+
+
+def test_dp_encode_roundtrip():
+    """Encoder-side data partitioning (PartitionMode=1): NAL 2/3/4 output
+    decodes bit-exactly in our decoder; JM ldecod interop verified with
+    /verify (oracle bit-exact)."""
+    import numpy as np
+    from jm_tpu.bitstream.nal import split_annexb
+    from jm_tpu.decoder.decoder import H264Decoder
+    from jm_tpu.encoder.encoder import Encoder, EncoderConfig
+    rng = np.random.default_rng(3)
+    w, h = 96, 80
+    base = rng.integers(0, 256, (h + 16, w + 16)).astype(np.uint8)
+    frames = [(base[i:i + h, i:i + w].copy(),
+               base[i:i + h, i:i + w][::2, ::2].copy(),
+               base[i:i + h, i:i + w][1::2, ::2].copy()) for i in range(5)]
+    enc = Encoder(EncoderConfig(width=w, height=h, qp=28, data_partition=1))
+    out = b"".join(enc.encode_frame(*f) for f in frames) + enc.flush()
+    kinds = [n.nal_unit_type for n in split_annexb(out)]
+    assert 2 in kinds and 4 in kinds          # DPA + DPC emitted
+    assert enc.sps.profile_idc == 88
+    rec = [r["frame"] for r in sorted(enc.results, key=lambda r: r["disp"])]
+    dec = sorted(H264Decoder().decode_annexb(out), key=lambda f: f.poc)
+    assert len(dec) == len(frames)
+    for a, b in zip(rec, dec):
+        assert np.array_equal(a.Y, b.Y) and np.array_equal(a.U, b.U) \
+            and np.array_equal(a.V, b.V)
