@@ -41,6 +41,7 @@ def read_yuv420_frames(path: str, w: int, h: int, n: int, start: int = 0,
 
 def _parse_cli(argv):
     d_file, f_files, p_overrides = None, [], []
+    ckpt, resume = None, False
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -50,17 +51,22 @@ def _parse_cli(argv):
             f_files.append(argv[i + 1]); i += 2
         elif a == "-p":
             p_overrides.append(argv[i + 1]); i += 2
+        elif a == "-ckpt":        # GOP-granular job checkpoint (SURVEY §5)
+            ckpt = argv[i + 1]; i += 2
+        elif a == "-resume":      # continue from -ckpt state
+            resume = True; i += 1
         elif a in ("-h", "--help"):
             print(__doc__)
             raise SystemExit(0)
         else:
-            raise SystemExit(f"unknown option {a} (use -d/-f/-p)")
-    return d_file, tuple(f_files), tuple(p_overrides)
+            raise SystemExit(f"unknown option {a} (use -d/-f/-p/-ckpt"
+                             "/-resume)")
+    return d_file, tuple(f_files), tuple(p_overrides), ckpt, resume
 
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    d_file, f_files, p_overrides = _parse_cli(argv)
+    d_file, f_files, p_overrides, ckpt_path, resume = _parse_cli(argv)
     prm: EncoderParams = load_params(EncoderParams, d_file, f_files,
                                      p_overrides)
     prm.validate()
@@ -100,11 +106,20 @@ def main(argv=None) -> int:
             chroma_format=prm.YUVFormat if prm.YUVFormat in (1, 2) else 1)
         if len(frames1) < len(frames):
             raise SystemExit("view-1 input shorter than view 0")
-    enc = Encoder(cfg)
+    start_at = 0
+    if resume:
+        from ..encoder import checkpoint as CK
+        enc, start_at, nbytes = CK.load(ckpt_path)
+        with open(prm.OutputFile, "rb") as fh:
+            prior = fh.read(nbytes)     # truncate any partial GOP tail
+    else:
+        enc = Encoder(cfg)
 
     print(" Frame     Bit/pic    QP   SnrY    SnrU    SnrV    "
           "Time(ms)  Frm  Ref")
     out = bytearray()
+    if resume:
+        out += prior
     recon = bytearray()
     tot_bits = 0
     snr_acc = np.zeros(3)
@@ -112,6 +127,14 @@ def main(argv=None) -> int:
     msssim_acc = np.zeros(3)
     t_seq0 = time.time()
     for i, (Y, U, V) in enumerate(frames):
+        if i < start_at:
+            continue
+        if ckpt_path and not resume and i > 0:
+            from ..encoder import checkpoint as CK
+            if CK.checkpointable(enc):
+                with open(prm.OutputFile + ".part", "wb") as fh:
+                    fh.write(out)
+                CK.save(enc, ckpt_path, len(out))
         out += enc.encode_frame(Y, U, V,
                                 view1=frames1[i] if frames1 else None)
     out += enc.flush()
