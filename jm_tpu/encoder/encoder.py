@@ -647,8 +647,23 @@ class Encoder:
         pending = None      # (out-dict, disp, orig, new_state)
         dev_state = None    # reference state for the NEXT dispatch (the
                             # in-flight frame's deblocked recon)
-        for f in frames:
-            Y, U, V = (np.asarray(p, np.uint8) for p in f)
+        frames = list(frames)
+        dev_in = [None] * len(frames)
+
+        def _prefetch(k):
+            if 0 <= k < len(frames) and dev_in[k] is None:
+                fY, fU, fV = frames[k]
+                # async H2D: overlaps with the in-flight frame's compute
+                dev_in[k] = (jax.device_put(np.asarray(fY, np.uint8)),
+                             jax.device_put(np.asarray(fU, np.uint8)),
+                             jax.device_put(np.asarray(fV, np.uint8)))
+        _prefetch(0)
+        _prefetch(1)
+        for fi, f in enumerate(frames):
+            _prefetch(fi + 1)
+            Y, U, V = dev_in[fi] if dev_in[fi] is not None else \
+                tuple(np.asarray(p, np.uint8) for p in f)
+            dev_in[fi] = None
             # coding index of THIS frame (the in-flight frame hasn't
             # bumped frame_idx yet)
             idx = self.frame_idx + (1 if pending is not None else 0)
@@ -1987,24 +2002,62 @@ class _FrameEncoder:
                 cand += [it.I4_HOR, it.I4_HU]
             if avail_t and avail_l and avail_tl:
                 cand += [it.I4_DDR, it.I4_VR, it.I4_HD]
-            best = None
-            for m in cand:
-                pred = it.predict_i4(m, top, left, corner, avail_t, avail_l)
-                cost = int(np.abs(o - pred).sum())
-                if m != mpm:
-                    cost += self.lam4
-                if best is None or cost < best[0]:
-                    best = (cost, m, pred)
-            cost, m, pred = best
+            if self.enc.cfg.rdo:
+                # full per-mode RD (lencod rdopt.c
+                # rdcost_for_4x4_intra_blocks:523): trial-quantize and
+                # reconstruct every candidate, J = SSD + lam*(mode bits +
+                # exact CAVLC block bits)
+                from .cavlc_write import write_residual_block
+                from .rdo import lambda_mode
+                from ..bitstream.bitwriter import BitWriter
+                lam_md = lambda_mode(qp, intra_rdoq=(
+                    self._rdoq_on and self.stype == SliceType.I))
+                nc = self.pctx.nc_luma(addr, blk)
+                best = None
+                for m in cand:
+                    pred = it.predict_i4(m, top, left, corner,
+                                         avail_t, avail_l)
+                    w = RN.np_forward4x4((o - pred)[None])[0]
+                    if self._rdoq_on:
+                        scan_m = self._trellis_luma4(addr, w, blk,
+                                                     intra=True)
+                    else:
+                        lev = self._q4(w[None], qp, True)[0]
+                        scan_m = RN.to_scan(lev[None])[0]
+                    rec_m = RN.recon_luma_4x4(pred[None], scan_m[None], qp,
+                                              tab=self._itab4(True))[0]
+                    ssd = int(((o - rec_m.astype(np.int64)) ** 2).sum())
+                    bits = 1 if m == mpm else 4
+                    bw = BitWriter()
+                    write_residual_block(bw, scan_m, nc, 16)
+                    bits += bw.bitpos
+                    j = ssd + lam_md * bits
+                    if best is None or j < best[0]:
+                        best = (j, m, pred, scan_m, rec_m)
+                _j, m, pred, scan, rec_pre = best
+                cost = int(_j)
+            else:
+                best = None
+                for m in cand:
+                    pred = it.predict_i4(m, top, left, corner,
+                                         avail_t, avail_l)
+                    cost = int(np.abs(o - pred).sum())
+                    if m != mpm:
+                        cost += self.lam4
+                    if best is None or cost < best[0]:
+                        best = (cost, m, pred)
+                cost, m, pred = best
+                scan = None
             total_cost += cost
             pic.i4_modes[addr, blk] = m
             # residual
-            w = RN.np_forward4x4((o - pred)[None])[0]
-            if self._rdoq_on:
-                scan = self._trellis_luma4(addr, w, blk, intra=True)
-            else:
-                lev = self._q4(w[None], qp, True)[0]
-                scan = RN.to_scan(lev[None])[0]
+            if scan is None:
+                w = RN.np_forward4x4((o - pred)[None])[0]
+                if self._rdoq_on:
+                    scan = self._trellis_luma4(addr, w, blk, intra=True)
+                else:
+                    lev = self._q4(w[None], qp, True)[0]
+                    scan = RN.to_scan(lev[None])[0]
             pic.luma_coef[addr, blk] = scan
             tc = int((scan != 0).sum())
             pic.luma_nnz[addr, blk] = tc
