@@ -1704,6 +1704,10 @@ class _FrameEncoder:
                 self.refs_list = self.enc._ref_list_p()
             if fast_me:
                 from .me_epzs import EPZSearcher
+                from .me_umhex import UMHexSearcher, UMHexSmpSearcher
+                _ENG = {1: UMHexSearcher, 2: UMHexSmpSearcher}
+                EPZSearcher = _ENG.get(self.enc.cfg.search_mode,
+                                       EPZSearcher)
                 self.epzs = EPZSearcher(
                     self.origY, self.refs_list, self.mb_w, self.mb_h,
                     sr, self.lam, self.pic.mv, use_hme=self.enc.cfg.hme)
@@ -1719,6 +1723,10 @@ class _FrameEncoder:
             # refs_list / refs_list1 / b_col set by the driver (_emit_b)
             if fast_me:
                 from .me_epzs import EPZSearcher
+                from .me_umhex import UMHexSearcher, UMHexSmpSearcher
+                _ENG = {1: UMHexSearcher, 2: UMHexSmpSearcher}
+                EPZSearcher = _ENG.get(self.enc.cfg.search_mode,
+                                       EPZSearcher)
                 self.epzs = EPZSearcher(
                     self.origY, self.refs_list[:1], self.mb_w, self.mb_h,
                     sr, self.lam, self.pic.mv, use_hme=self.enc.cfg.hme)
