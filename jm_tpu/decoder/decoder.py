@@ -161,6 +161,14 @@ class H264Decoder:
             if hdr.slice_type == SliceType.B:
                 raise NotImplementedError(
                     "B field pictures not supported yet (E42)")
+        elif view == 0 and self._field_refs and not hdr.is_idr:
+            # mixed field->frame streams (PicInterlace=2 adaptive): the
+            # decoded fields live in _field_refs, not the frame DPB, so a
+            # frame P picture here would predict from a DPB missing them —
+            # reject loudly like the other E42 gaps instead of drifting
+            raise NotImplementedError(
+                "mixed field/frame (adaptive PAFF) streams not supported "
+                "yet (E42)")
         if self._is_new_picture(hdr):
             self._finish_picture()
             pctx = self.poc_ctx if view == 0 else self.poc_ctx1
@@ -466,7 +474,19 @@ class H264Decoder:
             return
         dp, self._dp_pending = self._dp_pending, None
         readers = {}
-        pps0 = next(iter(self.pps_map.values())) if self.pps_map else None
+        # the PPS governing redundant_pic_cnt_present_flag is the one the
+        # DPA slice header references (multi-PPS streams may differ); peek
+        # first_mb/slice_type/pic_parameter_set_id from partition A
+        pps0 = None
+        try:
+            peek = BitReader(dp["a"].rbsp)
+            peek.ue()                       # first_mb_in_slice
+            peek.ue()                       # slice_type
+            pps0 = self.pps_map.get(peek.ue())
+        except Exception:
+            pass
+        if pps0 is None and self.pps_map:
+            pps0 = next(iter(self.pps_map.values()))
         for key in ("b", "c"):
             n = dp[key]
             if n is None:

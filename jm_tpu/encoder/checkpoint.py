@@ -18,6 +18,11 @@ resume truncates the output file there).
 
 Elastic multi-host scheduling falls out: a driver can kill an encode at a
 GOP edge and reschedule the remainder anywhere.
+
+SECURITY: checkpoints are serialized with pickle and are TRUSTED INPUT
+ONLY — load() executes code embedded in a malicious file. Only resume
+from checkpoint paths your own jobs wrote (the same trust model as JM's
+config/trace files, which are also read without sandboxing).
 """
 
 from __future__ import annotations

@@ -919,7 +919,8 @@ class Encoder:
         if cfg.poc_mem_mgmt == 1 and not is_idr and mmco_ops is None:
             mmco_ops, poc_victim = self._poc_mmco()
         ref_mod_l0 = (self._poc_reorder_cmds()
-                      if cfg.ref_reorder == 1 and stype == SliceType.P
+                      if cfg.ref_reorder == 1
+                      and stype in (SliceType.P, SliceType.SP)
                       else None)
 
         # multi-pass RD picture decision (E4, lencod image_mp.c

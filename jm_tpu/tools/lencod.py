@@ -108,9 +108,16 @@ def main(argv=None) -> int:
             raise SystemExit("view-1 input shorter than view 0")
     start_at = 0
     if resume:
+        import os
+
         from ..encoder import checkpoint as CK
         enc, start_at, nbytes = CK.load(ckpt_path)
-        with open(prm.OutputFile, "rb") as fh:
+        # a killed run leaves the partial stream at OutputFile+'.part'
+        # (written alongside each checkpoint); a completed-then-resumed
+        # run has OutputFile itself
+        part = prm.OutputFile + ".part"
+        src = part if os.path.exists(part) else prm.OutputFile
+        with open(src, "rb") as fh:
             prior = fh.read(nbytes)     # truncate any partial GOP tail
     else:
         enc = Encoder(cfg)
@@ -129,7 +136,7 @@ def main(argv=None) -> int:
     for i, (Y, U, V) in enumerate(frames):
         if i < start_at:
             continue
-        if ckpt_path and not resume and i > 0:
+        if ckpt_path and i > start_at:      # also re-checkpoint resumed runs
             from ..encoder import checkpoint as CK
             if CK.checkpointable(enc):
                 with open(prm.OutputFile + ".part", "wb") as fh:
@@ -140,10 +147,16 @@ def main(argv=None) -> int:
     out += enc.flush()
     t_seq = time.time() - t_seq0
     qp_of = {"I": prm.QPISlice, "P": prm.QPPSlice, "B": prm.QPBSlice}
+    n_met = 0                  # results carrying recon (not ckpt-restored)
     for r in sorted(enc.results, key=lambda r: r["disp"]):
         idx = r["disp"]
+        rec = r.get("frame")
+        if rec is None:
+            # checkpoint-restored entry: bits survive, recon was dropped
+            tot_bits += r["bits"]
+            continue
+        n_met += 1
         Y, U, V = frames[idx]
-        rec = r["frame"]
         s = (psnr(Y, rec.Y), psnr(U, rec.U), psnr(V, rec.V))
         snr_acc += s
         if prm.DistortionSSIM:
@@ -178,14 +191,21 @@ def main(argv=None) -> int:
         out = annexb_to_rtp(bytes(out))
     with open(prm.OutputFile, "wb") as fh:
         fh.write(out)
+    if ckpt_path:
+        import os
+        try:                               # completed: drop the partial file
+            os.remove(prm.OutputFile + ".part")
+        except OSError:
+            pass
     if prm.ReconFile:
         with open(prm.ReconFile, "wb") as fh:
             fh.write(recon)
 
-    n = max(len(frames), 1)
+    n_all = max(len(frames), 1)
+    n = max(n_met, 1)          # PSNR averages cover measured frames only
     print("-" * 64)
     print(f" Total encoding time for the seq.  : {t_seq:8.3f} sec "
-          f"({n / t_seq:.2f} fps)")
+          f"({n_all / t_seq:.2f} fps)")
     print(f" Y PSNR (dB)                       : {snr_acc[0] / n:8.3f}")
     print(f" U PSNR (dB)                       : {snr_acc[1] / n:8.3f}")
     print(f" V PSNR (dB)                       : {snr_acc[2] / n:8.3f}")
@@ -199,7 +219,7 @@ def main(argv=None) -> int:
               f"{msssim_acc[2] / n:7.4f}")
     print(f" Total bits                        : {tot_bits} ")
     print(f" Bit rate (kbit/s)  @ {prm.FrameRate:.2f} Hz     : "
-          f"{tot_bits * prm.FrameRate / n / 1000:.2f}")
+          f"{tot_bits * prm.FrameRate / n_all / 1000:.2f}")
     if prm.StatsFile:
         with open(prm.StatsFile, "a", encoding="ascii") as fh:
             fh.write(f"bits={tot_bits} frames={n} "

@@ -54,3 +54,58 @@ def test_checkpoint_file_format(tmp_path):
     p.write_bytes(b"not a checkpoint")
     with pytest.raises(ValueError):
         CK.load(str(p))
+
+
+def test_cli_kill_resume(tmp_path):
+    """CLI-level kill/resume (ADVICE r3 high): run lencod with -ckpt, kill
+    it mid-sequence (simulated by an input-reading exception), then resume
+    with -resume; the final stream must equal the uninterrupted run's."""
+    import io
+    from contextlib import redirect_stdout
+
+    from jm_tpu.tools import lencod as CLI
+
+    frames = _seq(9)
+    w, h = 96, 80
+    yuv = tmp_path / "in.yuv"
+    with open(yuv, "wb") as fh:
+        for Y, U, V in frames:
+            fh.write(Y.tobytes() + U.tobytes() + V.tobytes())
+    out = tmp_path / "out.264"
+    ck = tmp_path / "job.ckpt"
+    args = ["-p", f"InputFile={yuv}", "-p", f"SourceWidth={w}",
+            "-p", f"SourceHeight={h}", "-p", "FramesToBeEncoded=9",
+            "-p", "IntraPeriod=3", "-p", "QPISlice=30", "-p", "QPPSlice=30",
+            "-p", f"OutputFile={out}", "-ckpt", str(ck)]
+
+    # uninterrupted run for the golden stream
+    with redirect_stdout(io.StringIO()):
+        CLI.main(args)
+    golden = out.read_bytes()
+    out.unlink()
+
+    # interrupted run: abort inside frame 7 (after the frame-6 checkpoint
+    # was written) — a kill leaves only the .part file + checkpoint behind
+    real = Encoder.encode_frame
+    calls = {"n": 0}
+
+    def killer(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 7:
+            raise KeyboardInterrupt
+        return real(self, *a, **kw)
+
+    Encoder.encode_frame = killer
+    try:
+        with redirect_stdout(io.StringIO()), pytest.raises(KeyboardInterrupt):
+            CLI.main(args)
+    finally:
+        Encoder.encode_frame = real
+    assert ck.exists()
+    assert not out.exists()            # the kill never wrote OutputFile
+    assert (tmp_path / "out.264.part").exists()
+
+    with redirect_stdout(io.StringIO()):
+        CLI.main(args + ["-resume"])
+    assert out.read_bytes() == golden
+    assert not (tmp_path / "out.264.part").exists()
