@@ -55,6 +55,39 @@ class BitWriter:
         else:
             self.ue(value)
 
+    def append_bitstream(self, data: bytes, nbits: int) -> None:
+        """Append `nbits` MSB-first bits taken from `data` (a packed byte
+        string) in one vectorized operation — the host-side merge point
+        for device-packed entropy payloads (ops/cavlc_jax)."""
+        import numpy as np
+        if nbits == 0:
+            return
+        need = (nbits + 7) // 8
+        a = np.frombuffer(data, np.uint8)[:need].astype(np.uint16)
+        p = self.nacc
+        if p == 0:
+            full, rem = divmod(nbits, 8)
+            self.buf += data[:full]
+            if rem:
+                self.acc = int(a[full]) >> (8 - rem)
+                self.nacc = rem
+            return
+        total = p + nbits
+        nfull, rem = divmod(total, 8)
+        ext = np.concatenate([
+            np.array([self.acc], np.uint16), a,
+            np.zeros(2, np.uint16)])
+        out = (((ext[:-1] << (8 - p)) | (ext[1:] >> p)) & 0xFF) \
+            .astype(np.uint8)
+        self.buf += out[:nfull].tobytes()
+        if rem:
+            self.acc = int(out[nfull]) >> (8 - rem)
+        else:
+            self.acc = 0
+        self.nacc = rem
+        # mask stray bits beyond nbits that leaked from the last byte
+        self.acc &= (1 << rem) - 1 if rem else 0
+
     @property
     def bitpos(self) -> int:
         return len(self.buf) * 8 + self.nacc
