@@ -613,34 +613,45 @@ class Encoder:
                 ref._dev = state
             return state
 
-        from ..ops import deblock_jax as DJ
+        from ..ops import cavlc_jax as CJX
+        from ..ops.deblock_pallas import deblock_auto
         n = self.mb_w * self.mb_h
         qp_arr = jax.device_put(np.full(n, qp, np.int32))
         zeros = jax.device_put(np.zeros(n, np.int32))
         d_cb = jax.device_put(qpc_cb)
         d_cr = jax.device_put(qpc_cr)
+        # device-entropy output budget: ~3.2 kbit/MB covers every sane
+        # CAVLC frame; the packer's ovf flag triggers host fallback
+        max_words = n * 104 + 64
 
         def dispatch(Y, U, V, s):
             # composed from separately-jitted (persistently cached)
-            # programs: core encode -> bS -> in-loop deblock -> next-ref
-            # prep -> int8 pack. All dispatches are async; nothing
-            # crosses the host boundary here.
+            # programs: core encode -> bS -> in-loop deblock (Pallas on
+            # TPU) -> next-ref prep -> device CAVLC slice pack. All
+            # dispatches are async; on the happy path only the packed
+            # bitstream words ever cross the host boundary.
             core = EJ.p_frame_step(
                 Y, U, V, s[0], s[1], s[2], qp, qpc,
                 lambda_me(qp), lambda_mode4(qp),
                 mb_w=self.mb_w, mb_h=self.mb_h, sr=cfg.search_range)
             bs_v, bs_h = EJ.p_frame_bs(core["luma_nnz"], core["mv4"],
                                        mb_w=self.mb_w, mb_h=self.mb_h)
-            dY, dU, dV = DJ.deblock_jax(
+            dY, dU, dV = deblock_auto(
                 core["recY"], core["recU"], core["recV"], bs_v, bs_h,
                 qp_arr, zeros, zeros, zeros, zeros, zeros, d_cb, d_cr,
                 mb_w=self.mb_w, mb_h=self.mb_h)
             state = EJ.prep_ref(dY, dU, dV)
-            out = EJ.pack_syntax(
-                core["inter_mode"], core["mv4"], core["luma_scan"],
-                core["luma_nnz"], core["cbp"], core["chroma_dc"],
+            skip = CJX.skip_field(core["inter_mode"], core["cbp"],
+                                  core["mv4"], self.mb_w, self.mb_h)
+            packed = CJX.pack_p_slice(
+                skip, core["inter_mode"], core["mv4"], core["cbp"],
+                core["luma_scan"], core["luma_nnz"], core["chroma_dc"],
                 core["chroma_scan"], core["chroma_nnz"],
-                core["intra_mask"])
+                mb_w=self.mb_w, mb_h=self.mb_h, max_words=max_words)
+            small = {"intra_any": core["intra_mask"].any(),
+                     "ovf": packed["ovf"], "nbits": packed["nbits"]}
+            out = {"small": small, "words": packed["words"],
+                   "core": core, "skip": skip}
             return out, state
 
         payloads = []
@@ -696,13 +707,14 @@ class Encoder:
         return payloads
 
     def _pipe_finalize(self, out, disp, orig, new_state) -> bytes:
-        """Fetch a dispatched p_frame_pipe's syntax tensors, commit the
-        PictureData, serialize, and advance the DPB/bookkeeping. Falls
-        back to the classic per-frame path when the speculation failed
-        (intra MBs chosen, or |level| > 127)."""
+        """Complete a dispatched pipelined P frame. Happy path: download
+        ONLY the device-packed CAVLC slice words (ops/cavlc_jax), prepend
+        the slice header, EBSP-frame. Fallbacks: intra speculation failed
+        -> classic re-encode; entropy-pack overflow -> download the wide
+        coefficient tensors and serialize on host."""
         import jax
-        o = jax.device_get(out)
-        if bool(o["intra_any"]) or bool(o["ovf"]):
+        small = jax.device_get(out["small"])
+        if bool(small["intra_any"]):
             # rare: redo the frame via the classic path (exact); restore
             # this frame's own display index (later frames may already
             # have claimed theirs)
@@ -715,38 +727,61 @@ class Encoder:
         cfg = self.cfg
         qp = cfg.qp
         poc = 2 * (disp - self._idr_disp)
-        n = self.mb_w * self.mb_h
-        pic = PictureData(self.mb_w, self.mb_h)
-        pic.mb_class[:] = MB_INTER
-        pic.inter_mode[:] = o["inter_mode"]
-        blk_quad = np.array([(b // 8) * 2 + ((b % 4) // 2)
-                             for b in range(16)])
-        mv_quad = o["mv_quad"].astype(np.int32)
-        pic.mv[:] = mv_quad[:, blk_quad]
-        pic.ref_idx[:] = 0
-        ref = self.refs[0]
-        pic.ref_pic_id[:] = ref.uid
-        pic.pdir[:] = 0
-        pic.luma_coef[:] = o["luma8"]
-        pic.luma_nnz[:] = o["luma_nnz8"]
-        pic.chroma_dc[:] = o["chroma_dc"]
-        pic.chroma_coef[:] = o["chroma8"]
-        pic.chroma_nnz[:] = o["chroma_nnz8"]
-        pic.cbp[:] = o["cbp8"]
-        pic.qp[:] = qp
-        pic.slice_id[:] = 0
-        self._derive_skip_fast(pic)
-        self._last_pipe_pic = pic
+        mv_host = None
+        if bool(small["ovf"]):
+            core = out["core"]
+            o = jax.device_get({k: core[k] for k in (
+                "inter_mode", "mv4", "luma_scan", "luma_nnz", "cbp",
+                "chroma_dc", "chroma_scan", "chroma_nnz")})
+            skip = jax.device_get(out["skip"])
+            pic = PictureData(self.mb_w, self.mb_h)
+            pic.mb_class[:] = MB_INTER
+            pic.inter_mode[:] = o["inter_mode"]
+            pic.mv[:] = o["mv4"]
+            pic.ref_idx[:] = 0
+            pic.ref_pic_id[:] = self.refs[0].uid
+            pic.pdir[:] = 0
+            pic.luma_coef[:] = o["luma_scan"]
+            pic.luma_nnz[:] = o["luma_nnz"]
+            pic.chroma_dc[:] = o["chroma_dc"]
+            pic.chroma_coef[:] = o["chroma_scan"]
+            pic.chroma_nnz[:] = o["chroma_nnz"]
+            pic.cbp[:] = o["cbp"]
+            pic.qp[:] = qp
+            pic.slice_id[:] = 0
+            pic.skip[:] = skip
+            self._last_pipe_pic = pic
+            mv_host = (pic.mv.copy(), pic.ref_idx.copy(),
+                       pic.mv_l1.copy(), pic.ref_idx_l1.copy(),
+                       pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())
+            slice_bytes = self._serialize_anchor_slices(
+                pic, SliceType.P, qp, poc, False, None)
+        else:
+            from ..bitstream.bitwriter import BitWriter
+            from .syntax import write_slice_header
+            nbits = int(small["nbits"])
+            k = (nbits + 31) // 32
+            words = np.asarray(out["words"][:k])
+            bw = BitWriter()
+            write_slice_header(
+                bw, self.sps, self.pps, slice_type=SliceType.P,
+                frame_num=self.frame_num, idr=False,
+                idr_pic_id=self.idr_pic_id, qp=qp, first_mb=0,
+                poc_lsb=poc % 256,
+                num_ref_idx_l0=self.num_ref_active,
+                slice_group_change_cycle=cfg.sg_change_cycle)
+            bw.append_bitstream(words.astype(">u4").tobytes(), nbits)
+            bw.rbsp_trailing_bits()
+            slice_bytes = annexb_bytes(3, NalUnitType.SLICE,
+                                       bw.get_bytes())
+            self._last_pipe_pic = None
 
-        slice_bytes = self._serialize_anchor_slices(
-            pic, SliceType.P, qp, poc, False, None)
         frame = DeviceFrame(poc=poc, frame_num=self.frame_num,
                             state=new_state)
         frame.uid = self._uid
         self._uid += 1
-        frame.motion = (pic.mv.copy(), pic.ref_idx.copy(),
-                        pic.mv_l1.copy(), pic.ref_idx_l1.copy(),
-                        pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())
+        if mv_host is not None:
+            frame.motion = mv_host
         self._store_ref(frame)
         self.frame_num = (self.frame_num + 1) % self.sps.max_frame_num
         self.frame_idx += 1

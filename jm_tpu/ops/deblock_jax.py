@@ -433,8 +433,22 @@ def deblock_jax(Y, U, V, bs_v, bs_h, qp, disable, a_off, b_off,
                     slice(5, 8), new_top_rowsV, topV, slice(5, 8), w)
         return (SY, SU, SV), None
 
-    (SY, SU, SV), _ = lax.scan(step, (SY, SU, SV),
-                               jnp.arange(n_w, dtype=jnp.int32))
+    # multi-wave scan steps: unroll UNROLL waves inside one step so the
+    # per-iteration scan/dispatch overhead amortizes (the dependency
+    # chain between consecutive waves is preserved by the inner order).
+    UNROLL = 8
+
+    def step_u(carry, w0):
+        for k in range(UNROLL):
+            carry, _ = step(carry, w0 + k)
+        return carry, None
+
+    n_pad = -(-n_w // UNROLL) * UNROLL
+    # waves beyond n_w are harmless: every lane is invalid there (the
+    # shear leaves c = w - 2b >= mb_w for all b), so commits are no-ops.
+    (SY, SU, SV), _ = lax.scan(step_u, (SY, SU, SV),
+                               jnp.arange(0, n_pad, UNROLL,
+                                          dtype=jnp.int32))
     Yf = _untile(_unshear(SY, mb_w, mb_h), mb_h, mb_w, 16)
     Uf = _untile(_unshear(SU, mb_w, mb_h), mb_h, mb_w, 8)
     Vf = _untile(_unshear(SV, mb_w, mb_h), mb_h, mb_w, 8)

@@ -130,6 +130,65 @@ def _prep(qp, disable, a_off, b_off, slice_id, transform8x8,
             sh(pchroma).astype(jnp.int16))
 
 
+def _luma_edge_core(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0,
+                    enable):
+    """deblock_jax._luma_edge on separate component vectors (tuple
+    in/out — no stack/concat on packed axes). Returns
+    (rp2, rp1, rp0, rq0, rq1, rq2)."""
+    fflag = ((jnp.abs(p0 - q0) < alpha) & (jnp.abs(p1 - p0) < beta)
+             & (jnp.abs(q1 - q0) < beta) & (bs > 0) & enable)
+    ap = jnp.abs(p2 - p0) < beta
+    aq = jnp.abs(q2 - q0) < beta
+    tc = tc0 + ap.astype(jnp.int32) + aq.astype(jnp.int32)
+    delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    np0 = jnp.clip(p0 + delta, 0, 255)
+    nq0 = jnp.clip(q0 - delta, 0, 255)
+    np1 = p1 + jnp.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1,
+                        -tc0, tc0)
+    nq1 = q1 + jnp.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1,
+                        -tc0, tc0)
+    np1 = jnp.where(ap, np1, p1)
+    nq1 = jnp.where(aq, nq1, q1)
+    strong = jnp.abs(p0 - q0) < ((alpha >> 2) + 2)
+    sp0 = jnp.where(strong & ap,
+                    (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                    (2 * p1 + p0 + q1 + 2) >> 2)
+    sp1 = jnp.where(strong & ap, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    sp2 = jnp.where(strong & ap,
+                    (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    sq0 = jnp.where(strong & aq,
+                    (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                    (2 * q1 + q0 + p1 + 2) >> 2)
+    sq1 = jnp.where(strong & aq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+    sq2 = jnp.where(strong & aq,
+                    (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+    is4 = bs == 4
+    rp0 = jnp.where(is4, sp0, np0)
+    rp1 = jnp.where(is4, sp1, np1)
+    rp2 = jnp.where(is4, sp2, p2)
+    rq0 = jnp.where(is4, sq0, nq0)
+    rq1 = jnp.where(is4, sq1, nq1)
+    rq2 = jnp.where(is4, sq2, q2)
+    return (jnp.where(fflag, rp2, p2), jnp.where(fflag, rp1, p1),
+            jnp.where(fflag, rp0, p0), jnp.where(fflag, rq0, q0),
+            jnp.where(fflag, rq1, q1), jnp.where(fflag, rq2, q2))
+
+
+def _chroma_edge_core(p1, p0, q0, q1, bs, alpha, beta, tc0, enable):
+    fflag = ((jnp.abs(p0 - q0) < alpha) & (jnp.abs(p1 - p0) < beta)
+             & (jnp.abs(q1 - q0) < beta) & (bs > 0) & enable)
+    tc = tc0 + 1
+    delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    np0 = jnp.clip(p0 + delta, 0, 255)
+    nq0 = jnp.clip(q0 - delta, 0, 255)
+    sp0 = (2 * p1 + p0 + q1 + 2) >> 2
+    sq0 = (2 * q1 + q0 + p1 + 2) >> 2
+    is4 = bs == 4
+    rp0 = jnp.where(fflag, jnp.where(is4, sp0, np0), p0)
+    rq0 = jnp.where(fflag, jnp.where(is4, sq0, nq0), q0)
+    return rp0, rq0
+
+
 def _rep_lines(bs4, k: int):
     """(mh, E) -> (mh, E*k) repeating each column k times via a
     where-select against a line-group iota (Mosaic-safe: no lane-axis
@@ -164,9 +223,7 @@ def _luma_kernel(sbsv_ref, sbsh_ref, m_ref, p_ref, sy_in, sy_ref, *,
         wm1 = jnp.maximum(w - 1, 0)
         wm2 = jnp.maximum(w - 2, 0)
         cur = sy_ref[w].astype(jnp.int32)                 # (mh, 16, 16)
-        left = sy_ref[wm1].astype(jnp.int32)
-        topw = sy_ref[wm2].astype(jnp.int32)
-        top = jnp.concatenate([topw[:1], topw[:-1]], axis=0)
+        left4 = sy_ref[wm1, :, :, 12:16].astype(jnp.int32)
         masks = m_ref[w].astype(jnp.int32)                # (mh, 8)
         par = p_ref[w].astype(jnp.int32)                  # (mh, 3, 5)
         bsv = sbsv_ref[w].astype(jnp.int32)               # (mh, 4r, 4e)
@@ -181,8 +238,8 @@ def _luma_kernel(sbsv_ref, sbsh_ref, m_ref, p_ref, sy_in, sy_ref, *,
         lcom = (masks[:, M_LCOM] > 0) & valid
         tcom = (masks[:, M_TCOM] > 0) & valid
 
-        # ---- vertical edges -------------------------------------------
-        wk = jnp.concatenate([left[:, :, 12:16], cur], axis=2)  # (mh,16,20)
+        # ---- vertical edges (lane-axis slab ops) ----------------------
+        wk = jnp.concatenate([left4, cur], axis=2)        # (mh, 16, 20)
         for ex in range(4):
             en = en0v if ex == 0 else (env13 if ex in (1, 3) else mbon)
             case = par[:, 1] if ex == 0 else par[:, 0]     # (mh, 5)
@@ -196,11 +253,21 @@ def _luma_kernel(sbsv_ref, sbsh_ref, m_ref, p_ref, sy_in, sy_ref, *,
             parts = ([wk[:, :, :x - 4]] if x > 4 else []) + [out] + \
                 ([wk[:, :, x + 4:]] if x + 4 < 20 else [])
             wk = jnp.concatenate(parts, axis=2) if len(parts) > 1 else out
-        new_left = wk[:, :, 1:4]
+        # left fringe commit (minor-slice ref write)
+        lm = lcom[:, None, None]
+        old_l = sy_ref[wm1, :, :, 13:16].astype(jnp.int32)
+        sy_ref[wm1, :, :, 13:16] = jnp.where(lm, wk[:, :, 1:4], old_l) \
+            .astype(jnp.int16)
         cur = wk[:, :, 4:20]
 
-        # ---- horizontal edges -----------------------------------------
-        wk = jnp.concatenate([top[:, 12:16, :], cur], axis=1)  # (mh,20,16)
+        # ---- horizontal edges (per-row vectors; no sublane concats) ---
+        t4 = sy_ref[wm2, :, 12:16, :].astype(jnp.int32)   # (mh, 4, 16)
+        rows = {}
+        for i in range(4):
+            v = t4[:, i, :]
+            rows[i - 4] = jnp.concatenate([v[:1], v[:-1]], axis=0)
+        for ri in range(16):
+            rows[ri] = cur[:, ri, :]
         for ey in range(4):
             en = en0h if ey == 0 else (enh13 if ey in (1, 3) else mbon)
             case = par[:, 2] if ey == 0 else par[:, 0]
@@ -208,36 +275,28 @@ def _luma_kernel(sbsv_ref, sbsh_ref, m_ref, p_ref, sy_in, sy_ref, *,
             al = case[:, 0:1]
             be = case[:, 1:2]
             tc0 = _tc0_of(case, bs_line)
-            y = 4 * ey + 4
-            rows = wk[:, y - 4:y + 4, :].swapaxes(1, 2)    # (mh,16,8)
-            out = _luma_edge(rows, bs_line, al, be, tc0,
-                             en[:, None]).swapaxes(1, 2)
-            parts = ([wk[:, :y - 4, :]] if y > 4 else []) + [out] + \
-                ([wk[:, y + 4:, :]] if y + 4 < 20 else [])
-            wk = jnp.concatenate(parts, axis=1) if len(parts) > 1 else out
-        new_top = wk[:, 1:4, :]
-        cur = wk[:, 4:20, :]
+            y = 4 * ey
+            r = _luma_edge_core(
+                rows[y - 4], rows[y - 3], rows[y - 2], rows[y - 1],
+                rows[y], rows[y + 1], rows[y + 2], rows[y + 3],
+                bs_line, al, be, tc0, en[:, None])
+            (rows[y - 3], rows[y - 2], rows[y - 1],
+             rows[y], rows[y + 1], rows[y + 2]) = r
 
         # ---- commits --------------------------------------------------
         vm = valid[:, None, None]
+        cur = jnp.stack([rows[ri] for ri in range(16)], axis=1)
         sy_ref[w] = jnp.where(vm, cur, sy_ref[w].astype(jnp.int32)) \
             .astype(jnp.int16)
-        lm = lcom[:, None, None]
-        lslab = sy_ref[wm1].astype(jnp.int32)
-        lslab = jnp.concatenate(
-            [lslab[:, :, :13],
-             jnp.where(lm, new_left, lslab[:, :, 13:16])], axis=2)
-        sy_ref[wm1] = lslab.astype(jnp.int16)
         # top fringe: rows 13:16 of tile (b-1, w-2) -> shift lanes up
-        tm = tcom[:, None, None]
-        tv = jnp.where(tm, new_top, 0)
-        tv_sh = jnp.concatenate([tv[1:], tv[-1:] * 0], axis=0)
-        keep = jnp.concatenate([tm[1:], jnp.zeros_like(tm[-1:])], axis=0)
-        tslab = sy_ref[wm2].astype(jnp.int32)
-        tslab = jnp.concatenate(
-            [tslab[:, :13, :],
-             jnp.where(keep, tv_sh, tslab[:, 13:16, :])], axis=1)
-        sy_ref[wm2] = tslab.astype(jnp.int16)
+        tm = tcom[:, None]
+        tm_sh = jnp.concatenate([tm[1:], jnp.zeros_like(tm[:1])], axis=0)
+        for i in range(3):
+            v = rows[i - 3]
+            v_sh = jnp.concatenate([v[1:], v[-1:]], axis=0)
+            old = sy_ref[wm2, :, 13 + i, :].astype(jnp.int32)
+            sy_ref[wm2, :, 13 + i, :] = jnp.where(tm_sh, v_sh, old) \
+                .astype(jnp.int16)
         return 0
 
     lax.fori_loop(0, n_w, wave, 0)
@@ -262,15 +321,16 @@ def _chroma_kernel(sbsv_ref, sbsh_ref, m_ref, p_ref, su_in, sv_in,
         mbon = masks[:, M_MBON] > 0
         lcom = (masks[:, M_LCOM] > 0) & valid
         tcom = (masks[:, M_TCOM] > 0) & valid
+        vm = valid[:, None, None]
+        lm = lcom[:, None, None]
+        tm = tcom[:, None]
+        tm_sh = jnp.concatenate([tm[1:], jnp.zeros_like(tm[:1])], axis=0)
 
-        outs = []
         for comp, ref in ((0, su_ref), (1, sv_ref)):
             cur = ref[w].astype(jnp.int32)                # (mh, 8, 8)
-            leftc = ref[wm1].astype(jnp.int32)
-            topwc = ref[wm2].astype(jnp.int32)
-            topc = jnp.concatenate([topwc[:1], topwc[:-1]], axis=0)
+            left2 = ref[wm1, :, :, 4:8].astype(jnp.int32)
 
-            wk = jnp.concatenate([leftc[:, :, 4:8], cur], axis=2)  # (mh,8,12)
+            wk = jnp.concatenate([left2, cur], axis=2)    # (mh, 8, 12)
             for ex in (0, 2):
                 en = en0v if ex == 0 else mbon
                 case = par[:, comp, 1] if ex == 0 else par[:, comp, 0]
@@ -283,47 +343,39 @@ def _chroma_kernel(sbsv_ref, sbsh_ref, m_ref, p_ref, su_in, sv_in,
                 parts = ([wk[:, :, :cx - 2]] if cx > 2 else []) + [out] + \
                     ([wk[:, :, cx + 2:]] if cx + 2 < 12 else [])
                 wk = jnp.concatenate(parts, axis=2)
-            new_left = wk[:, :, 1:4]
+            old_l = ref[wm1, :, :, 5:8].astype(jnp.int32)
+            ref[wm1, :, :, 5:8] = jnp.where(lm, wk[:, :, 1:4], old_l) \
+                .astype(jnp.int16)
             cur = wk[:, :, 4:12]
 
-            wk = jnp.concatenate([topc[:, 4:8, :], cur], axis=1)   # (mh,12,8)
+            # horizontal edges: per-row vectors
+            t2 = ref[wm2, :, 4:8, :].astype(jnp.int32)    # (mh, 4, 8)
+            rows = {}
+            for i in range(4):
+                v = t2[:, i, :]
+                rows[i - 4] = jnp.concatenate([v[:1], v[:-1]], axis=0)
+            for ri in range(8):
+                rows[ri] = cur[:, ri, :]
             for ey in (0, 2):
                 en = en0h if ey == 0 else mbon
                 case = par[:, comp, 2] if ey == 0 else par[:, comp, 0]
                 bs_line = _rep_lines(bsh[:, ey, :], 2)
                 tc0 = _tc0_of(case, bs_line)
-                cy = 2 * ey + 4
-                rows = wk[:, cy - 2:cy + 2, :].swapaxes(1, 2)
-                out = _chroma_edge(rows, bs_line, case[:, 0:1],
-                                   case[:, 1:2], tc0,
-                                   en[:, None]).swapaxes(1, 2)
-                parts = ([wk[:, :cy - 2, :]] if cy > 2 else []) + [out] + \
-                    ([wk[:, cy + 2:, :]] if cy + 2 < 12 else [])
-                wk = jnp.concatenate(parts, axis=1)
-            new_top = wk[:, 1:4, :]
-            cur = wk[:, 4:12, :]
-            outs.append((ref, cur, new_left, new_top))
+                cy = 2 * ey
+                rp0, rq0 = _chroma_edge_core(
+                    rows[cy - 2], rows[cy - 1], rows[cy], rows[cy + 1],
+                    bs_line, case[:, 0:1], case[:, 1:2], tc0,
+                    en[:, None])
+                rows[cy - 1], rows[cy] = rp0, rq0
 
-        for ref, cur, new_left, new_top in outs:
-            vm = valid[:, None, None]
+            cur = jnp.stack([rows[ri] for ri in range(8)], axis=1)
             ref[w] = jnp.where(vm, cur, ref[w].astype(jnp.int32)) \
                 .astype(jnp.int16)
-            lm = lcom[:, None, None]
-            lslab = ref[wm1].astype(jnp.int32)
-            lslab = jnp.concatenate(
-                [lslab[:, :, :5],
-                 jnp.where(lm, new_left, lslab[:, :, 5:8])], axis=2)
-            ref[wm1] = lslab.astype(jnp.int16)
-            tm = tcom[:, None, None]
-            tv = jnp.where(tm, new_top, 0)
-            tv_sh = jnp.concatenate([tv[1:], tv[-1:] * 0], axis=0)
-            keep = jnp.concatenate([tm[1:], jnp.zeros_like(tm[-1:])],
-                                   axis=0)
-            tslab = ref[wm2].astype(jnp.int32)
-            tslab = jnp.concatenate(
-                [tslab[:, :5, :],
-                 jnp.where(keep, tv_sh, tslab[:, 5:8, :])], axis=1)
-            ref[wm2] = tslab.astype(jnp.int16)
+            v = rows[-1]
+            v_sh = jnp.concatenate([v[1:], v[-1:]], axis=0)
+            old = ref[wm2, :, 7, :].astype(jnp.int32)
+            ref[wm2, :, 7, :] = jnp.where(tm_sh, v_sh, old) \
+                .astype(jnp.int16)
         return 0
 
     lax.fori_loop(0, n_w, wave, 0)
