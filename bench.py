@@ -1,13 +1,18 @@
 """1080p real-encoder benchmark on the TPU.
 
 Measures the PRODUCTION encoder (`jm_tpu.encoder.Encoder`, device
-pipeline): a full 1080p IPPP CAVLC encode producing a decodable Annex-B
-stream — wavefront device I-frame, batched device P pipeline (full-search
-ME ±16 + quarter-pel SATD refinement over all partition jobs, mode
-decision, MC, transform/quant/recon), native C++ CAVLC serialization and
-in-loop deblocking. This is the same code path exercised bit-exactly
-against the JM reference decoder in tests/ (tests/test_device_pipeline.py,
-tests/test_encoder.py) — not a kernel microbenchmark.
+pipeline with device_rd): a full 1080p IPPP CAVLC encode producing a
+decodable Annex-B stream — wavefront device I-frame, batched device P
+pipeline (full-search ME ±16 + quarter-pel SATD refinement over all
+partition jobs, md_high trial-encode RD mode decision with exact CAVLC
+bits (ops/enc_rd.py), MC, transform/quant/recon), in-loop deblocking
+(8x-unrolled wavefront scan) and the device CAVLC slice packer
+(ops/cavlc_jax.py) — on the happy path only the packed bitstream words
+cross the host boundary. The same code path is byte-exact against the
+classic per-frame encoder and decode-validated in tests/
+(tests/test_pipe_stream.py, tests/test_cavlc_jax.py); the config is the
+`fast_rd` BD-rate preset measured at +4.9% BD-rate vs the matching JM
+fast anchor (tests/test_bdrate.py) — speed and quality on ONE config.
 
 Validation inside the run: the first frames of the produced stream are
 decoded with our own decoder and byte-compared against the encoder's
@@ -15,9 +20,12 @@ reconstruction.
 
 Baseline: JM lencod 19.0 on this host, encoder_baseline.cfg at
 1920x1088, SearchRange=16, 1 reference, RDOptimization=0:
-3 frames / 51.9 s = 0.058 fps (.refbuild/run/bench1080.log).
+3 frames / 12.194 s = 0.25 fps by JM's own report line
+(.refbuild/run/bench1080.log, regenerated round 4 — the r2/r3 0.058
+anchor was from a stale unreproducible run and is retired).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus a
+device/host wall-time split.
 """
 
 from __future__ import annotations
@@ -27,7 +35,7 @@ import time
 
 import numpy as np
 
-JM_LENCOD_1080P_FPS = 0.058
+JM_LENCOD_1080P_FPS = 0.25
 
 W, H = 1920, 1088
 N_FRAMES = 17      # 1 I + 16 P
@@ -60,16 +68,32 @@ def main():
     from jm_tpu.encoder.encoder import Encoder, EncoderConfig
 
     frames = make_sequence()
-    cfg = EncoderConfig(width=W, height=H, qp=QP, pipeline="device")
+    cfg = EncoderConfig(width=W, height=H, qp=QP, pipeline="device",
+                        device_rd=True)
 
     # warm-up: compile the I and pipelined P device programs (cached)
     warm = Encoder(cfg)
     warm.encode_stream(frames[:3])
 
-    enc = Encoder(cfg)
-    t0 = time.time()
-    per_frame_bytes = enc.encode_stream(frames)
-    dt = time.time() - t0
+    # instrument the host side of the pipeline: time spent inside
+    # _pipe_finalize (serialization + bookkeeping + transfers-wait)
+    host_ms = {"t": 0.0}
+    orig_fin = Encoder._pipe_finalize
+
+    def timed_fin(self, *a, **kw):
+        t0 = time.time()
+        r = orig_fin(self, *a, **kw)
+        host_ms["t"] += time.time() - t0
+        return r
+
+    Encoder._pipe_finalize = timed_fin
+    try:
+        enc = Encoder(cfg)
+        t0 = time.time()
+        per_frame_bytes = enc.encode_stream(frames)
+        dt = time.time() - t0
+    finally:
+        Encoder._pipe_finalize = orig_fin
     fps = N_FRAMES / dt
 
     # validation: decode the first two frames' stream, byte-compare the
@@ -85,13 +109,18 @@ def main():
 
     total_bits = 8 * sum(len(b) for b in per_frame_bytes)
     kbps = total_bits * 30.0 / N_FRAMES / 1000.0
+    fin_ms = 1000.0 * host_ms["t"] / N_FRAMES
     print(json.dumps({
         "metric": "1080p IPPP CAVLC real-encoder frames/s (device "
-                  f"pipeline, SR16 qp{QP}, {kbps:.0f} kbit/s @30Hz, "
+                  f"pipeline + device RD + device entropy, SR16 qp{QP}, "
+                  f"{kbps:.0f} kbit/s @30Hz, +4.9% BD-rate preset, "
                   "decode-validated)",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / JM_LENCOD_1080P_FPS, 1),
+        "wall_ms_per_frame": round(1000.0 / fps, 1),
+        "finalize_ms_per_frame": round(fin_ms, 1),
+        "device_ms_per_frame": round(1000.0 / fps - fin_ms, 1),
     }))
 
 

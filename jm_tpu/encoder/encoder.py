@@ -106,6 +106,9 @@ class EncoderConfig:
     cabac_adapt_init: bool = False   # per-slice cabac_init_idc selection
                                  # (lencod ContextInitMethod=1 adaptive,
                                  # context_ini.c; here: exact 3-way trial)
+    device_rd: bool = False      # device md_high: batched trial-encode RD
+                                 # with exact CAVLC bits on the fast path
+                                 # (ops/enc_rd.py; md_high.c:38 twin)
     rdoq: int = 0                # trellis quantization (E11, lencod
                                  # UseRDOQuant; rdoq.py)
     rdoq_dc: int = 0             # trellis the luma DC blocks (RDOQ_DC)
@@ -633,7 +636,8 @@ class Encoder:
             core = EJ.p_frame_step(
                 Y, U, V, s[0], s[1], s[2], qp, qpc,
                 lambda_me(qp), lambda_mode4(qp),
-                mb_w=self.mb_w, mb_h=self.mb_h, sr=cfg.search_range)
+                mb_w=self.mb_w, mb_h=self.mb_h, sr=cfg.search_range,
+                rd=cfg.device_rd)
             bs_v, bs_h = EJ.p_frame_bs(core["luma_nnz"], core["mv4"],
                                        mb_w=self.mb_w, mb_h=self.mb_h)
             dY, dU, dV = deblock_auto(
@@ -1832,7 +1836,7 @@ class _FrameEncoder:
         enc, cfg, pic = self.enc, self.enc.cfg, self.pic
         ref = self.refs_list[0]
         if (cfg.sp_shards > 1 and self.mb_h % cfg.sp_shards == 0
-                and cfg.search_range <= 16):
+                and cfg.search_range <= 16 and not cfg.device_rd):
             # MB-row-sharded step (recon/MV/source halo exchange over the
             # 'sp' mesh); bit-identical to the 1-device path by design
             from ..parallel import sp_pipeline as SP
@@ -1854,7 +1858,8 @@ class _FrameEncoder:
             out = jax.device_get(EJ.p_frame_step(
                 self.origY, self.origU, self.origV, planes, padU, padV,
                 self.qp, self.qpc, self.lam, self.lam4,
-                mb_w=self.mb_w, mb_h=self.mb_h, sr=cfg.search_range))
+                mb_w=self.mb_w, mb_h=self.mb_h, sr=cfg.search_range,
+                rd=cfg.device_rd))
 
         intra = np.asarray(out["intra_mask"]).copy()
         if self.forced_intra:

@@ -303,13 +303,18 @@ def _median3(a, b, c):
                        jnp.maximum(a, b))
 
 
-def mv_pred_parts(mv4, inter_mode, mb_w: int, mb_h: int):
+def mv_pred_parts(mv4, inter_mode, mb_w: int, mb_h: int,
+                  all_modes: bool = False):
     """Exact median MV predictors for every partition of every MB under
     the all-inter/ref-0/single-slice fast path.
 
     mv4: (N, 16, 2) final committed per-4x4 MVs; inter_mode: (N,).
     Returns pred (N, 4, 2): predictor for partition p of the MB's coded
-    mode (p indexes PARTS[mode]; unused partitions = 0)."""
+    mode (p indexes PARTS[mode]; unused partitions = 0).
+    all_modes=True instead returns (N, 4 modes, 4 parts, 2): the
+    predictor each partition of each CANDIDATE mode would see if that
+    mode were chosen, given the surrounding committed field (the
+    second-pass rate model of ops/enc_rd.py)."""
     n = mb_w * mb_h
     mvg = mv4.reshape(mb_h, mb_w, 4, 4, 2).transpose(0, 2, 1, 3, 4) \
         .reshape(4 * mb_h, 4 * mb_w, 2).astype(jnp.int32)
@@ -340,6 +345,7 @@ def mv_pred_parts(mv4, inter_mode, mb_w: int, mb_h: int):
         return avail, _gather_blk(mvg, gy, gx, avail)
 
     preds = jnp.zeros((mb_h, mb_w, 4, 2), jnp.int32)
+    allp = jnp.zeros((mb_h, mb_w, 4, 4, 2), jnp.int32)
     mode = inter_mode.reshape(mb_h, mb_w)
     for m, parts in PARTS.items():
         sel_m = mode == m
@@ -377,7 +383,55 @@ def mv_pred_parts(mv4, inter_mode, mb_w: int, mb_h: int):
             preds = jnp.where((sel_m[..., None, None]
                                & (jnp.arange(4) == pi)[None, None, :, None]),
                               p[:, :, None, :], preds)
+            if all_modes:
+                allp = allp.at[:, :, m, pi].set(p)
+    if all_modes:
+        return allp.reshape(n, 4, 4, 2)
     return preds.reshape(n, 4, 2)
+
+
+def skip_mv_field(mv4, mb_w: int, mb_h: int):
+    """The exact P_Skip motion vector per MB (spec 8.4.1.1) given the
+    committed all-inter/ref-0 field — the (mv == skip_mv) half of
+    skip_field, returned as the vector itself. (N, 2) int32."""
+    mw, mh = mb_w, mb_h
+    mv = mv4.reshape(mh, mw, 16, 2).astype(jnp.int32)
+    z2 = jnp.zeros((mh, 1, 2), jnp.int32)
+    mva = jnp.concatenate([z2, mv[:, :-1, 3]], axis=1)
+    mvb = jnp.concatenate([jnp.zeros((1, mw, 2), jnp.int32),
+                           mv[:-1, :, 12]], axis=0)
+    mvc = jnp.zeros((mh, mw, 2), jnp.int32)
+    if mh > 1 and mw > 1:
+        mvc = mvc.at[1:, :-1].set(mv[:-1, 1:, 12])
+    mvd_ = jnp.zeros((mh, mw, 2), jnp.int32)
+    if mh > 1 and mw > 1:
+        mvd_ = mvd_.at[1:, 1:].set(mv[:-1, :-1, 15])
+    has_a = np.zeros((mh, mw), bool)
+    has_a[:, 1:] = True
+    has_b = np.zeros((mh, mw), bool)
+    has_b[1:] = True
+    has_c = np.zeros((mh, mw), bool)
+    has_c[1:, :-1] = True
+    has_d = np.zeros((mh, mw), bool)
+    has_d[1:, 1:] = True
+    has_a = jnp.asarray(has_a)
+    has_b = jnp.asarray(has_b)
+    has_c = jnp.asarray(has_c)
+    has_d = jnp.asarray(has_d)
+    mvc = jnp.where(has_c[..., None], mvc, mvd_)
+    has_c_eff = has_c | has_d
+    cnt = (has_a.astype(jnp.int32) + has_b.astype(jnp.int32)
+           + has_c_eff.astype(jnp.int32))
+    mva_e = jnp.where(has_a[..., None], mva, 0)
+    mvb_e = jnp.where(has_b[..., None], mvb, 0)
+    mvc_e = jnp.where(has_c_eff[..., None], mvc, 0)
+    single = mva_e + mvb_e + mvc_e
+    med = _median3(mva_e, mvb_e, mvc_e)
+    pred = jnp.where((cnt == 1)[..., None], single, med)
+    a_zero = ~has_a | (mva == 0).all(-1)
+    b_zero = ~has_b | (mvb == 0).all(-1)
+    return jnp.where((a_zero | b_zero)[..., None], 0, pred) \
+        .reshape(mw * mh, 2)
 
 
 def skip_field(inter_mode, cbp, mv4, mb_w: int, mb_h: int):

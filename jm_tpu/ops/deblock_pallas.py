@@ -253,11 +253,14 @@ def _luma_kernel(sbsv_ref, sbsh_ref, m_ref, p_ref, sy_in, sy_ref, *,
             parts = ([wk[:, :, :x - 4]] if x > 4 else []) + [out] + \
                 ([wk[:, :, x + 4:]] if x + 4 < 20 else [])
             wk = jnp.concatenate(parts, axis=2) if len(parts) > 1 else out
-        # left fringe commit (minor-slice ref write)
+        # left fringe commit (full-slab RMW: minor-axis stack, then one
+        # scalar-index store — Mosaic rejects mid-axis scalar stores)
         lm = lcom[:, None, None]
-        old_l = sy_ref[wm1, :, :, 13:16].astype(jnp.int32)
-        sy_ref[wm1, :, :, 13:16] = jnp.where(lm, wk[:, :, 1:4], old_l) \
-            .astype(jnp.int16)
+        lslab = sy_ref[wm1].astype(jnp.int32)
+        lnew = jnp.where(lm, wk[:, :, 1:4], lslab[:, :, 13:16])
+        lcols = [lslab[:, :, c] for c in range(13)] + \
+            [lnew[:, :, i] for i in range(3)]
+        sy_ref[wm1] = jnp.stack(lcols, axis=-1).astype(jnp.int16)
         cur = wk[:, :, 4:20]
 
         # ---- horizontal edges (per-row vectors; no sublane concats) ---
@@ -288,15 +291,17 @@ def _luma_kernel(sbsv_ref, sbsh_ref, m_ref, p_ref, sy_in, sy_ref, *,
         cur = jnp.stack([rows[ri] for ri in range(16)], axis=1)
         sy_ref[w] = jnp.where(vm, cur, sy_ref[w].astype(jnp.int32)) \
             .astype(jnp.int16)
-        # top fringe: rows 13:16 of tile (b-1, w-2) -> shift lanes up
+        # top fringe: rows 13:16 of tile (b-1, w-2) -> shift lanes up;
+        # committed as one full-slab RMW store
         tm = tcom[:, None]
         tm_sh = jnp.concatenate([tm[1:], jnp.zeros_like(tm[:1])], axis=0)
+        tslab = sy_ref[wm2].astype(jnp.int32)
+        trows = [tslab[:, r, :] for r in range(13)]
         for i in range(3):
             v = rows[i - 3]
             v_sh = jnp.concatenate([v[1:], v[-1:]], axis=0)
-            old = sy_ref[wm2, :, 13 + i, :].astype(jnp.int32)
-            sy_ref[wm2, :, 13 + i, :] = jnp.where(tm_sh, v_sh, old) \
-                .astype(jnp.int16)
+            trows.append(jnp.where(tm_sh, v_sh, tslab[:, 13 + i, :]))
+        sy_ref[wm2] = jnp.stack(trows, axis=1).astype(jnp.int16)
         return 0
 
     lax.fori_loop(0, n_w, wave, 0)
@@ -343,9 +348,11 @@ def _chroma_kernel(sbsv_ref, sbsh_ref, m_ref, p_ref, su_in, sv_in,
                 parts = ([wk[:, :, :cx - 2]] if cx > 2 else []) + [out] + \
                     ([wk[:, :, cx + 2:]] if cx + 2 < 12 else [])
                 wk = jnp.concatenate(parts, axis=2)
-            old_l = ref[wm1, :, :, 5:8].astype(jnp.int32)
-            ref[wm1, :, :, 5:8] = jnp.where(lm, wk[:, :, 1:4], old_l) \
-                .astype(jnp.int16)
+            lslab = ref[wm1].astype(jnp.int32)
+            lnew = jnp.where(lm, wk[:, :, 1:4], lslab[:, :, 5:8])
+            lcols = [lslab[:, :, c] for c in range(5)] + \
+                [lnew[:, :, i] for i in range(3)]
+            ref[wm1] = jnp.stack(lcols, axis=-1).astype(jnp.int16)
             cur = wk[:, :, 4:12]
 
             # horizontal edges: per-row vectors
@@ -373,9 +380,10 @@ def _chroma_kernel(sbsv_ref, sbsh_ref, m_ref, p_ref, su_in, sv_in,
                 .astype(jnp.int16)
             v = rows[-1]
             v_sh = jnp.concatenate([v[1:], v[-1:]], axis=0)
-            old = ref[wm2, :, 7, :].astype(jnp.int32)
-            ref[wm2, :, 7, :] = jnp.where(tm_sh, v_sh, old) \
-                .astype(jnp.int16)
+            tslab = ref[wm2].astype(jnp.int32)
+            trows = [tslab[:, r, :] for r in range(7)]
+            trows.append(jnp.where(tm_sh, v_sh, tslab[:, 7, :]))
+            ref[wm2] = jnp.stack(trows, axis=1).astype(jnp.int16)
         return 0
 
     lax.fori_loop(0, n_w, wave, 0)
@@ -442,11 +450,19 @@ def _fits_vmem(mb_w: int, mb_h: int) -> bool:
 def deblock_auto(Y, U, V, bs_v, bs_h, qp, disable, a_off, b_off,
                  slice_id, transform8x8, qpc_cb, qpc_cr, *,
                  mb_w: int, mb_h: int):
-    """deblock_jax-compatible dispatcher: Pallas kernels on TPU (when the
-    sheared frame fits VMEM), the XLA scan elsewhere (CPU tests, outsized
-    frames). Both paths are bit-exact twins of the host filter."""
+    """deblock_jax-compatible dispatcher. The Pallas kernels are
+    bit-exact in interpreter mode (tests/test_deblock_pallas.py) but the
+    current Mosaic compiler rejects the wave body's mixed-offset sublane
+    stacks on real TPUs, so the compiled path stays opt-in
+    (JM_TPU_PALLAS_DEBLOCK=1) until the relayout gap closes; the
+    8x-unrolled XLA scan (75 ms @1080p, down from 167) is the production
+    TPU path meanwhile."""
+    import os
+
     from .deblock_jax import deblock_jax
-    if jax.default_backend() == "tpu" and _fits_vmem(mb_w, mb_h):
+    if (os.environ.get("JM_TPU_PALLAS_DEBLOCK") == "1"
+            and jax.default_backend() == "tpu"
+            and _fits_vmem(mb_w, mb_h)):
         return deblock_pallas(Y, U, V, bs_v, bs_h, qp, disable, a_off,
                               b_off, slice_id, transform8x8, qpc_cb,
                               qpc_cr, mb_w=mb_w, mb_h=mb_h)

@@ -919,7 +919,28 @@ def qpel_refine_dense(band, orig_q, int_mv, pred, lam, mb_xy, sr: int,
     cost_q, qdx, qdy = best
     mvq = jnp.stack([4 * int_mv[..., 0] + 2 * hdx + qdx,
                      4 * int_mv[..., 1] + 2 * hdy + qdy], axis=-1)
-    return mvq.astype(jnp.int32), cost_q
+    return mvq.astype(jnp.int32), cost_q, win
+
+
+def qjob_pred_blocks(win, mv_q, int_mv):
+    """Extract each qjob's final 8x8 prediction block from the refine
+    windows by a 49-way static select at its chosen sub-pel offset.
+
+    win: (N*16, 4, 10, 10) int16 windows from qpel_refine_dense;
+    mv_q: (N, 9, 2) chosen qpel MVs; int_mv: (N, 9, 2) integer MVs.
+    Returns (N, 16, 8, 8) int32 predictions (QJ order)."""
+    n = mv_q.shape[0]
+    tx = (mv_q[..., 0] - 4 * int_mv[..., 0] + 4)[:, QJ_PARENT]   # (N, 16)
+    ty = (mv_q[..., 1] - 4 * int_mv[..., 1] + 4)[:, QJ_PARENT]
+    txf = tx.reshape(-1)
+    tyf = ty.reshape(-1)
+    out = jnp.zeros((n * 16, 8, 8), jnp.int32)
+    for t_y in range(1, 8):
+        for t_x in range(1, 8):
+            blk = _qpel_block_at(win, t_x, t_y)
+            sel = ((txf == t_x) & (tyf == t_y))[:, None, None]
+            out = jnp.where(sel, blk, out)
+    return out.reshape(n, 16, 8, 8)
 
 
 def mc_luma_quads_band(band, mv_quad, mb_xy, sr: int, y0: int = 0):
@@ -1001,9 +1022,12 @@ def skip_cost_band(band, skip_mv, mb_xy, orig_q, sr: int, y0: int = 0):
 # ---------------------------------------------------------------------------
 
 def _p_frame_core(origY, origU, origV, planes, padU, padV,
-                  qp, qpc, lam, lam4, *, mb_w: int, mb_h: int, sr: int):
+                  qp, qpc, lam, lam4, *, mb_w: int, mb_h: int, sr: int,
+                  rd: bool = False):
     """Shared body of the whole-picture P encode (single reference):
-    ME/subpel/mode/skip/MC/residual/recon as batched tensor ops."""
+    ME/subpel/mode/skip/MC/residual/recon as batched tensor ops.
+    rd=True swaps the md_low cost-based decisions for the batched
+    md_high trial-encode RD of ops/enc_rd.py (exact bits + SSD)."""
     n = mb_w * mb_h
     h, w = mb_h * 16, mb_w * 16
     mb_xy = jnp.stack([(jnp.arange(n) % mb_w) * 16,
@@ -1025,10 +1049,10 @@ def _p_frame_core(origY, origU, origV, planes, padU, padV,
     pred = approx_pred_field(int_mv[:, 0], mb_w, mb_h)
 
     # 3. subpel refinement of all 9 jobs (dense 7x7 qpel cost grid)
-    mv_q, cost_q = qpel_refine_dense(band, orig_q, int_mv, pred, lam,
-                                     mb_xy, sr)
+    mv_q, cost_q, _win = qpel_refine_dense(band, orig_q, int_mv, pred,
+                                           lam, mb_xy, sr)
 
-    # 4. partition mode decision
+    # 4. partition mode decision (SATD-scale; also the intra trigger)
     mode_costs = jnp.stack(
         [cost_q[:, list(jobs)].sum(axis=1) + lam * int(MODE_BITS[m])
          for m, jobs in enumerate(MODE_JOBS)], axis=1)        # (N, 4)
@@ -1046,27 +1070,51 @@ def _p_frame_core(origY, origU, origV, planes, padU, padV,
     cost_i16 = i16_source_cost(origY, mb_w, mb_h)
     intra_mask = cost_i16 + 2 * lam4 < cost_inter
 
-    # 7. final motion field (quadrant-granular: one MV per 8x8 is the
-    #    decision granularity of the 9-job search)
-    quad_job = jnp.asarray(_BLK_JOB[:, [0, 2, 8, 10]])[best_mode]  # (N, 4)
-    mv_quad = jnp.take_along_axis(mv_q, quad_job[..., None], axis=1)
-    mv_quad = jnp.where(take_skip[:, None, None],
-                        jnp.broadcast_to(skip_mv[:, None, :], mv_quad.shape),
-                        mv_quad)
-    best_mode = jnp.where(take_skip, 0, best_mode)
-    blk_quad = jnp.asarray(
-        [(b // 8) * 2 + ((b % 4) // 2) for b in range(16)])
-    mv4 = mv_quad[:, blk_quad]                                 # (N, 16, 2)
-
-    # 8. prediction + residual + recon
-    pred_y16 = mc_luma_quads_band(band, mv_quad, mb_xy, sr)    # (N,16,16)
-    scan, nnz, cbp_l, recY_mbs = luma_residual_inter(orig_mbs, pred_y16, qp)
-
-    pred_u, pred_v = mc_chroma_quads_band(cband, mv_quad, mb_xy, sr)
     orig_u = origU.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
     orig_v = origV.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
-    cdc, cac, cnnz, cbp_c, recU_mbs, recV_mbs = chroma_residual_inter(
-        orig_u, orig_v, pred_u, pred_v, qpc)
+
+    if rd:
+        # md_high tier on device: exact trial-encode RD (ops/enc_rd.py)
+        from .enc_rd import p_mode_rd_device
+        r = p_mode_rd_device(band, cband, _win, mv_q, int_mv, pred,
+                             orig_q, orig_u, orig_v, mb_xy, qp, qpc,
+                             mb_w=mb_w, mb_h=mb_h, sr=sr)
+        best_mode = r["inter_mode"]
+        mv_quad = r["mv_quad"]
+        scan = r["luma_scan"]
+        nnz = r["luma_nnz"]
+        cbp_full = r["cbp"]
+        cdc = r["chroma_dc"]
+        cac = r["chroma_scan"]
+        cnnz = r["chroma_nnz"]
+        recY_mbs = r["recY_mbs"]
+        recU_mbs = r["recU_mbs"]
+        recV_mbs = r["recV_mbs"]
+        blk_quad = jnp.asarray(
+            [(b // 8) * 2 + ((b % 4) // 2) for b in range(16)])
+        mv4 = mv_quad[:, blk_quad]
+    else:
+        # 7. final motion field (quadrant-granular: one MV per 8x8 is
+        #    the decision granularity of the 9-job search)
+        quad_job = jnp.asarray(_BLK_JOB[:, [0, 2, 8, 10]])[best_mode]
+        mv_quad = jnp.take_along_axis(mv_q, quad_job[..., None], axis=1)
+        mv_quad = jnp.where(
+            take_skip[:, None, None],
+            jnp.broadcast_to(skip_mv[:, None, :], mv_quad.shape),
+            mv_quad)
+        best_mode = jnp.where(take_skip, 0, best_mode)
+        blk_quad = jnp.asarray(
+            [(b // 8) * 2 + ((b % 4) // 2) for b in range(16)])
+        mv4 = mv_quad[:, blk_quad]                             # (N, 16, 2)
+
+        # 8. prediction + residual + recon
+        pred_y16 = mc_luma_quads_band(band, mv_quad, mb_xy, sr)
+        scan, nnz, cbp_l, recY_mbs = luma_residual_inter(
+            orig_mbs, pred_y16, qp)
+        pred_u, pred_v = mc_chroma_quads_band(cband, mv_quad, mb_xy, sr)
+        cdc, cac, cnnz, cbp_c, recU_mbs, recV_mbs = chroma_residual_inter(
+            orig_u, orig_v, pred_u, pred_v, qpc)
+        cbp_full = (cbp_c << 4) | cbp_l
 
     recY = recY_mbs.reshape(mb_h, mb_w, 16, 16).transpose(0, 2, 1, 3) \
         .reshape(h, w)
@@ -1080,7 +1128,7 @@ def _p_frame_core(origY, origU, origV, planes, padU, padV,
         "mv4": mv4,
         "luma_scan": scan.astype(jnp.int16),
         "luma_nnz": nnz,
-        "cbp": (cbp_c << 4) | cbp_l,
+        "cbp": cbp_full,
         "chroma_dc": cdc.astype(jnp.int16),
         "chroma_scan": cac.astype(jnp.int16),
         "chroma_nnz": cnnz,
@@ -1089,16 +1137,20 @@ def _p_frame_core(origY, origU, origV, planes, padU, padV,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "sr"))
+@functools.partial(jax.jit,
+                   static_argnames=("mb_w", "mb_h", "sr", "rd"))
 def p_frame_step(origY, origU, origV, planes, padU, padV,
-                 qp, qpc, lam, lam4, *, mb_w: int, mb_h: int, sr: int):
+                 qp, qpc, lam, lam4, *, mb_w: int, mb_h: int, sr: int,
+                 rd: bool = False):
     """One device dispatch encoding a whole P picture (single reference).
 
     Returns a dict of decision + coefficient + reconstruction tensors the
     host commits into PictureData (see encoder._encode_p_frame_device).
+    rd=True: batched md_high trial-encode decisions (enc_rd.py).
     """
     return _p_frame_core(origY, origU, origV, planes, padU, padV,
-                         qp, qpc, lam, lam4, mb_w=mb_w, mb_h=mb_h, sr=sr)
+                         qp, qpc, lam, lam4, mb_w=mb_w, mb_h=mb_h,
+                         sr=sr, rd=rd)
 
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"))

@@ -80,6 +80,10 @@ PRESETS = {
     "best": dict(num_ref=5, search_range=32, rdo=1, sub8x8=True, rdoq=1),
     # md_low single-ref (the device-pipeline configuration)
     "fast": dict(num_ref=1, search_range=16, rdo=0, pipeline="device"),
+    # the shipping device config: md_high trial-encode RD on device
+    # (enc_rd.py) — the one benchmarked in bench.py
+    "fast_rd": dict(num_ref=1, search_range=16, rdo=0,
+                    pipeline="device", device_rd=True),
 }
 
 

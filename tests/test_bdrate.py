@@ -29,14 +29,20 @@ QPS = [24, 28, 32, 36]
 # +31.9%; the bounds assert no regression and get tightened as quality
 # features land (history: r2 start +9.9% -> RDOQ +6.4% -> r3 integer-ME
 # rate term, per-partition predictors, JM coefficient thresholding, true
-# sub-block ME +1.57% -> full-RD per-block I4 mode decision -2.04%)
+# sub-block ME +1.57% -> full-RD per-block I4 mode decision -2.04%).
+# round 4: fast_rd = the device md_high trial-encode tier (enc_rd.py,
+# 2-pass exact-predictor rate) measured +4.90% — the r3 verdict's
+# "<= +5% on the benchmarked config" target.
 BD_RATE_BOUND_BEST = -1.0
 BD_RATE_BOUND_FAST = 33.0
+BD_RATE_BOUND_FAST_RD = 6.0
 
 
 @pytest.mark.parametrize("preset,anchor,bound",
                          [("best", JM_ANCHOR_BEST, BD_RATE_BOUND_BEST),
-                          ("fast", JM_ANCHOR_FAST, BD_RATE_BOUND_FAST)])
+                          ("fast", JM_ANCHOR_FAST, BD_RATE_BOUND_FAST),
+                          ("fast_rd", JM_ANCHOR_FAST,
+                           BD_RATE_BOUND_FAST_RD)])
 def test_bd_rate_vs_jm(foreman_qcif, preset, anchor, bound):
     frames = read_yuv(foreman_qcif, 176, 144, 3)
     ours = [run_ours(frames, 176, 144, qp, preset) for qp in QPS]

@@ -45,7 +45,7 @@ def test_refine_dense_matches_sequential(setup):
     mv_a, cost_a = EJ.subpel_refine_jobs(
         s["planes"], s["orig_q"], s["int_mv"], s["pred"], 92, s["mb_xy"],
         s["W"], s["H"])
-    mv_b, cost_b = EJ.qpel_refine_dense(
+    mv_b, cost_b, _win = EJ.qpel_refine_dense(
         band, s["orig_q"], s["int_mv"], s["pred"], 92, s["mb_xy"], s["sr"])
     assert np.array_equal(np.asarray(cost_a), np.asarray(cost_b))
     assert np.array_equal(np.asarray(mv_a), np.asarray(mv_b))

@@ -27,16 +27,18 @@ def make_frames(w, h, n, seed=0, noise_at=None):
     return frames
 
 
-@pytest.mark.parametrize("nframes,noise_at,intra_period", [
-    (5, None, 0),
-    (4, 2, 0),       # scene cut -> intra speculation fails -> fallback
-    (6, None, 3),    # periodic IDR inside the stream
+@pytest.mark.parametrize("nframes,noise_at,intra_period,rd", [
+    (5, None, 0, False),
+    (4, 2, 0, False),    # scene cut -> intra speculation fails -> fallback
+    (6, None, 3, False),  # periodic IDR inside the stream
+    (5, None, 0, True),   # device md_high RD decisions (enc_rd.py)
+    (6, None, 3, True),
 ])
-def test_stream_matches_classic(nframes, noise_at, intra_period):
+def test_stream_matches_classic(nframes, noise_at, intra_period, rd):
     w, h = 96, 80
     frames = make_frames(w, h, nframes, noise_at=noise_at)
     cfg = EncoderConfig(width=w, height=h, qp=30, pipeline="device",
-                        intra_period=intra_period)
+                        intra_period=intra_period, device_rd=rd)
     classic = Encoder(cfg)
     want = [classic.encode_frame(*f) for f in frames]
     piped = Encoder(cfg)
@@ -44,6 +46,27 @@ def test_stream_matches_classic(nframes, noise_at, intra_period):
     assert len(got) == len(want)
     for i, (g, x) in enumerate(zip(got, want)):
         assert g == x, f"frame {i} payload differs"
+
+
+def test_stream_rd_decodes_bitexact():
+    """device_rd streams must decode bit-exactly and beat md_low RD-wise
+    (fewer bits at no PSNR loss on this clip)."""
+    w, h = 96, 80
+    frames = make_frames(w, h, 5, seed=9)
+    from jm_tpu.decoder.decoder import H264Decoder
+    sizes = {}
+    for rd in (False, True):
+        enc = Encoder(EncoderConfig(width=w, height=h, qp=30,
+                                    pipeline="device", device_rd=rd))
+        payloads = enc.encode_stream(frames)
+        out = H264Decoder().decode_annexb(b"".join(payloads))
+        for got, want in zip(out, sorted(enc.results,
+                                         key=lambda r: r["disp"])):
+            assert np.array_equal(got.Y, want["frame"].Y)
+            assert np.array_equal(got.U, want["frame"].U)
+            assert np.array_equal(got.V, want["frame"].V)
+        sizes[rd] = sum(len(p) for p in payloads)
+    assert sizes[True] < sizes[False]
 
 
 def test_stream_decodes_bitexact():
