@@ -121,29 +121,68 @@ def luma_quad_tq(oq, pred8, qp):
 
 
 def block_len_parts(scan, max_coeff: int):
-    """nC-independent CAVLC length parts of batched blocks.
+    """nC-independent CAVLC length parts of batched blocks — a lens-only
+    specialization of cavlc_jax.block_slots (no codeword math).
 
     scan: (B, L). Returns (tc (B,), t1 (B,), rest_len (B,)) where
     rest = t1 signs + levels + total_zeros + run_before bits; the
     caller adds the nC-dependent coeff_token length."""
-    vals, lens, _ = block_slots(scan, jnp.zeros(scan.shape[0],
-                                                jnp.int32), max_coeff)
-    del vals
-    # slot 0 is coeff_token; recompute tc/t1 for the table lookup
+    from .cavlc_jax import _RUN_LEN_D, _TZ_DC420_LEN_D, _TZ_LEN_D
+    B, L = scan.shape
     c = scan.astype(jnp.int32)
     mask = c != 0
     tc = mask.sum(axis=1)
     rfe = jnp.cumsum(mask[:, ::-1], axis=1)[:, ::-1]
-    lvl = []
-    for j in range(3):
+    pos_i = jnp.arange(L, dtype=jnp.int32)
+    nlev = min(L, 16)
+    levels = []
+    positions = []
+    for j in range(nlev):
         sel = mask & (rfe == j + 1)
-        lvl.append((c * sel).sum(axis=1))
-    is1 = jnp.abs(jnp.stack(lvl, axis=1)) == 1
+        levels.append((c * sel).sum(axis=1))
+        positions.append((pos_i * sel).sum(axis=1))
+    levels = jnp.stack(levels, axis=1)
+    positions = jnp.stack(positions, axis=1)
+    is1 = jnp.abs(levels[:, :3]) == 1
     a0 = is1[:, 0] & (tc >= 1)
     a1 = a0 & is1[:, 1] & (tc >= 2)
     a2 = a1 & is1[:, 2] & (tc >= 3)
     t1 = a0.astype(jnp.int32) + a1 + a2
-    rest = lens[:, 1:].sum(axis=1)
+
+    rest = t1                                 # trailing-one sign bits
+    sl = jnp.where((tc > 10) & (t1 < 3), 1, 0)
+    for j in range(nlev):
+        active = (j >= t1) & (j < tc)
+        lv = levels[:, j]
+        lc = jnp.where(lv > 0, 2 * lv - 2, -2 * lv - 1)
+        lc = lc - jnp.where((j == t1) & (t1 < 3), 2, 0)
+        l0 = jnp.where(lc < 14, lc + 1, jnp.where(lc < 30, 19, 28))
+        pre = lc >> jnp.maximum(sl, 1).astype(jnp.int32)
+        lN = jnp.where(pre < 15, pre + 1 + sl, 28)
+        ln = jnp.where(sl == 0, l0, lN)
+        rest = rest + jnp.where(active, ln, 0)
+        sl_next = jnp.maximum(sl, 1)
+        sl_next = jnp.where((jnp.abs(lv) > (3 << (sl_next - 1)))
+                            & (sl_next < 6), sl_next + 1, sl_next)
+        sl = jnp.where(active, sl_next, sl)
+
+    tz = positions[:, 0] + 1 - tc
+    tzc = jnp.clip(tz, 0, max_coeff - 1)
+    vi = jnp.clip(tc - 1, 0, max_coeff - 2)
+    if max_coeff == 4:
+        tzl = jnp.asarray(_TZ_DC420_LEN_D)[vi, tzc]
+    else:
+        tzl = jnp.asarray(_TZ_LEN_D)[vi, tzc]
+    rest = rest + jnp.where((tc > 0) & (tc < max_coeff), tzl, 0)
+
+    zl = jnp.where(tc > 0, tz, 0)
+    for k in range(min(15, nlev - 1)):
+        run = positions[:, k] - positions[:, k + 1] - 1
+        active = (k < tc - 1) & (zl > 0)
+        vlc = jnp.clip(jnp.minimum(zl, 7) - 1, 0, 6)
+        rl = jnp.asarray(_RUN_LEN_D)[vlc, jnp.clip(run, 0, 14)]
+        rest = rest + jnp.where(active, rl, 0)
+        zl = jnp.where(active, zl - run, zl)
     return tc, t1, rest
 
 
