@@ -623,9 +623,12 @@ class Encoder:
         zeros = jax.device_put(np.zeros(n, np.int32))
         d_cb = jax.device_put(qpc_cb)
         d_cr = jax.device_put(qpc_cr)
-        # device-entropy output budget: ~3.2 kbit/MB covers every sane
-        # CAVLC frame; the packer's ovf flag triggers host fallback
-        max_words = n * 104 + 64
+        # device-entropy output budget: the gather-based assembler costs
+        # O(max_words), so budget ~256 bits/MB on average (2.1 Mbit per
+        # 1080p frame — generous for the fast path's QPs); rare hotter
+        # frames raise the packer's ovf flag and take the host-serializer
+        # fallback instead
+        max_words = max(4096, n * 8) + 64
 
         def dispatch(Y, U, V, s):
             # composed from separately-jitted (persistently cached)
