@@ -107,6 +107,14 @@ def main():
         assert (np.array_equal(got.Y, f.Y) and np.array_equal(got.U, f.U)
                 and np.array_equal(got.V, f.V)), "decode mismatch"
 
+    # decode benchmark: full-stream decode with our decoder (JM ldecod
+    # on this host: 3 frames / 2.145 s = 1.4 fps incl. startup,
+    # .refbuild/run/bench1080_dec.log)
+    t0 = time.time()
+    dec_all = H264Decoder().decode_annexb(b"".join(per_frame_bytes))
+    dec_fps = len(dec_all) / (time.time() - t0)
+    mb_s = dec_fps * (W // 16) * (H // 16)
+
     total_bits = 8 * sum(len(b) for b in per_frame_bytes)
     kbps = total_bits * 30.0 / N_FRAMES / 1000.0
     fin_ms = 1000.0 * host_ms["t"] / N_FRAMES
@@ -121,6 +129,9 @@ def main():
         "wall_ms_per_frame": round(1000.0 / fps, 1),
         "finalize_ms_per_frame": round(fin_ms, 1),
         "device_ms_per_frame": round(1000.0 / fps - fin_ms, 1),
+        "decode_fps_1080p": round(dec_fps, 2),
+        "decode_mb_per_s": round(mb_s),
+        "decode_vs_jm_ldecod": round(dec_fps / 1.4, 1),
     }))
 
 
