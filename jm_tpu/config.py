@@ -510,6 +510,7 @@ class EncoderParams:
             rdoq_dc=self.RDOQ_DC, rdoq_cr=self.RDOQ_CR,
             rdoq_dc_cr=self.RDOQ_DC_CR,
             num_b=self.NumberBFrames, qp_b=self.QPBSlice,
+            poc_type=self.PicOrderCntType,
             hierarchical=1 if self.HierarchicalCoding else 0,
             long_term_period=self.LongTermPeriod,
             explicit_gop=self.ExplicitHierarchyFormat

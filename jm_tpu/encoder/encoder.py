@@ -106,6 +106,8 @@ class EncoderConfig:
     cabac_adapt_init: bool = False   # per-slice cabac_init_idc selection
                                  # (lencod ContextInitMethod=1 adaptive,
                                  # context_ini.c; here: exact 3-way trial)
+    poc_type: int = 0            # PicOrderCntType 0/1/2 (E28; type 1
+                                 # writes a 1-entry expected cycle)
     device_rd: bool = False      # device md_high: batched trial-encode RD
                                  # with exact CAVLC bits on the fast path
                                  # (ops/enc_rd.py; md_high.c:38 twin)
@@ -268,13 +270,21 @@ class Encoder:
         except ValueError:
             level = minimum_level(self.mb_w, self.mb_h, cfg.frame_rate,
                                   max(cfg.num_ref, 2 if use_b else 1))
+        # POC mode (E28, lencod header.c / PicOrderCntType): type 0 is
+        # the default (explicit lsb, needed whenever display order !=
+        # decode order); types 1 and 2 are valid for IPPP streams and
+        # cost zero slice-header bits (type 1 here uses a 1-entry
+        # expected cycle with delta_pic_order_always_zero_flag=1)
+        if cfg.poc_type and cfg.num_b:
+            raise ValueError("PicOrderCntType 1/2 requires decode order "
+                             "== display order (no B pictures)")
         self.sps = SPS(
             profile_idc=profile,
             level_idc=level,
             log2_max_frame_num_minus4=4,
-            # poc type 0 (explicit lsb) so B pictures can precede their
-            # list-1 anchor in display order (spec 8.2.1.1)
-            pic_order_cnt_type=0,
+            pic_order_cnt_type=cfg.poc_type,
+            delta_pic_order_always_zero_flag=1 if cfg.poc_type == 1 else 0,
+            offset_for_ref_frame=[2] if cfg.poc_type == 1 else [],
             log2_max_pic_order_cnt_lsb_minus4=4,
             max_num_ref_frames=self.dpb_size,
             pic_width_in_mbs_minus1=self.mb_w - 1,

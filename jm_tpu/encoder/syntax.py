@@ -99,7 +99,14 @@ def _write_sps_data(bw: BitWriter, sps) -> None:
     if sps.pic_order_cnt_type == 0:
         bw.ue(sps.log2_max_pic_order_cnt_lsb_minus4)
     elif sps.pic_order_cnt_type == 1:
-        raise NotImplementedError
+        # spec 7.3.2.1.1 expected-POC-cycle syntax (lencod parset.c
+        # GenerateSeq_parameter_set_rbsp POC mode 1 fields)
+        bw.flag(sps.delta_pic_order_always_zero_flag)
+        bw.se(sps.offset_for_non_ref_pic)
+        bw.se(sps.offset_for_top_to_bottom_field)
+        bw.ue(len(sps.offset_for_ref_frame))
+        for off in sps.offset_for_ref_frame:
+            bw.se(off)
     bw.ue(sps.max_num_ref_frames)
     bw.flag(sps.gaps_in_frame_num_value_allowed_flag)
     bw.ue(sps.pic_width_in_mbs_minus1)

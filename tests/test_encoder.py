@@ -186,3 +186,32 @@ def test_transform8x8_roundtrip(golden_dir, entropy):
         np.testing.assert_array_equal(d.Y, r["frame"].Y)
         np.testing.assert_array_equal(d.U, r["frame"].U)
         np.testing.assert_array_equal(d.V, r["frame"].V)
+
+
+def test_poc_type_1_and_2_encode():
+    """E28 remainder: PicOrderCntType 1 (expected cycle,
+    delta_always_zero) and 2 (decode order) SPS write + zero-bit slice
+    headers; self-decode bit-exact with correct POCs (JM-ldecod-verified
+    in the round-4 oracle drive)."""
+    import numpy as np
+
+    from jm_tpu.decoder.decoder import H264Decoder
+    from jm_tpu.encoder.encoder import Encoder, EncoderConfig
+    rng = np.random.default_rng(4)
+    frames = []
+    base = rng.integers(0, 256, (100, 120)).astype(np.uint8)
+    for i in range(3):
+        Y = base[i:i + 80, i:i + 96].copy()
+        frames.append((Y, Y[::2, ::2].copy(), Y[1::2, ::2].copy()))
+    for pt in (1, 2):
+        enc = Encoder(EncoderConfig(width=96, height=80, qp=30,
+                                    poc_type=pt))
+        bs = b"".join(enc.encode_frame(*f) for f in frames) + enc.flush()
+        out = H264Decoder().decode_annexb(bs)
+        assert [f.poc for f in out] == [0, 2, 4]
+        for o, r in zip(out, sorted(enc.results, key=lambda r: r["disp"])):
+            assert np.array_equal(o.Y, r["frame"].Y)
+    import pytest
+    with pytest.raises(ValueError):
+        Encoder(EncoderConfig(width=96, height=80, qp=30, poc_type=2,
+                              num_b=2))
