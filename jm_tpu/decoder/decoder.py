@@ -34,9 +34,14 @@ class DecodedFrame:
 
 
 class H264Decoder:
-    def __init__(self, conceal_mode: int = 0) -> None:
+    def __init__(self, conceal_mode: int = 0,
+                 device_recon: bool = False) -> None:
         """conceal_mode: 0 = strict (raise on loss), 1 = frame copy,
-        2 = motion copy (ldecod ConcealMode, configfile.h:44)."""
+        2 = motion copy (ldecod ConcealMode, configfile.h:44).
+        device_recon: batch the inter reconstruction of qualifying P
+        pictures on the accelerator (ops/dec_jax.py; bit-exact twin of
+        the host Reconstructor, tests/test_dec_jax.py)."""
+        self.device_recon = device_recon
         self.sps_map: dict[int, object] = {}
         self.subset_sps_map: dict[int, object] = {}   # MVC (NAL 15)
         self.pps_map: dict[int, object] = {}
@@ -292,6 +297,50 @@ class H264Decoder:
                                uid[np.clip(ridx, 0, len(frames_l) - 1)], -1)
                 pid_arr[mask] = pid
 
+    def _device_recon_ok(self, pic, cur, wp, lst0) -> bool:
+        """Batched device inter-recon covers: 4:2:0 frame P pictures,
+        list0-only prediction (pdir 0), no weighted prediction, no SP
+        requant, no 8x8 transform on inter MBs, no concealment in
+        flight (everything else keeps the host path MB-exact)."""
+        from .mb_parse import MB_INTER
+        if cur.get("parity") is not None or pic.n_crows != 2:
+            return False
+        if wp is not None and getattr(wp, "mode", 0):
+            return False
+        if not lst0:
+            return False
+        inter = pic.mb_class == MB_INTER
+        if not inter.any():
+            return False
+        if (pic.pdir[inter] != 0).any() or (pic.ref_idx[inter] < 0).any():
+            return False
+        if pic.transform8x8[inter].any():
+            return False
+        if getattr(pic, "sp_mb", None) is not None and pic.sp_mb.any():
+            return False
+        return True
+
+    def _inter_recon_device(self, pic, pps, lst0):
+        """Run ops/dec_jax.inter_recon_p over the picture's inter MBs;
+        returns the (Y, U, V) seed planes for Reconstructor.run."""
+        import jax.numpy as jnp
+
+        from ..ops import dec_jax as DX
+        from .mb_parse import MB_INTER
+        from .recon import decode_residuals
+        res_l, res_c = decode_residuals(pic, pps)
+        planes = np.stack([np.asarray(f.luma_planes) for f in lst0])
+        padU = np.stack([np.asarray(f.chroma_pad[0]) for f in lst0])
+        padV = np.stack([np.asarray(f.chroma_pad[1]) for f in lst0])
+        Y, U, V = DX.inter_recon_p(
+            jnp.asarray(pic.mv.astype(np.int32)),
+            jnp.asarray(pic.ref_idx.astype(np.int32)),
+            jnp.asarray(res_l), jnp.asarray(res_c),
+            jnp.asarray(planes), jnp.asarray(padU), jnp.asarray(padV),
+            jnp.asarray(pic.mb_class == MB_INTER),
+            mb_w=pic.mb_w, mb_h=pic.mb_h)
+        return np.asarray(Y), np.asarray(U), np.asarray(V)
+
     def _is_new_picture(self, hdr) -> bool:
         """ldecod/src/image.c:2276 is_new_picture: a slice opens a new
         picture when the header's picture-identifying fields differ from
@@ -396,7 +445,11 @@ class H264Decoder:
         wp = WPParams(hdr0, pps, lst0, lst1, cur["poc"])
         rec = Reconstructor(pic, sps, pps, lst0, lst1, wp,
                             cur_parity=cur.get("parity"))
-        Y, U, V = rec.run()
+        seed = None
+        if self.device_recon and self._device_recon_ok(pic, cur, wp,
+                                                       lst0):
+            seed = self._inter_recon_device(pic, pps, lst0)
+        Y, U, V = rec.run(seed=seed)
 
         # deblock (per-MB slice params)
         n = pic.n_mbs

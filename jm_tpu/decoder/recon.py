@@ -330,14 +330,23 @@ class Reconstructor:
 
     # ---- reconstruction ---------------------------------------------------
 
-    def run(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def run(self, seed=None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """seed: optional (Y, U, V, inter_done) — planes already holding
+        the batched device inter reconstruction (ops/dec_jax.py); inter
+        MBs are then skipped here and only intra/IPCM wavefront MBs run
+        on the host."""
         pic = self.pic
         res_l, res_c = decode_residuals(pic, self.pps)
+        inter_done = False
+        if seed is not None:
+            self.Y[:], self.U[:], self.V[:] = seed[0], seed[1], seed[2]
+            inter_done = True
         from .mb_parse import CODE2RASTER
         for addr in range(pic.n_mbs):
             cls = pic.mb_class[addr]
             if cls == MB_INTER:
-                self._recon_inter(addr, res_l, res_c)
+                if not inter_done:
+                    self._recon_inter(addr, res_l, res_c)
             elif cls == MB_I16:
                 self._recon_i16(addr, res_l, res_c)
             elif cls == MB_I4:
