@@ -492,6 +492,7 @@ class EncoderParams:
             **qm,
             intra_mb_refresh=self.RandomIntraMBRefresh,
             weighted_pred=self.WeightedPrediction,
+            wp_method=self.WPMethod,
             weighted_bipred=self.WeightedBiprediction,
             enable_vui=bool(self.EnableVUISupport),
             sub8x8=bool(self.InterSearch8x4 or self.InterSearch4x8

@@ -138,6 +138,7 @@ class EncoderConfig:
     intra_mb_refresh: int = 0    # forced-intra MBs per P picture (E34,
                                  # lencod RandomIntraMBRefresh/intrarefresh.c)
     weighted_pred: int = 0       # P explicit WP (lencod WeightedPrediction)
+    wp_method: int = 0           # 0 = DC-ratio alg0, 1 = LMS (wp_lms.c)
     weighted_bipred: int = 0     # B WP: 0 off, 1 explicit, 2 implicit
     enable_vui: bool = False     # write VUI timing info into the SPS (E26)
     rdo: int = 0                 # 0 = cost-based (md_low), 1 = trial-encode
@@ -955,9 +956,12 @@ class Encoder:
         if stype in (SliceType.P, SliceType.SP):
             forced_intra = self._refresh_set()
             if cfg.weighted_pred:
-                from .wp_est import build_wp_params, estimate_explicit
+                from .wp_est import (build_wp_params, estimate_explicit,
+                                     estimate_lms)
                 refs = self._ref_list_p()
-                wp_l0 = estimate_explicit(Y, U, V, refs)
+                est = estimate_lms if cfg.wp_method == 1 \
+                    else estimate_explicit
+                wp_l0 = est(Y, U, V, refs)
                 wp = build_wp_params(SliceType.P, self.pps, refs, [],
                                      poc, wp_l0=wp_l0)
         # long-term marking policy (E24): every Nth anchor becomes the
@@ -1362,10 +1366,13 @@ class Encoder:
         wp_l0 = wp_l1 = None
         wp_params = None
         if cfg.weighted_bipred:
-            from .wp_est import build_wp_params, estimate_explicit
+            from .wp_est import (build_wp_params, estimate_explicit,
+                                 estimate_lms)
+            est_b = estimate_lms if cfg.wp_method == 1 \
+                else estimate_explicit
             if cfg.weighted_bipred == 1:
-                wp_l0 = estimate_explicit(Y, U, V, [prev_anchor])
-                wp_l1 = estimate_explicit(Y, U, V, [next_anchor])
+                wp_l0 = est_b(Y, U, V, [prev_anchor])
+                wp_l1 = est_b(Y, U, V, [next_anchor])
             wp_params = build_wp_params(SliceType.B, self.pps, [prev_anchor],
                                         [next_anchor], poc,
                                         wp_l0=wp_l0, wp_l1=wp_l1)

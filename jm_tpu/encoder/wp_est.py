@@ -36,6 +36,45 @@ def estimate_explicit(origY, origU, origV, refs) -> list[dict]:
     return out
 
 
+def estimate_lms(origY, origU, origV, refs,
+                 select_offset: int = 0) -> list[dict]:
+    """LMS weighted-prediction estimator (WPMethod=1; reference
+    lencod/src/wp_lms.c ComputeExplicitWPParamsLMS:69): luma weight =
+    round(default * sum|org-mean_org| / sum|ref-mean_ref|) with offset
+    round(mean_org - w*mean_ref/default); chroma keeps the DC-ratio
+    weights. select_offset=1 is the offset-only variant (default weight,
+    offset = mean difference), the mode wp_mcprec.c's RD passes use."""
+    default = 1 << LUMA_DENOM
+    oY = np.asarray(origY, np.float64)
+    mean_org = float(oY.mean())
+    numer = float(np.abs(oY - mean_org).sum())
+    dco = (float(oY.sum()),
+           float(np.asarray(origU, np.float64).sum()),
+           float(np.asarray(origV, np.float64).sum()))
+    out = []
+    for f in refs:
+        rY = np.asarray(f.Y, np.float64)
+        mean_ref = float(rY.mean())
+        if select_offset:
+            w = default
+            o = int((dco[0] - rY.sum()) / rY.size + 0.5)
+            o = max(-128, min(127, o))
+        else:
+            den = float(np.abs(rY - mean_ref).sum())
+            w = default if den == 0.0 else int(default * numer / den + 0.5)
+            w = max(-128, min(127, w))
+            o = int(mean_org - w * mean_ref / default + 0.5)
+            o = max(-128, min(127, o))
+        cws = []
+        for comp, plane in enumerate((f.U, f.V), start=1):
+            dcr = float(np.asarray(plane, np.float64).sum())
+            cw = default if dcr == 0.0 else \
+                int(default * dco[comp] / dcr + 0.5)
+            cws.append((max(-128, min(127, cw)), 0))
+        out.append({"luma": (w, o), "chroma": (cws[0], cws[1])})
+    return out
+
+
 def is_nontrivial(tables: list[dict]) -> bool:
     """True when any weight departs from the default (JM's wp test gate)."""
     default = 1 << LUMA_DENOM

@@ -61,3 +61,33 @@ def test_wp_estimation_values():
     assert is_nontrivial(tab)
     same = Frame(poc=0, frame_num=0, Y=Y, U=U, V=V)
     assert not is_nontrivial(estimate_explicit(Y, U, V, [same]))
+
+
+def test_wp_lms_beats_alg0_on_fade():
+    """WPMethod=1 (LMS estimator, wp_lms.c twin): on a linear fade the
+    LMS luma offset captures the brightness ramp better than the
+    DC-ratio alg0 (RD improvement), and the stream stays self-decode
+    bit-exact (WP application is shared with the decoder)."""
+    import numpy as np
+
+    from jm_tpu.decoder.decoder import H264Decoder
+    from jm_tpu.encoder.encoder import Encoder, EncoderConfig
+    rng = np.random.default_rng(8)
+    base = rng.integers(40, 200, (96, 112)).astype(np.float64)
+    frames = []
+    for i in range(4):
+        # additive fade: exactly what a weight-1/offset-d model fits
+        Y = np.clip(base[:80, :96] + 18 * i, 0, 255).astype(np.uint8)
+        frames.append((Y, Y[::2, ::2].copy(), Y[1::2, ::2].copy()))
+
+    sizes = {}
+    for m in (0, 1):
+        enc = Encoder(EncoderConfig(width=96, height=80, qp=30,
+                                    weighted_pred=1, wp_method=m))
+        bs = b"".join(enc.encode_frame(*f) for f in frames) + enc.flush()
+        out = H264Decoder().decode_annexb(bs)
+        for o, r in zip(out, sorted(enc.results,
+                                    key=lambda r: r["disp"])):
+            assert np.array_equal(o.Y, r["frame"].Y)
+        sizes[m] = len(bs)
+    assert sizes[1] <= sizes[0]
