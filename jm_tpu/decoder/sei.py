@@ -30,6 +30,7 @@ FULL_FRAME_FREEZE = 13
 FULL_FRAME_FREEZE_RELEASE = 14
 FULL_FRAME_SNAPSHOT = 15
 STEREO_VIDEO_INFO = 21
+TONE_MAPPING = 23
 FRAME_PACKING_ARRANGEMENT = 45
 
 
@@ -132,6 +133,88 @@ def _parse_frame_packing(br: BitReader) -> dict:
     return out
 
 
+def _parse_tone_mapping(br: BitReader) -> dict:
+    """Tone-mapping info SEI (spec D.1.24; ldecod/src/sei.c
+    interpret_tone_mapping:1989)."""
+    out = {"tone_map_id": br.ue(), "cancel": br.flag()}
+    if out["cancel"]:
+        return out
+    out["repetition_period"] = br.ue()
+    out["coded_data_bit_depth"] = br.u(8)
+    out["sei_bit_depth"] = br.u(8)
+    out["model_id"] = br.ue()
+    cbits = ((out["coded_data_bit_depth"] + 7) >> 3) << 3
+    sbits = ((out["sei_bit_depth"] + 7) >> 3) << 3
+    m = out["model_id"]
+    if m == 0:
+        out["min_value"] = br.u(32)
+        out["max_value"] = br.u(32)
+    elif m == 1:
+        out["sigmoid_midpoint"] = br.u(32)
+        out["sigmoid_width"] = br.u(32)
+    elif m == 2:
+        out["start_of_coded_interval"] = [
+            br.u(cbits) for _ in range(1 << out["sei_bit_depth"])]
+    elif m == 3:
+        npv = br.u(16)
+        out["num_pivots"] = npv
+        cp, sp = [0], [0]
+        for _ in range(npv):
+            cp.append(br.u(cbits))
+            sp.append(br.u(sbits))
+        out["coded_pivot_value"] = cp
+        out["sei_pivot_value"] = sp
+    return out
+
+
+def build_tone_map_lut(f: dict):
+    """Build the output look-up table from parsed tone-mapping fields —
+    the decoder-side application half (ldecod/src/sei.c LUT generation
+    :2091-2133, applied by output.c tone_map:490)."""
+    import math
+
+    import numpy as np
+    max_coded = 1 << f["coded_data_bit_depth"]
+    max_out = 1 << f["sei_bit_depth"]
+    lut = np.zeros(max_coded, np.int64)
+    m = f["model_id"]
+    if m == 0:
+        mn, mx = f["min_value"], f["max_value"]
+        i = np.arange(max_coded)
+        lut = np.where(i <= mn, 0,
+                       np.where(i >= mx, max_out - 1,
+                                (i - mn) * (max_out - 1) // max(1, mx - mn)))
+    elif m == 1:
+        mid, wid = f["sigmoid_midpoint"], f["sigmoid_width"]
+        for i in range(max_coded):
+            lut[i] = int((max_out - 1)
+                         / (1.0 + math.exp(-6 * (i - mid) / wid)) + 0.5)
+    elif m == 2:
+        starts = f["start_of_coded_interval"] + [max_coded]
+        for j in range(max_out - 1):
+            lut[starts[j]:starts[j + 1]] = j
+        lut[starts[max_out - 1]:] = max_out - 1
+    elif m == 3:
+        cp = f["coded_pivot_value"] + [max_coded - 1]
+        sp = f["sei_pivot_value"] + [max_out - 1]
+        for j in range(f["num_pivots"] + 1):
+            if cp[j + 1] == cp[j]:
+                continue
+            slope = (sp[j + 1] - sp[j]) / (cp[j + 1] - cp[j])
+            for i in range(cp[j], cp[j + 1] + 1):
+                lut[i] = sp[j] + int((i - cp[j]) * slope)
+    dt = np.uint16 if f["sei_bit_depth"] > 8 else np.uint8
+    return lut.astype(dt)
+
+
+def tone_map_frame(frame, lut):
+    """Apply a tone-mapping LUT to a decoded frame's planes (ldecod
+    output.c:490 tone_map on Y, U, V). Returns new (Y, U, V)."""
+    import numpy as np
+    return (lut[np.asarray(frame.Y)], lut[np.asarray(frame.U)],
+            lut[np.asarray(frame.V)])
+
+
 def parse_sei_rbsp(rbsp: bytes, sps=None) -> list[SEIMessage]:
     """Split one SEI RBSP into messages (spec 7.3.2.3.1 framing: 0xFF-
     escaped type and size bytes; trailing rbsp stop bit)."""
@@ -172,6 +255,8 @@ def parse_sei_rbsp(rbsp: bytes, sps=None) -> list[SEIMessage]:
                 msg.fields = _parse_scene_info(br)
             elif ptype == FRAME_PACKING_ARRANGEMENT:
                 msg.fields = _parse_frame_packing(br)
+            elif ptype == TONE_MAPPING:
+                msg.fields = _parse_tone_mapping(br)
             elif ptype == USER_DATA_UNREGISTERED:
                 msg.fields = {"uuid": payload[:16].hex(),
                               "data": payload[16:]}

@@ -93,6 +93,46 @@ def frame_packing_arrangement(arr_id: int, arr_type: int,
     return S.FRAME_PACKING_ARRANGEMENT, _payload(bw)
 
 
+def tone_mapping(tone_map_id: int = 0, cancel: bool = False,
+                 repetition_period: int = 0,
+                 coded_data_bit_depth: int = 8, sei_bit_depth: int = 8,
+                 model_id: int = 0, min_value: int = 0,
+                 max_value: int = 255, sigmoid_midpoint: int = 128,
+                 sigmoid_width: int = 64,
+                 start_of_coded_interval=None,
+                 coded_pivot_value=None, sei_pivot_value=None):
+    """Tone-mapping info SEI writer (spec D.1.24; reference
+    lencod/src/sei.c FinalizeToneMapping:1876 field order). Models:
+    0 linear-with-clipping, 1 sigmoid, 2 user table, 3 piecewise
+    linear (pivot lists EXCLUDE the implicit 0 entry, like the
+    reference's config file)."""
+    bw = BitWriter()
+    bw.ue(tone_map_id)
+    bw.flag(1 if cancel else 0)
+    if not cancel:
+        bw.ue(repetition_period)
+        bw.u(coded_data_bit_depth, 8)
+        bw.u(sei_bit_depth, 8)
+        bw.ue(model_id)
+        cbits = ((coded_data_bit_depth + 7) >> 3) << 3
+        sbits = ((sei_bit_depth + 7) >> 3) << 3
+        if model_id == 0:
+            bw.u(min_value, 32)
+            bw.u(max_value, 32)
+        elif model_id == 1:
+            bw.u(sigmoid_midpoint, 32)
+            bw.u(sigmoid_width, 32)
+        elif model_id == 2:
+            for v in start_of_coded_interval:
+                bw.u(v, cbits)
+        elif model_id == 3:
+            bw.u(len(coded_pivot_value), 16)
+            for c, p in zip(coded_pivot_value, sei_pivot_value):
+                bw.u(c, cbits)
+                bw.u(p, sbits)
+    return S.TONE_MAPPING, _payload(bw)
+
+
 def buffering_period(sps, initial_cpb_removal_delay: int,
                      initial_cpb_removal_delay_offset: int = 0
                      ) -> tuple[int, bytes]:

@@ -588,7 +588,7 @@ def header_slots(skip, inter_mode, mv4, pred, cbp):
 # stream assembly
 # ---------------------------------------------------------------------------
 
-def assemble(piece_words, piece_lens, max_words: int, k_overlap: int = 16):
+def assemble(piece_words, piece_lens, max_words: int, k_overlap: int = 8):
     """Concatenate variable-length pieces into one bit stream.
 
     piece_words: (P, W) u32 big-endian buffers; piece_lens: (P,) bits.

@@ -107,3 +107,49 @@ def test_encoder_emits_sei(golden_dir):
     frames.sort(key=lambda f: f.poc)
     for r, f in zip(rec, frames):
         assert np.array_equal(r["frame"].Y, f.Y)
+
+
+def test_tone_mapping_roundtrip_and_lut():
+    """Tone-mapping SEI (E27 write + D18 LUT application): all 4 models
+    round-trip through the parser and the generated LUTs match the
+    reference formulas (ldecod sei.c:2091-2133)."""
+    import numpy as np
+
+    from jm_tpu.decoder import sei as DS
+    from jm_tpu.encoder import sei_write as SW
+
+    cases = [
+        dict(model_id=0, min_value=16, max_value=235),
+        dict(model_id=1, sigmoid_midpoint=128, sigmoid_width=64),
+        dict(model_id=2,
+             start_of_coded_interval=[min(i * 2, 255) for i in range(256)]),
+        dict(model_id=3, coded_pivot_value=[64, 128, 255],
+             sei_pivot_value=[32, 200, 255]),
+    ]
+    for kw in cases:
+        t, payload = SW.tone_mapping(**kw)
+        rbsp = SW.build_sei_rbsp([(t, payload)])
+        msgs = DS.parse_sei_rbsp(rbsp)
+        assert msgs[0].payload_type == DS.TONE_MAPPING
+        f = msgs[0].fields
+        assert f["model_id"] == kw["model_id"]
+        lut = DS.build_tone_map_lut(f)
+        assert lut.shape == (256,)
+        if kw["model_id"] == 0:
+            assert lut[16] == 0 and lut[235] == 255 and lut[126] == \
+                (126 - 16) * 255 // (235 - 16)
+        if kw["model_id"] == 1:
+            assert lut[128] == 128  # sigmoid midpoint -> half scale
+        if kw["model_id"] == 3:
+            assert lut[64] == 32 and lut[128] == 200
+
+    # application helper
+    class _F:
+        Y = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        U = np.full((8, 16), 64, np.uint8)
+        V = np.full((8, 16), 200, np.uint8)
+    t, payload = SW.tone_mapping(model_id=0, min_value=0, max_value=128)
+    f = DS.parse_sei_rbsp(SW.build_sei_rbsp([(t, payload)]))[0].fields
+    lut = DS.build_tone_map_lut(f)
+    Y2, U2, V2 = DS.tone_map_frame(_F, lut)
+    assert int(Y2.max()) == 255 and int(V2[0, 0]) == 255
