@@ -492,7 +492,7 @@ class EncoderParams:
             **qm,
             intra_mb_refresh=self.RandomIntraMBRefresh,
             weighted_pred=self.WeightedPrediction,
-            wp_method=self.WPMethod,
+            wp_method=self.extra.get("WPMethod", 0),
             weighted_bipred=self.WeightedBiprediction,
             enable_vui=bool(self.EnableVUISupport),
             sub8x8=bool(self.InterSearch8x4 or self.InterSearch4x8
@@ -511,7 +511,7 @@ class EncoderParams:
             rdoq_dc=self.RDOQ_DC, rdoq_cr=self.RDOQ_CR,
             rdoq_dc_cr=self.RDOQ_DC_CR,
             num_b=self.NumberBFrames, qp_b=self.QPBSlice,
-            poc_type=self.PicOrderCntType,
+            poc_type=self.extra.get("PicOrderCntType", 0),
             hierarchical=1 if self.HierarchicalCoding else 0,
             long_term_period=self.LongTermPeriod,
             explicit_gop=self.ExplicitHierarchyFormat
