@@ -111,7 +111,8 @@ def main():
     # on this host: 3 frames / 2.145 s = 1.4 fps incl. startup,
     # .refbuild/run/bench1080_dec.log)
     t0 = time.time()
-    dec_all = H264Decoder().decode_annexb(b"".join(per_frame_bytes))
+    dec_all = H264Decoder(device_recon=True) \
+        .decode_annexb(b"".join(per_frame_bytes))
     dec_fps = len(dec_all) / (time.time() - t0)
     mb_s = dec_fps * (W // 16) * (H // 16)
 
