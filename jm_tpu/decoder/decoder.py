@@ -156,6 +156,14 @@ class H264Decoder:
             dpb = self.dpb1
 
         fld = int(getattr(hdr, "field_pic_flag", 0))
+        if sps.bit_depth_luma_minus8 or sps.bit_depth_chroma_minus8:
+            # High 10/422/444-Intra >8-bit (ldecod is imgpel=uint16
+            # throughout, IMGTYPE lencod/inc/defines.h:37); our recon is
+            # uint8 — reject loudly rather than silently wrap pixels
+            raise NotImplementedError(
+                "bit depth > 8 not supported yet (bit_depth_luma_minus8="
+                f"{sps.bit_depth_luma_minus8}, chroma_minus8="
+                f"{sps.bit_depth_chroma_minus8})")
         if sps.mb_adaptive_frame_field_flag and not fld:
             raise NotImplementedError(
                 "MBAFF frames are not supported yet (E42)")
@@ -312,7 +320,10 @@ class H264Decoder:
         inter = pic.mb_class == MB_INTER
         if not inter.any():
             return False
-        if (pic.pdir[inter] != 0).any() or (pic.ref_idx[inter] < 0).any():
+        # pdir < 0 means "not set" on the P-slice parse paths and recon
+        # treats it as list0 (_recon_inter); only real list1/bi use
+        # (pdir 1/2) disqualifies
+        if (pic.pdir[inter] > 0).any() or (pic.ref_idx[inter] < 0).any():
             return False
         if pic.transform8x8[inter].any():
             return False

@@ -572,6 +572,60 @@ class MBParser:
             self._read_luma_residual(addr, cbp & 15, is_i16=False)
         self._read_chroma_residual(addr, cbp, intra=False)
 
+    # ---- native fast path -------------------------------------------------
+
+    def _parse_native(self) -> bool:
+        """Parse this slice with the native C parser (native/jm_dec.cpp)
+        when its coverage applies: I/P CAVLC 4:2:0, no data partitioning.
+        Returns True when the slice was fully parsed. On an unsupported
+        construct mid-slice (IPCM) the C parser stops without consuming
+        bits beyond its deterministic prefix and we rerun the Python
+        parser from the slice start — both sides write identical values
+        in identical order, so the partial fill is simply overwritten."""
+        from ..native import available, parse_slice_cavlc
+        if not available or parse_slice_cavlc is None or self.dp_mode:
+            return False
+        h = self.ctx.header
+        if h.slice_type not in (SliceType.I, SliceType.P):
+            return False
+        if self.ctx.sps.chroma_format_idc != 1:
+            return False
+        pic = self.pic
+        br = self.br
+        buf = getattr(br, "buffer", None)
+        if buf is None:
+            buf = br.data.tobytes()     # python BitReader fallback
+        succ = None
+        if self.ctx.mb_succ is not None:
+            succ = np.ascontiguousarray(self.ctx.mb_succ, np.int32)
+        params = {
+            "first_mb": int(h.first_mb_in_slice),
+            "n_mbs": pic.n_mbs,
+            "mb_w": pic.mb_w,
+            "stype": 0 if h.slice_type == SliceType.I else 1,
+            "slice_id": self.ctx.slice_id,
+            "qp": self.ctx.qp,
+            "nref": h.num_ref_idx_l0_active_minus1 + 1,
+            "t8": int(self.ctx.pps.transform_8x8_mode_flag),
+        }
+        arrays = {
+            "mb_class": pic.mb_class, "skip": pic.skip,
+            "transform8x8": pic.transform8x8, "i4_modes": pic.i4_modes,
+            "i16_mode": pic.i16_mode, "chroma_mode": pic.chroma_mode,
+            "cbp": pic.cbp, "qp": pic.qp, "slice_id": pic.slice_id,
+            "luma_coef": pic.luma_coef, "luma_dc": pic.luma_dc,
+            "chroma_dc": pic.chroma_dc, "chroma_coef": pic.chroma_coef,
+            "luma_coef8": pic.luma_coef8, "luma_nnz": pic.luma_nnz,
+            "chroma_nnz": pic.chroma_nnz, "mv": pic.mv,
+            "ref_idx": pic.ref_idx, "sub_mode": pic.sub_mode,
+            "succ": succ,
+        }
+        status, new_pos = parse_slice_cavlc(buf, br.pos, params, arrays)
+        if status != 0:
+            return False
+        br.pos = new_pos
+        return True
+
     # ---- slice loop -------------------------------------------------------
 
     def parse_slice_data(self) -> None:
@@ -580,6 +634,9 @@ class MBParser:
         addr = h.first_mb_in_slice
         stype = h.slice_type
         n = pic.n_mbs
+
+        if self._parse_native():
+            return
 
         nxt = self.ctx.next_mb
         if stype == SliceType.I:

@@ -635,11 +635,12 @@ class Encoder:
         d_cb = jax.device_put(qpc_cb)
         d_cr = jax.device_put(qpc_cr)
         # device-entropy output budget: the gather-based assembler costs
-        # O(max_words), so budget ~256 bits/MB on average (2.1 Mbit per
-        # 1080p frame — generous for the fast path's QPs); rare hotter
+        # O(max_words) (the r4 256-bit/MB budget made pack 140 ms of the
+        # 1080p frame, tools/profile_pipe.py), so budget ~96 bits/MB on
+        # average (~3x the fast path's measured qp28 rate); rare hotter
         # frames raise the packer's ovf flag and take the host-serializer
         # fallback instead
-        max_words = max(4096, n * 8) + 64
+        max_words = max(4096, n * 3) + 64
 
         def dispatch(Y, U, V, s):
             # composed from separately-jitted (persistently cached)
@@ -659,17 +660,15 @@ class Encoder:
                 qp_arr, zeros, zeros, zeros, zeros, zeros, d_cb, d_cr,
                 mb_w=self.mb_w, mb_h=self.mb_h)
             state = EJ.prep_ref(dY, dU, dV)
-            skip = CJX.skip_field(core["inter_mode"], core["cbp"],
-                                  core["mv4"], self.mb_w, self.mb_h)
-            packed = CJX.pack_p_slice(
-                skip, core["inter_mode"], core["mv4"], core["cbp"],
+            packed = CJX.pack_p_slice_full(
+                core["inter_mode"], core["mv4"], core["cbp"],
                 core["luma_scan"], core["luma_nnz"], core["chroma_dc"],
                 core["chroma_scan"], core["chroma_nnz"],
                 mb_w=self.mb_w, mb_h=self.mb_h, max_words=max_words)
             small = {"intra_any": core["intra_mask"].any(),
                      "ovf": packed["ovf"], "nbits": packed["nbits"]}
             out = {"small": small, "words": packed["words"],
-                   "core": core, "skip": skip}
+                   "core": core, "skip": packed["skip"]}
             return out, state
 
         payloads = []
@@ -731,7 +730,11 @@ class Encoder:
         -> classic re-encode; entropy-pack overflow -> download the wide
         coefficient tensors and serialize on host."""
         import jax
-        small = jax.device_get(out["small"])
+        # ONE transfer round: the flags and the full fixed-shape words
+        # buffer together. Fetching `words[:k]` instead would build a new
+        # XLA slice program per distinct k — a per-frame remote compile
+        # (~400 ms/frame on the axon tunnel, tools/profile_pipe.py).
+        small, words_full = jax.device_get((out["small"], out["words"]))
         if bool(small["intra_any"]):
             # rare: redo the frame via the classic path (exact); restore
             # this frame's own display index (later frames may already
@@ -779,7 +782,7 @@ class Encoder:
             from .syntax import write_slice_header
             nbits = int(small["nbits"])
             k = (nbits + 31) // 32
-            words = np.asarray(out["words"][:k])
+            words = np.asarray(words_full[:k])
             bw = BitWriter()
             write_slice_header(
                 bw, self.sps, self.pps, slice_type=SliceType.P,

@@ -18,6 +18,7 @@ ebsp_to_rbsp = None
 rbsp_to_ebsp = None
 cavlc_slice_data = None
 deblock_frame = None
+parse_slice_cavlc = None
 
 
 def _pad2(rows, width, dtype):
@@ -57,7 +58,7 @@ def _install_cavlc_tables(jm_native):
 
 def _load():
     global available, BitReader, CabacEngine, ebsp_to_rbsp, rbsp_to_ebsp
-    global cavlc_slice_data, deblock_frame
+    global cavlc_slice_data, deblock_frame, parse_slice_cavlc
     try:
         try:
             from . import jm_native  # type: ignore
@@ -98,6 +99,26 @@ def _load():
 
         cavlc_slice_data = _cavlc_slice_data
         deblock_frame = jm_native.deblock_frame
+
+        # decode-side CAVLC slice parser: install the peek-LUTs compiled
+        # by decoder/cavlc.py (single source of truth) lazily, same
+        # import-cycle reason as above
+        _dec_state = {"installed": False}
+
+        def _parse_slice_cavlc(*args):
+            if not _dec_state["installed"]:
+                from ..decoder import cavlc as C
+                jm_native.set_cavlc_dec_tables(
+                    [np.ascontiguousarray(t, np.int32) for t in C.CT_LUT],
+                    [np.ascontiguousarray(C.CT_DC_LUT[0], np.int32)],
+                    [np.ascontiguousarray(t, np.int32) for t in C.TZ_LUT],
+                    [np.ascontiguousarray(t, np.int32)
+                     for t in C.TZ_DC_LUT[0]],
+                    [np.ascontiguousarray(t, np.int32) for t in C.RUN_LUT])
+                _dec_state["installed"] = True
+            return jm_native.parse_slice_cavlc(*args)
+
+        parse_slice_cavlc = _parse_slice_cavlc
         available = True
     except Exception:
         available = False

@@ -662,15 +662,9 @@ def assemble(piece_words, piece_lens, max_words: int, k_overlap: int = 8):
 # the full fast-path P slice packer
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "max_words"))
-def pack_p_slice(skip, inter_mode, mv4, cbp, luma_scan, luma_nnz,
-                 chroma_dc, chroma_scan, chroma_nnz, *,
+def _pack_p_body(skip, inter_mode, mv4, cbp, luma_scan, luma_nnz,
+                 chroma_dc, chroma_scan, chroma_nnz,
                  mb_w: int, mb_h: int, max_words: int):
-    """Device CAVLC slice_data for the all-inter P fast path.
-
-    Returns dict(words (max_words,) u32, nbits, ovf, bits_per_mb (N,)).
-    The caller prepends the slice header bits and EBSP-escapes on host
-    (encoder._pipe_finalize)."""
     n = mb_w * mb_h
     pred = mv_pred_parts(mv4, inter_mode, mb_w, mb_h)
     hv, hl = header_slots(skip, inter_mode, mv4, pred, cbp)
@@ -693,7 +687,7 @@ def pack_p_slice(skip, inter_mode, mv4, cbp, luma_scan, luma_nnz,
         ncc.reshape(n * 8), 15)
     aw, abits = fold_slots(av, al, BLOCK_WORDS)
 
-    # piece table: per MB [header, luma x16 (write order), dc x2, ac x8]
+    # gates: per MB [header, luma x16 (write order), dc x2, ac x8]
     coded = ~skip
     cbp_l = cbp & 15
     cbp_c = cbp >> 4
@@ -709,7 +703,10 @@ def pack_p_slice(skip, inter_mode, mv4, cbp, luma_scan, luma_nnz,
     ac_gate = coded[:, None] & ((cbp_c >= 2)[:, None]
                                 & jnp.ones((1, 8), bool))
 
-    # pad header buffers to BLOCK_WORDS for a uniform piece table
+    # piece table: per MB [header, luma x16 (write order), dc x2, ac x8].
+    # k_overlap=16: real content packs 12+ 1-bit pieces (empty coded
+    # blocks) into one output word, which overflowed the r4 bound of 8;
+    # pathological content beyond 16 still flags ovf -> host serializer.
     hw_p = jnp.concatenate(
         [hw, jnp.zeros((n, BLOCK_WORDS - HEADER_WORDS), jnp.uint32)],
         axis=1)
@@ -733,6 +730,7 @@ def pack_p_slice(skip, inter_mode, mv4, cbp, luma_scan, luma_nnz,
         jnp.where(tail_len > 0,
                   tail_val << _u32(jnp.clip(32 - tail_len, 0, 31)),
                   jnp.uint32(0)))
+    bits_per_mb = piece_lens.sum(axis=1)
     piece_words = jnp.concatenate(
         [piece_words.reshape(n * PIECES_PER_MB, BLOCK_WORDS),
          tail_words], axis=0)
@@ -740,12 +738,40 @@ def pack_p_slice(skip, inter_mode, mv4, cbp, luma_scan, luma_nnz,
         [piece_lens.reshape(n * PIECES_PER_MB),
          tail_len[None]], axis=0)
 
-    words, nbits, aovf2 = assemble(piece_words, piece_lens, max_words)
-    bits_per_mb = piece_lens[:n * PIECES_PER_MB] \
-        .reshape(n, PIECES_PER_MB).sum(axis=1)
+    words, nbits, aovf2 = assemble(piece_words, piece_lens, max_words,
+                                   k_overlap=16)
     return {
         "words": words,
         "nbits": nbits,
         "ovf": lovf.any() | dovf.any() | aovf.any() | aovf2,
         "bits_per_mb": bits_per_mb,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "max_words"))
+def pack_p_slice(skip, inter_mode, mv4, cbp, luma_scan, luma_nnz,
+                 chroma_dc, chroma_scan, chroma_nnz, *,
+                 mb_w: int, mb_h: int, max_words: int):
+    """Device CAVLC slice_data for the all-inter P fast path.
+
+    Returns dict(words (max_words,) u32, nbits, ovf, bits_per_mb (N,)).
+    The caller prepends the slice header bits and EBSP-escapes on host
+    (encoder._pipe_finalize)."""
+    return _pack_p_body(skip, inter_mode, mv4, cbp, luma_scan, luma_nnz,
+                        chroma_dc, chroma_scan, chroma_nnz,
+                        mb_w, mb_h, max_words)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "max_words"))
+def pack_p_slice_full(inter_mode, mv4, cbp, luma_scan, luma_nnz,
+                      chroma_dc, chroma_scan, chroma_nnz, *,
+                      mb_w: int, mb_h: int, max_words: int):
+    """pack_p_slice with the P_Skip derivation (skip_field) fused into
+    the same device program (one dispatch on the pipelined path); the
+    derived skip mask is returned under "skip"."""
+    skip = skip_field(inter_mode, cbp, mv4, mb_w, mb_h)
+    out = _pack_p_body(skip, inter_mode, mv4, cbp, luma_scan, luma_nnz,
+                       chroma_dc, chroma_scan, chroma_nnz,
+                       mb_w, mb_h, max_words)
+    out["skip"] = skip
+    return out

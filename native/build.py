@@ -17,7 +17,7 @@ def build() -> Path:
     OUT_DIR.mkdir(exist_ok=True)
     suffix = sysconfig.get_config_var("EXT_SUFFIX")
     out = OUT_DIR / f"jm_native{suffix}"
-    srcs = [HERE / "jm_native.cpp", HERE / "jm_enc.cpp"]
+    srcs = [HERE / "jm_native.cpp", HERE / "jm_enc.cpp", HERE / "jm_dec.cpp"]
     if out.exists() and all(out.stat().st_mtime >= s.stat().st_mtime
                             for s in srcs):
         return out

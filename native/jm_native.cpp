@@ -236,6 +236,11 @@ static PyObject *BitReader_get_nbits(BitReaderObject *self, void *closure) {
     return PyLong_FromLongLong(self->nbits);
 }
 
+static PyObject *BitReader_get_buffer(BitReaderObject *self, void *closure) {
+    /* the underlying RBSP bytes (used by the native slice parser) */
+    return PyBytes_FromStringAndSize((const char *)self->data, self->nbytes);
+}
+
 static PyMethodDef BitReader_methods[] = {
     {"u", (PyCFunction)BitReader_u, METH_O, "read n bits"},
     {"flag", (PyCFunction)BitReader_flag, METH_NOARGS, "read 1 bit"},
@@ -257,6 +262,7 @@ static PyMethodDef BitReader_methods[] = {
 static PyGetSetDef BitReader_getset[] = {
     {"pos", (getter)BitReader_get_pos, (setter)BitReader_set_pos, "", NULL},
     {"nbits", (getter)BitReader_get_nbits, NULL, "", NULL},
+    {"buffer", (getter)BitReader_get_buffer, NULL, "", NULL},
     {NULL}
 };
 
@@ -711,6 +717,7 @@ static struct PyModuleDef jm_native_module = {
 };
 
 extern "C" int register_jm_enc(PyObject *module);
+extern "C" int register_jm_dec(PyObject *module);
 
 PyMODINIT_FUNC PyInit_jm_native(void) {
     BitReaderType.tp_dealloc = (destructor)BitReader_dealloc;
@@ -736,5 +743,6 @@ PyMODINIT_FUNC PyInit_jm_native(void) {
     Py_INCREF(&CabacType);
     PyModule_AddObject(m, "CabacEngine", (PyObject *)&CabacType);
     if (register_jm_enc(m) < 0) { Py_DECREF(m); return NULL; }
+    if (register_jm_dec(m) < 0) { Py_DECREF(m); return NULL; }
     return m;
 }
