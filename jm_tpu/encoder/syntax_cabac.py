@@ -1,9 +1,10 @@
 """CABAC macroblock-layer serialization (spec 7.3.5 + 9.3).
 
 The exact inverse of jm_tpu.decoder.mb_parse_cabac for the encoder's
-current mode set (I: I4x4/I16x16; P: Skip/16x16 + intra). Neighbor
-context derivations mirror the reader's; correctness is enforced by
-decode-back tests and ldecod conformance.
+full mode set: I (I4x4/I8x8/I16x16/IPCM), P (Skip/16x16/16x8/8x16/P8x8
+sub-partitions + intra), B (Direct/list0/list1/bi partitions), 8x8
+transform, multi-ref. Neighbor context derivations mirror the reader's;
+correctness is enforced by decode-back tests and ldecod conformance.
 """
 
 from __future__ import annotations

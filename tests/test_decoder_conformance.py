@@ -80,6 +80,18 @@ def test_mbaff_rejected_loudly(golden_dir):
         decode_file(str(golden_dir / "mbaff1.264"))
 
 
+def test_high10_rejected_loudly(golden_dir):
+    """>8-bit streams (High 10) must reject until the uint16 path lands
+    — the parse used to silently ignore bit_depth_*_minus8 and corrupt.
+    Goldens hi10.264 (CABAC+B) / hi10c.264 (CAVLC IPP) are JM-encoded,
+    ldecod-verified 10-bit streams."""
+    import pytest
+    from jm_tpu.decoder.decoder import decode_file
+    for stream in ("hi10.264", "hi10c.264"):
+        with pytest.raises(NotImplementedError, match="bit depth"):
+            decode_file(str(golden_dir / stream))
+
+
 def test_dp_encode_roundtrip():
     """Encoder-side data partitioning (PartitionMode=1): NAL 2/3/4 output
     decodes bit-exactly in our decoder; JM ldecod interop verified with
