@@ -331,6 +331,139 @@ class H264Decoder:
             return False
         return True
 
+    def _device_pipe_ok(self, pic, cur, wp, lst0, hdr0, pps, lost) -> bool:
+        """The fully device-resident P decode pipe (residual decode ->
+        inter recon -> bS -> deblock -> next-ref plane prep, one
+        composed device round; mirror of the encoder's pipelined
+        dispatch). Needs, beyond _device_recon_ok: no intra/IPCM MBs at
+        all (intra prediction reads current-picture neighbors on host),
+        no 8x8 transform, 4:4:4-free scaling already implied, no lost
+        MBs, frame picture, default deblock (per-slice offsets carried
+        as arrays, so any idc/offsets are fine)."""
+        from .mb_parse import MB_INTER
+        if not self._device_recon_ok(pic, cur, wp, lst0):
+            return False
+        if (pic.mb_class != MB_INTER).any():
+            return False
+        if pic.transform8x8.any() or lost.any():
+            return False
+        if getattr(pic, "sp_slice", None) is not None \
+                and pic.sp_slice.any():
+            return False
+        # levels ride to the device as int16
+        if abs(int(pic.luma_coef.max())) > 32000 \
+                or abs(int(pic.luma_coef.min())) > 32000 \
+                or abs(int(pic.chroma_coef.max())) > 32000 \
+                or abs(int(pic.chroma_coef.min())) > 32000 \
+                or abs(int(pic.chroma_dc.max())) > 32000 \
+                or abs(int(pic.chroma_dc.min())) > 32000:
+            return False
+        return True
+
+    def _dev_ref_state(self, frame):
+        """Device (planes, padU, padV) of a decoded reference frame,
+        computed once on device and cached — decoded frames that came
+        off the device pipe already hold it resident (no host 6-tap
+        interpolation, no per-frame re-upload)."""
+        st = getattr(frame, "_dev_state", None)
+        if st is None:
+            import jax
+
+            from ..ops import enc_jax as EJ
+            st = EJ.prep_ref(jax.device_put(np.asarray(frame.Y)),
+                             jax.device_put(np.asarray(frame.U)),
+                             jax.device_put(np.asarray(frame.V)))
+            frame._dev_state = st
+        return st
+
+    def _pps_dev_tabs(self, pps):
+        """Per-PPS device constants for the decode pipe: inter
+        InvLevelScale tables (lists 3/4/5) and QP->QPc maps with the
+        pps chroma offsets."""
+        cache = getattr(self, "_dev_tab_cache", None)
+        if cache is None:
+            cache = self._dev_tab_cache = {}
+        key = id(pps)
+        if key not in cache:
+            import jax
+
+            from ..common.tables import chroma_qp
+            from .recon import build_inv_scale
+            tab4, _tab8 = build_inv_scale(pps)
+            cb = np.array([chroma_qp(q, pps.cb_qp_offset)
+                           for q in range(52)], np.int32)
+            cr = np.array([chroma_qp(q, pps.cr_qp_offset)
+                           for q in range(52)], np.int32)
+            cache[key] = tuple(jax.device_put(x) for x in (
+                np.asarray(tab4[3], np.int32), np.asarray(tab4[4], np.int32),
+                np.asarray(tab4[5], np.int32), cb, cr))
+        return cache[key]
+
+    def _decode_p_device_pipe(self, pic, cur, hdr0, pps, lst0):
+        """Run the resident device decode pipe; returns (Y, U, V, state)
+        with Y/U/V the deblocked host planes and state the device
+        reference prep for future pictures."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import dec_jax as DX
+        from ..ops import enc_jax as EJ
+        from ..ops.deblock_jax import compute_bs_jax
+        from ..ops.deblock_pallas import deblock_auto
+        n = pic.n_mbs
+        tabY, tabU, tabV, d_cb, d_cr = self._pps_dev_tabs(pps)
+        states = [self._dev_ref_state(f) for f in lst0]
+        planes = jnp.stack([s[0] for s in states])
+        padU = jnp.stack([s[1] for s in states])
+        padV = jnp.stack([s[2] for s in states])
+
+        mv = jnp.asarray(pic.mv.astype(np.int32))
+        ref_idx = jnp.asarray(pic.ref_idx.astype(np.int32))
+        qp = jnp.asarray(pic.qp.astype(np.int32))
+        nnz = jnp.asarray(pic.luma_nnz.astype(np.int32))
+        res_l, res_c = DX.p_dec_residuals(
+            jnp.asarray(pic.luma_coef.astype(np.int16)),
+            jnp.asarray(pic.chroma_dc.astype(np.int16)),
+            jnp.asarray(pic.chroma_coef.astype(np.int16)),
+            qp, tabY, tabU, tabV, d_cb, d_cr,
+            mb_w=pic.mb_w, mb_h=pic.mb_h)
+        Y, U, V = DX.inter_recon_p(
+            mv, ref_idx, res_l, res_c, planes, padU, padV,
+            jnp.ones(n, bool), mb_w=pic.mb_w, mb_h=pic.mb_h)
+
+        zeros = jnp.zeros(n, jnp.int32)
+        # compute_bs_jax is a plain traced function (its other callers
+        # are already inside jit); jit it here or every op is an eager
+        # round trip on the axon tunnel
+        bs_fn = getattr(H264Decoder, "_bs_jit", None)
+        if bs_fn is None:
+            import functools
+            bs_fn = functools.partial(jax.jit, static_argnums=(7, 8))(
+                compute_bs_jax)
+            H264Decoder._bs_jit = bs_fn
+        bs_v, bs_h = bs_fn(
+            zeros.astype(jnp.int8), nnz, zeros, mv, jnp.zeros_like(mv),
+            jnp.asarray(pic.ref_pic_id.astype(np.int32)),
+            jnp.asarray(pic.ref_pic_id_l1.astype(np.int32)),
+            pic.mb_w, pic.mb_h)
+        disable = np.zeros(n, np.int32)
+        a_off = np.zeros(n, np.int32)
+        b_off = np.zeros(n, np.int32)
+        for sid, (hdr, _l0, _l1) in enumerate(cur["headers"]):
+            m = pic.slice_id == sid
+            disable[m] = hdr.disable_deblocking_filter_idc
+            a_off[m] = hdr.slice_alpha_c0_offset_div2
+            b_off[m] = hdr.slice_beta_offset_div2
+        dY, dU, dV = deblock_auto(
+            Y, U, V, bs_v, bs_h, qp, jnp.asarray(disable),
+            jnp.asarray(a_off), jnp.asarray(b_off),
+            jnp.asarray(pic.slice_id.astype(np.int32)), zeros,
+            d_cb, d_cr, mb_w=pic.mb_w, mb_h=pic.mb_h)
+        state = EJ.prep_ref(dY, dU, dV)
+        out = jax.device_get((dY, dU, dV))
+        return (np.asarray(out[0]), np.asarray(out[1]),
+                np.asarray(out[2]), state)
+
     def _inter_recon_device(self, pic, pps, lst0):
         """Run ops/dec_jax.inter_recon_p over the picture's inter MBs;
         returns the (Y, U, V) seed planes for Reconstructor.run."""
@@ -454,31 +587,38 @@ class H264Decoder:
 
         from .wp import WPParams
         wp = WPParams(hdr0, pps, lst0, lst1, cur["poc"])
-        rec = Reconstructor(pic, sps, pps, lst0, lst1, wp,
-                            cur_parity=cur.get("parity"))
-        seed = None
-        if self.device_recon and self._device_recon_ok(pic, cur, wp,
-                                                       lst0):
-            seed = self._inter_recon_device(pic, pps, lst0)
-        Y, U, V = rec.run(seed=seed)
+        dev_state = None
+        if self.device_recon and self._device_pipe_ok(pic, cur, wp, lst0,
+                                                      hdr0, pps, lost):
+            Y, U, V, dev_state = self._decode_p_device_pipe(
+                pic, cur, hdr0, pps, lst0)
+        else:
+            rec = Reconstructor(pic, sps, pps, lst0, lst1, wp,
+                                cur_parity=cur.get("parity"))
+            seed = None
+            if self.device_recon and self._device_recon_ok(pic, cur, wp,
+                                                           lst0):
+                seed = self._inter_recon_device(pic, pps, lst0)
+            Y, U, V = rec.run(seed=seed)
 
-        # deblock (per-MB slice params)
-        n = pic.n_mbs
-        disable = np.zeros(n, np.int32)
-        a_off = np.zeros(n, np.int32)
-        b_off = np.zeros(n, np.int32)
-        cb_off = np.full(n, pps.cb_qp_offset, np.int32)
-        cr_off = np.full(n, pps.cr_qp_offset, np.int32)
-        for sid, (hdr, _lst, _lst1) in enumerate(cur["headers"]):
-            m = pic.slice_id == sid
-            disable[m] = hdr.disable_deblocking_filter_idc
-            a_off[m] = hdr.slice_alpha_c0_offset_div2
-            b_off[m] = hdr.slice_beta_offset_div2
-        deblock_picture(Y, U, V, pic, pic.mb_w, pic.mb_h, pic.qp, {
-            "disable_idc": disable, "alpha_off": a_off, "beta_off": b_off,
-            "cb_qp_off": cb_off, "cr_qp_off": cr_off,
-            "slice_id": pic.slice_id,
-        })
+            # deblock (per-MB slice params)
+            n = pic.n_mbs
+            disable = np.zeros(n, np.int32)
+            a_off = np.zeros(n, np.int32)
+            b_off = np.zeros(n, np.int32)
+            cb_off = np.full(n, pps.cb_qp_offset, np.int32)
+            cr_off = np.full(n, pps.cr_qp_offset, np.int32)
+            for sid, (hdr, _lst, _lst1) in enumerate(cur["headers"]):
+                m = pic.slice_id == sid
+                disable[m] = hdr.disable_deblocking_filter_idc
+                a_off[m] = hdr.slice_alpha_c0_offset_div2
+                b_off[m] = hdr.slice_beta_offset_div2
+            deblock_picture(Y, U, V, pic, pic.mb_w, pic.mb_h, pic.qp, {
+                "disable_idc": disable, "alpha_off": a_off,
+                "beta_off": b_off,
+                "cb_qp_off": cb_off, "cr_qp_off": cr_off,
+                "slice_id": pic.slice_id,
+            })
 
         view = cur.get("view", 0)
         if lost.any() and self.conceal_mode:
@@ -494,6 +634,8 @@ class H264Decoder:
 
         frame = Frame(poc=cur["poc"], frame_num=hdr0.frame_num,
                       Y=Y, U=U, V=V, is_ref=hdr0.nal_ref_idc != 0)
+        if dev_state is not None:
+            frame._dev_state = dev_state
         frame.motion = (pic.mv.copy(), pic.ref_idx.copy(),
                         pic.mv_l1.copy(), pic.ref_idx_l1.copy(),
                         pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())

@@ -341,6 +341,7 @@ class Reconstructor:
         if seed is not None:
             self.Y[:], self.U[:], self.V[:] = seed[0], seed[1], seed[2]
             inter_done = True
+        intra_done = self._intra_recon_native(res_l, res_c, inter_done)
         from .mb_parse import CODE2RASTER
         for addr in range(pic.n_mbs):
             cls = pic.mb_class[addr]
@@ -348,15 +349,48 @@ class Reconstructor:
                 if not inter_done:
                     self._recon_inter(addr, res_l, res_c)
             elif cls == MB_I16:
-                self._recon_i16(addr, res_l, res_c)
+                if not intra_done:
+                    self._recon_i16(addr, res_l, res_c)
             elif cls == MB_I4:
-                if pic.transform8x8[addr]:
+                if intra_done:
+                    pass
+                elif pic.transform8x8[addr]:
                     self._recon_i8(addr, res_l, res_c)
                 else:
                     self._recon_i4(addr, res_l, res_c, CODE2RASTER)
             elif cls == MB_IPCM:
                 self._recon_ipcm(addr)
         return self.Y, self.U, self.V
+
+    def _intra_recon_native(self, res_l, res_c, inter_done) -> bool:
+        """Reconstruct every I4/I8/I16 MB with the native C loop
+        (native/jm_dec.cpp intra_recon) when valid: intra prediction
+        reads neighboring reconstructed pixels, so inter MBs must
+        already be in the planes (device seed) or absent (pure-intra
+        picture). IPCM pixels also feed later predictions, so any IPCM
+        MB keeps the whole picture on the interleaved host loop."""
+        pic = self.pic
+        from ..native import available, jm_native
+        if not available or not hasattr(jm_native, "intra_recon"):
+            return False
+        cls = pic.mb_class
+        has_intra = bool(((cls == MB_I4) | (cls == MB_I16)).any())
+        if not has_intra:
+            return False
+        if (cls == MB_IPCM).any():
+            return False
+        if not inter_done and bool((cls == MB_INTER).any()):
+            return False
+        jm_native.intra_recon(
+            {"mb_w": self.mb_w, "mb_h": self.mb_h, "crows": self.crows},
+            {"Y": self.Y, "U": self.U, "V": self.V,
+             "mb_class": pic.mb_class,
+             "transform8x8": pic.transform8x8,
+             "i4_modes": pic.i4_modes, "i16_mode": pic.i16_mode,
+             "chroma_mode": pic.chroma_mode, "slice_id": pic.slice_id,
+             "res_l": np.ascontiguousarray(res_l, np.int32),
+             "res_c": np.ascontiguousarray(res_c, np.int32)})
+        return True
 
     # -- intra 4x4 ---------------------------------------------------------
 

@@ -736,12 +736,19 @@ class Encoder:
         # (~400 ms/frame on the axon tunnel, tools/profile_pipe.py).
         small, words_full = jax.device_get((out["small"], out["words"]))
         if bool(small["intra_any"]):
-            # rare: redo the frame via the classic path (exact); restore
-            # this frame's own display index (later frames may already
-            # have claimed theirs)
+            # rare: finish the frame via the classic path, but REUSE the
+            # already-computed device core (no second p_frame_step
+            # dispatch): _encode_p_device downloads it, patches the
+            # intra-chosen MBs per-MB with recon neighbors and
+            # serializes. Restore this frame's own display index (later
+            # frames may already have claimed theirs).
             saved = self.display_idx
             self.display_idx = disp
-            payload = self.encode_frame(*orig)
+            self._reuse_core = out["core"]
+            try:
+                payload = self.encode_frame(*orig)
+            finally:
+                self._reuse_core = None
             self.display_idx = saved
             return payload, True
 
@@ -1872,6 +1879,11 @@ class _FrameEncoder:
                 ref.Y, ref.U, ref.V,
                 self.qp, self.qpc, self.lam, self.lam4,
                 mb_w=self.mb_w, mb_h=self.mb_h, sr=cfg.search_range))
+        elif getattr(enc, "_reuse_core", None) is not None:
+            # pipelined-path intra fallback: the dispatch already ran
+            # p_frame_step for this exact frame/reference — download its
+            # results instead of recomputing (encoder.py _pipe_finalize)
+            out = jax.device_get(enc._reuse_core)
         else:
             dev = getattr(ref, "_dev", None)
             if dev is None:

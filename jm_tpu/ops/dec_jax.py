@@ -30,7 +30,61 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..common.tables import ZIGZAG_4x4
+from . import quant as Q
+from . import transform as T
 from .interp import PAD, QPEL_TAB
+
+_ZZ = np.asarray(ZIGZAG_4x4, np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"))
+def p_dec_residuals(luma_coef, chroma_dc, chroma_coef, qp,
+                    tabY, tabU, tabV, qpc_cb, qpc_cr, *,
+                    mb_w: int, mb_h: int):
+    """Device residual decode for all-inter 4x4-transform 4:2:0 frame P
+    pictures — the dec twin of decoder/recon.decode_residuals (inverse
+    zigzag -> dequant (ldecod block.c itrans4x4 scaling) -> rounded
+    inverse transform; chroma 2x2 DC Hadamard, spec 8.5.11).
+
+    luma_coef (N,16,16) int scan order; chroma_dc (N,2,4);
+    chroma_coef (N,2,4,16); qp (N,); tabY/tabU/tabV (52,4,4) int32
+    InvLevelScale tables (inter lists 3/4/5 of recon.build_inv_scale);
+    qpc_cb/qpc_cr (52,) QP->QPc maps with the pps offsets applied.
+    Returns (res_l (N,16,4,4) i32, res_c (N,2,4,4,4) i32)."""
+    n = mb_w * mb_h
+    zz = jnp.asarray(_ZZ)
+    qp = qp.astype(jnp.int32)
+
+    raster = jnp.zeros((n, 16, 16), jnp.int32) \
+        .at[:, :, zz].set(luma_coef.astype(jnp.int32)) \
+        .reshape(n, 16, 4, 4)
+    deq = Q.dequant_4x4(raster, qp[:, None], tabY)
+    res_l = T.inverse4x4_round(deq).astype(jnp.int32)
+
+    qpu = qpc_cb[jnp.clip(qp, 0, 51)]
+    qpv = qpc_cr[jnp.clip(qp, 0, 51)]
+    craster = jnp.zeros((n, 2, 4, 16), jnp.int32) \
+        .at[:, :, :, zz].set(chroma_coef.astype(jnp.int32)) \
+        .reshape(n, 2, 4, 4, 4)
+    dequ = Q.dequant_4x4(craster[:, 0], qpu[:, None], tabU)
+    deqv = Q.dequant_4x4(craster[:, 1], qpv[:, None], tabV)
+
+    # chroma DC: 2x2 Hadamard then scale (floor >>5)
+    dc = chroma_dc.astype(jnp.int32).reshape(n, 2, 2, 2)
+    a, b = dc[..., 0, 0], dc[..., 0, 1]
+    c, d = dc[..., 1, 0], dc[..., 1, 1]
+    f = jnp.stack([
+        jnp.stack([a + b + c + d, a - b + c - d], axis=-1),
+        jnp.stack([a + b - c - d, a - b - c + d], axis=-1)], axis=-2)
+    dcu = Q.dequant_chroma_dc(f[:, 0], qpu, tabU)      # (N, 2, 2)
+    dcv = Q.dequant_chroma_dc(f[:, 1], qpv, tabV)
+    blk = jnp.arange(4)
+    dequ = dequ.at[:, blk, 0, 0].set(dcu[:, blk // 2, blk % 2])
+    deqv = deqv.at[:, blk, 0, 0].set(dcv[:, blk // 2, blk % 2])
+    res_c = jnp.stack([T.inverse4x4_round(dequ),
+                       T.inverse4x4_round(deqv)], axis=1).astype(jnp.int32)
+    return res_l, res_c
 
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"))

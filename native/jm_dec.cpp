@@ -974,7 +974,602 @@ static PyObject *m_parse_slice_cavlc(PyObject *mod, PyObject *args) {
     return Py_BuildValue("(iL)", status, pos0);
 }
 
+/* ------------------------------------------------------------------ */
+/* intra reconstruction (decoder/recon.py intra paths, ops/intra.py)   */
+/* ------------------------------------------------------------------ */
+
+/* modes: 0 VERT 1 HOR 2 DC 3 DDL 4 DDR 5 VR 6 HD 7 VL 8 HU */
+
+static void predict_i4(int mode, const int32_t *t, const int32_t *l,
+                       int32_t m, int at, int al, int32_t p[4][4]) {
+    int x, y;
+    switch (mode) {
+    case 0:
+        for (y = 0; y < 4; y++)
+            for (x = 0; x < 4; x++) p[y][x] = t[x];
+        break;
+    case 1:
+        for (y = 0; y < 4; y++)
+            for (x = 0; x < 4; x++) p[y][x] = l[y];
+        break;
+    case 2: {
+        int32_t v;
+        if (at && al)
+            v = (t[0] + t[1] + t[2] + t[3] + l[0] + l[1] + l[2] + l[3]
+                 + 4) >> 3;
+        else if (at) v = (t[0] + t[1] + t[2] + t[3] + 2) >> 2;
+        else if (al) v = (l[0] + l[1] + l[2] + l[3] + 2) >> 2;
+        else v = 128;
+        for (y = 0; y < 4; y++)
+            for (x = 0; x < 4; x++) p[y][x] = v;
+        break;
+    }
+    case 3:
+        for (y = 0; y < 4; y++)
+            for (x = 0; x < 4; x++)
+                p[y][x] = (x == 3 && y == 3)
+                    ? (t[6] + 3 * t[7] + 2) >> 2
+                    : (t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2) >> 2;
+        break;
+    case 4: {
+        int32_t tt[9], ll[5];
+        tt[0] = m;
+        for (x = 0; x < 8; x++) tt[x + 1] = t[x];
+        ll[0] = m;
+        for (y = 0; y < 4; y++) ll[y + 1] = l[y];
+        for (y = 0; y < 4; y++)
+            for (x = 0; x < 4; x++) {
+                if (x > y)
+                    p[y][x] = (tt[x - y - 1] + 2 * tt[x - y] + tt[x - y + 1]
+                               + 2) >> 2;
+                else if (x < y)
+                    p[y][x] = (ll[y - x - 1] + 2 * ll[y - x] + ll[y - x + 1]
+                               + 2) >> 2;
+                else p[y][x] = (t[0] + 2 * m + l[0] + 2) >> 2;
+            }
+        break;
+    }
+    case 5: {
+        int32_t tt[9], ll[5];
+        tt[0] = m;
+        for (x = 0; x < 8; x++) tt[x + 1] = t[x];
+        ll[0] = m;
+        for (y = 0; y < 4; y++) ll[y + 1] = l[y];
+        for (y = 0; y < 4; y++)
+            for (x = 0; x < 4; x++) {
+                int z = 2 * x - y;
+                int k = x - (y >> 1);
+                if (z >= 0 && (z & 1) == 0)
+                    p[y][x] = (tt[k] + tt[k + 1] + 1) >> 1;
+                else if (z >= 0)
+                    p[y][x] = (tt[k - 1] + 2 * tt[k] + tt[k + 1] + 2) >> 2;
+                else if (z == -1)
+                    p[y][x] = (l[0] + 2 * m + t[0] + 2) >> 2;
+                else
+                    p[y][x] = (ll[y] + 2 * ll[y - 1] + ll[y - 2] + 2) >> 2;
+            }
+        break;
+    }
+    case 6: {
+        int32_t tt[9], ll[5];
+        tt[0] = m;
+        for (x = 0; x < 8; x++) tt[x + 1] = t[x];
+        ll[0] = m;
+        for (y = 0; y < 4; y++) ll[y + 1] = l[y];
+        for (y = 0; y < 4; y++)
+            for (x = 0; x < 4; x++) {
+                int z = 2 * y - x;
+                int k = y - (x >> 1);
+                if (z >= 0 && (z & 1) == 0)
+                    p[y][x] = (ll[k] + ll[k + 1] + 1) >> 1;
+                else if (z >= 0)
+                    p[y][x] = (ll[k - 1] + 2 * ll[k] + ll[k + 1] + 2) >> 2;
+                else if (z == -1)
+                    p[y][x] = (t[0] + 2 * m + l[0] + 2) >> 2;
+                else
+                    p[y][x] = (tt[x] + 2 * tt[x - 1] + tt[x - 2] + 2) >> 2;
+            }
+        break;
+    }
+    case 7:
+        for (y = 0; y < 4; y++)
+            for (x = 0; x < 4; x++) {
+                int k = x + (y >> 1);
+                p[y][x] = (y & 1)
+                    ? (t[k] + 2 * t[k + 1] + t[k + 2] + 2) >> 2
+                    : (t[k] + t[k + 1] + 1) >> 1;
+            }
+        break;
+    case 8:
+        for (y = 0; y < 4; y++)
+            for (x = 0; x < 4; x++) {
+                int z = x + 2 * y;
+                int k = y + (x >> 1);
+                if (z > 5) p[y][x] = l[3];
+                else if (z == 5) p[y][x] = (l[2] + 3 * l[3] + 2) >> 2;
+                else if ((z & 1) == 0) p[y][x] = (l[k] + l[k + 1] + 1) >> 1;
+                else p[y][x] = (l[k] + 2 * l[k + 1] + l[k + 2] + 2) >> 2;
+            }
+        break;
+    default:
+        for (y = 0; y < 4; y++)
+            for (x = 0; x < 4; x++) p[y][x] = 128;
+    }
+}
+
+static void predict_i8(int mode, const int32_t *t_in, const int32_t *l_in,
+                       int32_t m_in, int at, int al, int ac,
+                       int32_t p[8][8]) {
+    int32_t t[16], l[8], ft[16], fl[8];
+    int32_t m = m_in, fm = m_in;
+    int x, y;
+    for (x = 0; x < 16; x++) t[x] = t_in[x];
+    for (y = 0; y < 8; y++) l[y] = l_in[y];
+    /* reference filtering (spec 8.3.2.2.1) */
+    if (at) {
+        ft[0] = ac ? (m + 2 * t[0] + t[1] + 2) >> 2
+                   : (3 * t[0] + t[1] + 2) >> 2;
+        for (x = 1; x < 15; x++)
+            ft[x] = (t[x - 1] + 2 * t[x] + t[x + 1] + 2) >> 2;
+        ft[15] = (t[14] + 3 * t[15] + 2) >> 2;
+    }
+    if (ac) {
+        if (at && al) fm = (t[0] + 2 * m + l[0] + 2) >> 2;
+        else if (at) fm = (3 * m + t[0] + 2) >> 2;
+        else if (al) fm = (3 * m + l[0] + 2) >> 2;
+        else fm = m;
+    }
+    if (al) {
+        fl[0] = ac ? (m + 2 * l[0] + l[1] + 2) >> 2
+                   : (3 * l[0] + l[1] + 2) >> 2;
+        for (y = 1; y < 7; y++)
+            fl[y] = (l[y - 1] + 2 * l[y] + l[y + 1] + 2) >> 2;
+        fl[7] = (l[6] + 3 * l[7] + 2) >> 2;
+    }
+    if (at) for (x = 0; x < 16; x++) t[x] = ft[x];
+    if (al) for (y = 0; y < 8; y++) l[y] = fl[y];
+    m = ac ? fm : m;
+
+    switch (mode) {
+    case 0:
+        for (y = 0; y < 8; y++)
+            for (x = 0; x < 8; x++) p[y][x] = t[x];
+        break;
+    case 1:
+        for (y = 0; y < 8; y++)
+            for (x = 0; x < 8; x++) p[y][x] = l[y];
+        break;
+    case 2: {
+        int32_t s = 0, v;
+        if (at) for (x = 0; x < 8; x++) s += t[x];
+        if (al) for (y = 0; y < 8; y++) s += l[y];
+        if (at && al) v = (s + 8) >> 4;
+        else if (at || al) v = (s + 4) >> 3;
+        else v = 128;
+        for (y = 0; y < 8; y++)
+            for (x = 0; x < 8; x++) p[y][x] = v;
+        break;
+    }
+    case 3:
+        for (y = 0; y < 8; y++)
+            for (x = 0; x < 8; x++)
+                p[y][x] = (x == 7 && y == 7)
+                    ? (t[14] + 3 * t[15] + 2) >> 2
+                    : (t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2) >> 2;
+        break;
+    case 4: {
+        int32_t tt[17], ll[9];
+        tt[0] = m;
+        for (x = 0; x < 16; x++) tt[x + 1] = t[x];
+        ll[0] = m;
+        for (y = 0; y < 8; y++) ll[y + 1] = l[y];
+        for (y = 0; y < 8; y++)
+            for (x = 0; x < 8; x++) {
+                if (x > y)
+                    p[y][x] = (tt[x - y - 1] + 2 * tt[x - y] + tt[x - y + 1]
+                               + 2) >> 2;
+                else if (x < y)
+                    p[y][x] = (ll[y - x - 1] + 2 * ll[y - x] + ll[y - x + 1]
+                               + 2) >> 2;
+                else p[y][x] = (t[0] + 2 * m + l[0] + 2) >> 2;
+            }
+        break;
+    }
+    case 5: {
+        int32_t tt[17], ll[9];
+        tt[0] = m;
+        for (x = 0; x < 16; x++) tt[x + 1] = t[x];
+        ll[0] = m;
+        for (y = 0; y < 8; y++) ll[y + 1] = l[y];
+        for (y = 0; y < 8; y++)
+            for (x = 0; x < 8; x++) {
+                int z = 2 * x - y;
+                int k = x - (y >> 1);
+                if (z >= 0 && (z & 1) == 0)
+                    p[y][x] = (tt[k] + tt[k + 1] + 1) >> 1;
+                else if (z >= 0)
+                    p[y][x] = (tt[k - 1] + 2 * tt[k] + tt[k + 1] + 2) >> 2;
+                else if (z == -1)
+                    p[y][x] = (l[0] + 2 * m + t[0] + 2) >> 2;
+                else
+                    p[y][x] = (ll[y - 2 * x] + 2 * ll[y - 2 * x - 1]
+                               + ll[y - 2 * x - 2] + 2) >> 2;
+            }
+        break;
+    }
+    case 6: {
+        int32_t tt[17], ll[9];
+        tt[0] = m;
+        for (x = 0; x < 16; x++) tt[x + 1] = t[x];
+        ll[0] = m;
+        for (y = 0; y < 8; y++) ll[y + 1] = l[y];
+        for (y = 0; y < 8; y++)
+            for (x = 0; x < 8; x++) {
+                int z = 2 * y - x;
+                int k = y - (x >> 1);
+                if (z >= 0 && (z & 1) == 0)
+                    p[y][x] = (ll[k] + ll[k + 1] + 1) >> 1;
+                else if (z >= 0)
+                    p[y][x] = (ll[k - 1] + 2 * ll[k] + ll[k + 1] + 2) >> 2;
+                else if (z == -1)
+                    p[y][x] = (t[0] + 2 * m + l[0] + 2) >> 2;
+                else
+                    p[y][x] = (tt[x - 2 * y] + 2 * tt[x - 2 * y - 1]
+                               + tt[x - 2 * y - 2] + 2) >> 2;
+            }
+        break;
+    }
+    case 7:
+        for (y = 0; y < 8; y++)
+            for (x = 0; x < 8; x++) {
+                int k = x + (y >> 1);
+                p[y][x] = (y & 1)
+                    ? (t[k] + 2 * t[k + 1] + t[k + 2] + 2) >> 2
+                    : (t[k] + t[k + 1] + 1) >> 1;
+            }
+        break;
+    case 8:
+        for (y = 0; y < 8; y++)
+            for (x = 0; x < 8; x++) {
+                int z = x + 2 * y;
+                int k = y + (x >> 1);
+                if (z > 13) p[y][x] = l[7];
+                else if (z == 13) p[y][x] = (l[6] + 3 * l[7] + 2) >> 2;
+                else if ((z & 1) == 0) p[y][x] = (l[k] + l[k + 1] + 1) >> 1;
+                else p[y][x] = (l[k] + 2 * l[k + 1] + l[k + 2] + 2) >> 2;
+            }
+        break;
+    default:
+        for (y = 0; y < 8; y++)
+            for (x = 0; x < 8; x++) p[y][x] = 128;
+    }
+}
+
+static inline uint8_t clip255(int32_t v) {
+    return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+typedef struct {
+    uint8_t *Y, *U, *V;
+    int w, h, cw, ch;       /* luma and chroma plane dims */
+    int mb_w, mb_h, n;
+    int crows;              /* chroma 4x4-block rows per MB (2 or 4) */
+    const int8_t *mb_class;
+    const uint8_t *t8;
+    const int8_t *i4_modes;
+    const int8_t *i16_mode;
+    const int8_t *chroma_mode;
+    const int32_t *slice_id;
+    const int32_t *res_l;   /* (n,16,4,4) */
+    const int32_t *res_c;   /* (n,2,2*crows,4,4) */
+} IR;
+
+static inline int ir_mb_avail(const IR *q, int naddr, int addr) {
+    if (naddr < 0 || naddr >= q->n) return 0;
+    return q->slice_id[naddr] == q->slice_id[addr];
+}
+
+static int ir_block_avail(const IR *q, int addr, int gbx, int gby,
+                          int cur_code) {
+    if (gbx < 0 || gby < 0 || gbx >= q->mb_w * 4) return 0;
+    int naddr = (gby >> 2) * q->mb_w + (gbx >> 2);
+    if (naddr == addr) {
+        int nblk = (gby & 3) * 4 + (gbx & 3);
+        return RASTER2CODE[nblk] < cur_code;
+    }
+    if (naddr > addr) return 0;
+    return ir_mb_avail(q, naddr, addr);
+}
+
+static void ir_chroma_intra(IR *q, int addr) {
+    int mbx = addr % q->mb_w, mby = addr / q->mb_w;
+    int mh = 4 * q->crows;                   /* 8 or 16 */
+    int cx = mbx * 8, cy = mby * mh;
+    int al = (mbx > 0) ? ir_mb_avail(q, addr - 1, addr) : 0;
+    int at = ir_mb_avail(q, addr - q->mb_w, addr);
+    int atl = (mbx > 0) ? ir_mb_avail(q, addr - q->mb_w - 1, addr) : 0;
+    int mode = q->chroma_mode[addr];
+    for (int comp = 0; comp < 2; comp++) {
+        uint8_t *pl = comp ? q->V : q->U;
+        int stride = q->cw;
+        int32_t t[8] = {0}, l[16] = {0}, m = 0;
+        if (at) for (int x = 0; x < 8; x++)
+            t[x] = pl[(cy - 1) * stride + cx + x];
+        if (al) for (int y = 0; y < mh; y++)
+            l[y] = pl[(cy + y) * stride + cx - 1];
+        if (atl) m = pl[(cy - 1) * stride + cx - 1];
+
+        int32_t p[16][8];
+        if (mode == 0) {                       /* DC, per 4x4 block */
+            for (int by = 0; by < mh / 4; by++)
+                for (int xo = 0; xo <= 4; xo += 4) {
+                    int yo = by * 4;
+                    int32_t ts = t[xo] + t[xo + 1] + t[xo + 2] + t[xo + 3];
+                    int32_t ls = l[yo] + l[yo + 1] + l[yo + 2] + l[yo + 3];
+                    int pos = (by == 0) ? (xo ? 1 : 0) : (xo ? 3 : 2);
+                    int32_t v;
+                    if (pos == 0 || pos == 3) {
+                        if (at && al) v = (ts + ls + 4) >> 3;
+                        else if (at) v = (ts + 2) >> 2;
+                        else if (al) v = (ls + 2) >> 2;
+                        else v = 128;
+                    } else if (pos == 1) {
+                        if (at) v = (ts + 2) >> 2;
+                        else if (al) v = (ls + 2) >> 2;
+                        else v = 128;
+                    } else {
+                        if (al) v = (ls + 2) >> 2;
+                        else if (at) v = (ts + 2) >> 2;
+                        else v = 128;
+                    }
+                    for (int yy = yo; yy < yo + 4; yy++)
+                        for (int xx = xo; xx < xo + 4; xx++)
+                            p[yy][xx] = v;
+                }
+        } else if (mode == 1) {
+            for (int yy = 0; yy < mh; yy++)
+                for (int xx = 0; xx < 8; xx++) p[yy][xx] = l[yy];
+        } else if (mode == 2) {
+            for (int yy = 0; yy < mh; yy++)
+                for (int xx = 0; xx < 8; xx++) p[yy][xx] = t[xx];
+        } else {                               /* plane */
+            int h2 = mh / 2;
+            int32_t tt[9], ll[17];
+            tt[0] = m;
+            for (int x = 0; x < 8; x++) tt[x + 1] = t[x];
+            ll[0] = m;
+            for (int y = 0; y < mh; y++) ll[y + 1] = l[y];
+            int64_t hh = 0, vv = 0;
+            for (int x = 0; x < 4; x++)
+                hh += (int64_t)(x + 1) * (tt[5 + x] - tt[3 - x]);
+            for (int y = 0; y < h2; y++)
+                vv += (int64_t)(y + 1) * (ll[h2 + 1 + y] - ll[h2 - 1 - y]);
+            int32_t a = 16 * (l[mh - 1] + t[7]);
+            int32_t b = (int32_t)((34 * hh + 32) >> 6);
+            int32_t c = (mh == 8)
+                ? (int32_t)((17 * vv + 16) >> 5)
+                : (int32_t)((5 * vv + 32) >> 6);
+            for (int yy = 0; yy < mh; yy++)
+                for (int xx = 0; xx < 8; xx++) {
+                    int32_t v = (a + b * (xx - 3) + c * (yy - h2 + 1)
+                                 + 16) >> 5;
+                    p[yy][xx] = v < 0 ? 0 : (v > 255 ? 255 : v);
+                }
+        }
+        const int32_t *rc = q->res_c
+            + ((size_t)addr * 2 + comp) * (2 * q->crows) * 16;
+        for (int yy = 0; yy < mh; yy++)
+            for (int xx = 0; xx < 8; xx++) {
+                int blk = (yy / 4) * 2 + (xx / 4);
+                int32_t r = rc[blk * 16 + (yy & 3) * 4 + (xx & 3)];
+                pl[(cy + yy) * stride + cx + xx] = clip255(p[yy][xx] + r);
+            }
+    }
+}
+
+static void ir_recon_i4(IR *q, int addr) {
+    int mbx = addr % q->mb_w, mby = addr / q->mb_w;
+    uint8_t *Y = q->Y;
+    int stride = q->w;
+    for (int code = 0; code < 16; code++) {
+        int blk = CODE2RASTER[code];
+        int by = blk >> 2, bx = blk & 3;
+        int gx = mbx * 4 + bx, gy = mby * 4 + by;
+        int x = gx * 4, y = gy * 4;
+        int al = ir_block_avail(q, addr, gx - 1, gy, code);
+        int at = ir_block_avail(q, addr, gx, gy - 1, code);
+        int atl = ir_block_avail(q, addr, gx - 1, gy - 1, code);
+        int atr = ir_block_avail(q, addr, gx + 1, gy - 1, code);
+        int32_t t[8] = {0}, l[4] = {0}, m = 0;
+        if (at) {
+            for (int i = 0; i < 4; i++) t[i] = Y[(y - 1) * stride + x + i];
+            if (atr)
+                for (int i = 0; i < 4; i++)
+                    t[4 + i] = Y[(y - 1) * stride + x + 4 + i];
+            else
+                for (int i = 0; i < 4; i++) t[4 + i] = t[3];
+        }
+        if (al) for (int i = 0; i < 4; i++) l[i] = Y[(y + i) * stride + x - 1];
+        if (atl) m = Y[(y - 1) * stride + x - 1];
+        int32_t p[4][4];
+        predict_i4(q->i4_modes[addr * 16 + blk], t, l, m, at, al, p);
+        const int32_t *rl = q->res_l + ((size_t)addr * 16 + blk) * 16;
+        for (int yy = 0; yy < 4; yy++)
+            for (int xx = 0; xx < 4; xx++)
+                Y[(y + yy) * stride + x + xx] =
+                    clip255(p[yy][xx] + rl[yy * 4 + xx]);
+    }
+    ir_chroma_intra(q, addr);
+}
+
+static void ir_recon_i8(IR *q, int addr) {
+    int mbx = addr % q->mb_w, mby = addr / q->mb_w;
+    uint8_t *Y = q->Y;
+    int stride = q->w;
+    for (int quad = 0; quad < 4; quad++) {
+        int qy = quad >> 1, qx = quad & 1;
+        int bx = qx * 2, by = qy * 2;
+        int gx = mbx * 4 + bx, gy = mby * 4 + by;
+        int x = gx * 4, y = gy * 4;
+        int code = RASTER2CODE[by * 4 + bx];
+        int al = ir_block_avail(q, addr, gx - 1, gy, code);
+        int at = ir_block_avail(q, addr, gx, gy - 1, code);
+        int atl = ir_block_avail(q, addr, gx - 1, gy - 1, code);
+        int atr = ir_block_avail(q, addr, gx + 2, gy - 1, code);
+        int32_t t[16] = {0}, l[8] = {0}, m = 0;
+        if (at) {
+            for (int i = 0; i < 8; i++) t[i] = Y[(y - 1) * stride + x + i];
+            if (atr)
+                for (int i = 0; i < 8; i++)
+                    t[8 + i] = Y[(y - 1) * stride + x + 8 + i];
+            else
+                for (int i = 0; i < 8; i++) t[8 + i] = t[7];
+        }
+        if (al) for (int i = 0; i < 8; i++) l[i] = Y[(y + i) * stride + x - 1];
+        if (atl) m = Y[(y - 1) * stride + x - 1];
+        int32_t p[8][8];
+        predict_i8(q->i4_modes[addr * 16 + by * 4 + bx], t, l, m, at, al,
+                   atl, p);
+        for (int dy = 0; dy < 2; dy++)
+            for (int dx = 0; dx < 2; dx++) {
+                int blk = (by + dy) * 4 + bx + dx;
+                const int32_t *rl = q->res_l + ((size_t)addr * 16 + blk) * 16;
+                for (int yy = 0; yy < 4; yy++)
+                    for (int xx = 0; xx < 4; xx++)
+                        Y[(y + dy * 4 + yy) * stride + x + dx * 4 + xx] =
+                            clip255(p[dy * 4 + yy][dx * 4 + xx]
+                                    + rl[yy * 4 + xx]);
+            }
+    }
+    ir_chroma_intra(q, addr);
+}
+
+static void ir_recon_i16(IR *q, int addr) {
+    int mbx = addr % q->mb_w, mby = addr / q->mb_w;
+    int px = mbx * 16, py = mby * 16;
+    uint8_t *Y = q->Y;
+    int stride = q->w;
+    int al = (mbx > 0) ? ir_mb_avail(q, addr - 1, addr) : 0;
+    int at = ir_mb_avail(q, addr - q->mb_w, addr);
+    int atl = (mbx > 0) ? ir_mb_avail(q, addr - q->mb_w - 1, addr) : 0;
+    int32_t t[16] = {0}, l[16] = {0}, m = 0;
+    if (at) for (int i = 0; i < 16; i++) t[i] = Y[(py - 1) * stride + px + i];
+    if (al) for (int i = 0; i < 16; i++) l[i] = Y[(py + i) * stride + px - 1];
+    if (atl) m = Y[(py - 1) * stride + px - 1];
+    int mode = q->i16_mode[addr];
+    int32_t p[16][16];
+    if (mode == 0) {
+        for (int y = 0; y < 16; y++)
+            for (int x = 0; x < 16; x++) p[y][x] = t[x];
+    } else if (mode == 1) {
+        for (int y = 0; y < 16; y++)
+            for (int x = 0; x < 16; x++) p[y][x] = l[y];
+    } else if (mode == 2) {
+        int32_t s = 0, v;
+        if (at) for (int x = 0; x < 16; x++) s += t[x];
+        if (al) for (int y = 0; y < 16; y++) s += l[y];
+        if (at && al) v = (s + 16) >> 5;
+        else if (at || al) v = (s + 8) >> 4;
+        else v = 128;
+        for (int y = 0; y < 16; y++)
+            for (int x = 0; x < 16; x++) p[y][x] = v;
+    } else {
+        int32_t tt[17], ll[17];
+        tt[0] = m;
+        for (int x = 0; x < 16; x++) tt[x + 1] = t[x];
+        ll[0] = m;
+        for (int y = 0; y < 16; y++) ll[y + 1] = l[y];
+        int64_t hh = 0, vv = 0;
+        for (int x = 0; x < 8; x++)
+            hh += (int64_t)(x + 1) * (tt[9 + x] - tt[7 - x]);
+        for (int y = 0; y < 8; y++)
+            vv += (int64_t)(y + 1) * (ll[9 + y] - ll[7 - y]);
+        int32_t a = 16 * (l[15] + t[15]);
+        int32_t b = (int32_t)((5 * hh + 32) >> 6);
+        int32_t c = (int32_t)((5 * vv + 32) >> 6);
+        for (int y = 0; y < 16; y++)
+            for (int x = 0; x < 16; x++) {
+                int32_t v = (a + b * (x - 7) + c * (y - 7) + 16) >> 5;
+                p[y][x] = v < 0 ? 0 : (v > 255 ? 255 : v);
+            }
+    }
+    const int32_t *rl = q->res_l + (size_t)addr * 16 * 16;
+    for (int y = 0; y < 16; y++)
+        for (int x = 0; x < 16; x++) {
+            int blk = (y / 4) * 4 + (x / 4);
+            Y[(py + y) * stride + px + x] =
+                clip255(p[y][x] + rl[blk * 16 + (y & 3) * 4 + (x & 3)]);
+        }
+    ir_chroma_intra(q, addr);
+}
+
+/* intra_recon(params, arrays): reconstruct all I4/I8/I16 MBs in place.
+ * Caller guarantees inter MBs' pixels are already in the planes (device
+ * seed) or absent (pure-intra picture), and that no IPCM MB exists. */
+static PyObject *m_intra_recon(PyObject *mod, PyObject *args) {
+    PyObject *params, *arrays;
+    if (!PyArg_ParseTuple(args, "OO", &params, &arrays)) return NULL;
+
+#define GETI(name) \
+    PyObject *o_##name = PyDict_GetItemString(params, #name); \
+    long long name = o_##name ? PyLong_AsLongLong(o_##name) : -1; \
+    if ((name == -1 && PyErr_Occurred()) || !o_##name) { \
+        if (!PyErr_Occurred()) \
+            PyErr_Format(PyExc_KeyError, "missing param '%s'", #name); \
+        return NULL; \
+    }
+    GETI(mb_w)
+    GETI(mb_h)
+    GETI(crows)
+#undef GETI
+
+    Held held[12];
+    int nheld = 0;
+    IR q;
+    memset(&q, 0, sizeof(q));
+    q.mb_w = (int)mb_w;
+    q.mb_h = (int)mb_h;
+    q.n = (int)(mb_w * mb_h);
+    q.crows = (int)crows;
+    q.w = q.mb_w * 16;
+    q.h = q.mb_h * 16;
+    q.cw = q.mb_w * 8;
+    q.ch = q.mb_h * 4 * q.crows;
+    long long n = q.n;
+    int ok = 1;
+#define ARR(field, key, want) \
+    if (ok && !(q.field = (decltype(q.field))want_arr( \
+            arrays, key, held, &nheld, want))) ok = 0;
+    ARR(Y, "Y", (long long)q.w * q.h)
+    ARR(U, "U", (long long)q.cw * q.ch)
+    ARR(V, "V", (long long)q.cw * q.ch)
+    ARR(mb_class, "mb_class", n)
+    ARR(t8, "transform8x8", n)
+    ARR(i4_modes, "i4_modes", n * 16)
+    ARR(i16_mode, "i16_mode", n)
+    ARR(chroma_mode, "chroma_mode", n)
+    ARR(slice_id, "slice_id", n * 4)
+    ARR(res_l, "res_l", n * 16 * 16 * 4)
+    ARR(res_c, "res_c", n * 2 * (2 * crows) * 16 * 4)
+#undef ARR
+    if (ok) {
+        for (int addr = 0; addr < q.n; addr++) {
+            int cls = q.mb_class[addr];
+            if (cls == 2) ir_recon_i16(&q, addr);
+            else if (cls == 1) {
+                if (q.t8[addr]) ir_recon_i8(&q, addr);
+                else ir_recon_i4(&q, addr);
+            }
+        }
+    }
+    for (int i = 0; i < nheld; i++) PyBuffer_Release(&held[i].view);
+    if (!ok) return NULL;
+    Py_RETURN_NONE;
+}
+
 static PyMethodDef dec_methods[] = {
+    {"intra_recon", m_intra_recon, METH_VARARGS,
+     "reconstruct all intra MBs of a picture in place"},
     {"set_cavlc_dec_tables", m_set_cavlc_dec_tables, METH_VARARGS,
      "install CAVLC decode peek-LUTs (ct, ct_dc, tz, tz_dc420, run)"},
     {"parse_slice_cavlc", m_parse_slice_cavlc, METH_VARARGS,
