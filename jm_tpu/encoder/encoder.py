@@ -108,6 +108,12 @@ class EncoderConfig:
                                  # context_ini.c; here: exact 3-way trial)
     poc_type: int = 0            # PicOrderCntType 0/1/2 (E28; type 1
                                  # writes a 1-entry expected cycle)
+    pic_interlace: int = 0       # 1: field coding always (E42 encode;
+                                 # lencod PicInterlace=1,
+                                 # image.c:751 perform_encode_field) —
+                                 # every frame coded as top+bottom field
+                                 # pictures with parity-alternating
+                                 # reference lists (spec 8.2.4.2.5)
     device_rd: bool = False      # device md_high: batched trial-encode RD
                                  # with exact CAVLC bits on the fast path
                                  # (ops/enc_rd.py; md_high.c:38 twin)
@@ -222,6 +228,27 @@ class Encoder:
         self.cfg = cfg
         self.mb_w = cfg.width // 16
         self.mb_h = cfg.height // 16
+        self.coded_height = cfg.height   # per-picture height (field: H/2)
+        if cfg.pic_interlace:
+            # field coding always (PicInterlace=1): every coded picture
+            # is one field at half height; the SPS advertises the frame
+            # geometry with frame_mbs_only_flag=0
+            if cfg.height % 32:
+                raise NotImplementedError(
+                    "field coding needs height % 32 == 0 (cropping later)")
+            unsupported = (cfg.num_b or cfg.entropy != "cavlc"
+                           or cfg.chroma_format != 1 or cfg.num_views != 1
+                           or cfg.data_partition or cfg.sp_periodicity
+                           or cfg.slice_mode or cfg.num_slice_groups > 1
+                           or cfg.weighted_pred or cfg.rc_enable
+                           or cfg.transform8x8 or cfg.rdoq
+                           or cfg.long_term_period or cfg.poc_type)
+            if unsupported:
+                raise NotImplementedError(
+                    "field coding v1 covers CAVLC 4:2:0 IPPP single-slice "
+                    "(no B/WP/RC/8x8/RDOQ/DP/SP/FMO)")
+            self.mb_h = cfg.height // 32
+            self.coded_height = cfg.height // 2
         use_b = cfg.num_b > 0
         use_wp = cfg.weighted_pred or cfg.weighted_bipred
         profile = 100 if (cfg.transform8x8 or cfg.scaling_matrix) else \
@@ -291,7 +318,10 @@ class Encoder:
             pic_width_in_mbs_minus1=self.mb_w - 1,
             pic_height_in_map_units_minus1=self.mb_h - 1,
             chroma_format_idc=cfg.chroma_format,
-            frame_mbs_only_flag=1, direct_8x8_inference_flag=1)
+            frame_mbs_only_flag=0 if cfg.pic_interlace else 1,
+            direct_8x8_inference_flag=1)
+        if cfg.pic_interlace:
+            self.sps.mb_adaptive_frame_field_flag = 0
         if cfg.enable_vui:
             # timing info (lencod GenerateVUI_parameters_rbsp:1048): frame
             # rate as time_scale / (2 * num_units_in_tick)
@@ -550,6 +580,10 @@ class Encoder:
         SetImageType. view1: (Y, U, V) of the dependent view when
         cfg.num_views == 2 (MVC stereo, E40)."""
         cfg = self.cfg
+        if cfg.pic_interlace:
+            disp = self.display_idx
+            self.display_idx += 1
+            return self._encode_field_pair(Y, U, V, disp)
         disp = self.display_idx
         self.display_idx += 1
         if cfg.num_views == 2:
@@ -581,6 +615,7 @@ class Encoder:
         encode_frame."""
         cfg = self.cfg
         return (cfg.pipeline == "device" and cfg.num_b == 0
+                and cfg.pic_interlace == 0
                 and cfg.sp_periodicity == 0 and cfg.data_partition == 0
                 and cfg.num_views == 1 and self.rc is None
                 and self.errdo is None and not cfg.rdo
@@ -928,6 +963,148 @@ class Encoder:
         out += self._emit_b_pyramid(bs, lo, mid - 1, layer + 1)
         out += self._emit_b_pyramid(bs, mid + 1, hi, layer + 1)
         return out
+
+    # ---- field (PAFF) encoding: E42 encode side -----------------------
+
+    def _field_ref_list(self, parity: int) -> list:
+        """Initial P-field list0 (spec 8.2.4.2.2 + 8.2.4.2.5), the
+        encoder twin of decoder._field_ref_list_p: short-term fields in
+        frame units by FrameNumWrap descending, parities interleaved
+        starting with the current parity."""
+        max_fn = self.sps.max_frame_num
+        cur_fn = self.frame_num
+
+        def fnw(f):
+            return (f.frame_num - max_fn if f.frame_num > cur_fn
+                    else f.frame_num)
+        units: dict = {}
+        for f in self.refs:
+            units.setdefault(fnw(f), []).append(f)
+        order = [units[k] for k in sorted(units, reverse=True)]
+        same = [f for u in order for f in u if f.parity == parity]
+        opp = [f for u in order for f in u if f.parity != parity]
+        out, i, j = [], 0, 0
+        while i < len(same) or j < len(opp):
+            if i < len(same):
+                out.append(same[i])
+                i += 1
+            if j < len(opp):
+                out.append(opp[j])
+                j += 1
+        return out
+
+    def _encode_field_pair(self, Y, U, V, disp: int) -> bytes:
+        """Code one display frame as two field pictures (top then
+        bottom), the E42 encode path (lencod image.c:751
+        perform_encode_field; field splitting frame_picture_*
+        imagedata.c)."""
+        Y = np.asarray(Y, np.uint8)
+        U = np.asarray(U, np.uint8)
+        V = np.asarray(V, np.uint8)
+        out = b""
+        for parity in (0, 1):
+            out += self._encode_field(Y[parity::2], U[parity::2],
+                                      V[parity::2], disp, parity)
+        self.frame_num = (self.frame_num + 1) % self.sps.max_frame_num
+        self.frame_idx += 1
+        return out
+
+    def _encode_field(self, Y, U, V, disp: int, parity: int) -> bytes:
+        from . import residual_np as RN
+        cfg = self.cfg
+        intra_due = (cfg.intra_period > 0 and
+                     self.frame_idx % cfg.intra_period == 0)
+        is_idr = parity == 0 and (self.frame_idx == 0 or intra_due)
+        stype = SliceType.I if is_idr else SliceType.P
+        if is_idr:
+            self.frame_num = 0
+            self._idr_disp = disp
+            self.refs = []
+        poc = 2 * (disp - self._idr_disp) + parity
+        qp = cfg.qp
+
+        refs_list = None
+        if stype == SliceType.P:
+            full = self._field_ref_list(parity)
+            self.num_ref_active = max(1, min(2 * cfg.num_ref, len(full)))
+            refs_list = full[:self.num_ref_active]
+
+        fe = _FrameEncoder(self, stype, Y, U, V)
+        fe.cur_parity = parity
+        fe.refs_list = refs_list
+        fe.qp = qp
+        fe.qpc = chroma_qp(qp, self.pps.chroma_qp_index_offset)
+        fe.lam = lambda_me(qp)
+        fe.lam4 = lambda_mode4(qp)
+        RN.set_field_scan(True)
+        try:
+            pic = fe.encode()
+        finally:
+            RN.set_field_scan(False)
+        pic.field_mode = True            # field scan + field deblock rules
+        recY, recU, recV = fe.recY.copy(), fe.recU.copy(), fe.recV.copy()
+        if cfg.deblock:
+            self._deblock(recY, recU, recV, pic)
+        RN.set_field_scan(True)
+        try:
+            slice_bytes = self._serialize_field_slice(
+                pic, stype, qp, poc, is_idr, parity)
+        finally:
+            RN.set_field_scan(False)
+        self._last_fe = fe
+
+        frame = Frame(poc=poc, frame_num=self.frame_num,
+                      Y=recY, U=recU, V=recV)
+        frame.parity = parity
+        frame.uid = self._uid
+        self._uid += 1
+        frame.motion = (pic.mv.copy(), pic.ref_idx.copy(),
+                        pic.mv_l1.copy(), pic.ref_idx_l1.copy(),
+                        pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())
+        # store the field; sliding window over FRAME units (a
+        # complementary pair counts one unit — the exact mirror of the
+        # decoder's _finish_field / mbuffer.c, so encoder and decoder
+        # agree on which fields remain referenceable)
+        self.refs.insert(0, frame)
+        units = []
+        for f in self.refs:                  # newest first
+            if units and f.frame_num == units[-1][0].frame_num \
+                    and len(units[-1]) == 1 \
+                    and f.parity != units[-1][0].parity:
+                units[-1].append(f)
+            else:
+                units.append([f])
+        cap = max(1, self.sps.max_num_ref_frames)
+        while len(units) > cap:
+            for f in units.pop():            # oldest unit
+                self.refs.remove(f)
+
+        payload = b""
+        if is_idr:
+            payload += annexb_bytes(3, NalUnitType.SPS, write_sps(self.sps))
+            payload += annexb_bytes(3, NalUnitType.PPS, write_pps(self.pps))
+            self.idr_pic_id = (self.idr_pic_id + 1) % 65536
+        payload += slice_bytes
+        label = "I" if is_idr else "P"
+        self.stats.append({"type": label, "bits": len(payload) * 8})
+        self.results.append({"disp": disp, "type": label, "parity": parity,
+                             "bits": len(payload) * 8, "frame": frame,
+                             "qp": qp})
+        return payload
+
+    def _serialize_field_slice(self, pic, stype, qp, poc, is_idr,
+                               parity) -> bytes:
+        idr_id = (self.idr_pic_id - 0) % 65536
+        rbsp = serialize_slice(
+            pic, self.sps, self.pps, slice_type=stype,
+            frame_num=self.frame_num, idr=is_idr, qp=qp,
+            idr_pic_id=idr_id,
+            poc_lsb=poc % (1 << (self.sps.log2_max_pic_order_cnt_lsb_minus4
+                                 + 4)),
+            num_ref_idx_l0=getattr(self, "num_ref_active", 1),
+            field_pic=1, bottom_field=parity)
+        nal_type = NalUnitType.IDR if is_idr else NalUnitType.SLICE
+        return annexb_bytes(3, nal_type, rbsp)
 
     def _emit_anchor(self, Y, U, V, disp: int) -> bytes:
         cfg = self.cfg
@@ -1534,7 +1711,9 @@ class _FrameEncoder:
         self.origU = np.asarray(U, np.uint8)
         self.origV = np.asarray(V, np.uint8)
         self.mb_w, self.mb_h = enc.mb_w, enc.mb_h
-        self.w, self.h = enc.cfg.width, enc.cfg.height
+        self.w, self.h = enc.cfg.width, enc.coded_height
+        self.cur_parity = None           # field pictures: 0 top, 1 bottom
+        self.refs_list = None            # preset by the field driver
         self.qp = enc.cfg.qp
         self.qpc = chroma_qp(self.qp, enc.pps.chroma_qp_index_offset)
         self.lam = lambda_me(self.qp)
@@ -1724,6 +1903,8 @@ class _FrameEncoder:
         host reference path."""
         cfg = self.enc.cfg
         return (cfg.pipeline == "device"
+                and not cfg.pic_interlace   # field pics: field scan +
+                                            # parity chroma MC, host path
                 and self.qctx is None
                 and self.burc is None
                 and not self.is_view1
@@ -1740,6 +1921,7 @@ class _FrameEncoder:
     def _device_i_path_ok(self) -> bool:
         cfg = self.enc.cfg
         return (cfg.pipeline == "device"
+                and not cfg.pic_interlace
                 and self.qctx is None
                 and self.stype == SliceType.I
                 and self.cfi == 1
@@ -1754,7 +1936,8 @@ class _FrameEncoder:
                 for addr in addrs:
                     self.pic.slice_id[addr] = sid
             self.pic.qp[:] = self.qp
-            self.refs_list = self.enc._ref_list_p()
+            if self.refs_list is None:
+                self.refs_list = self.enc._ref_list_p()
             self._encode_p_device()
             return self.pic
         if self._device_i_path_ok():
@@ -1770,7 +1953,7 @@ class _FrameEncoder:
             self.pic.sp_slice[:] = True
             self.pic.sp_qs[:] = self.qs
         if self.stype in (SliceType.P, SliceType.SP):
-            if not self.is_view1:
+            if not self.is_view1 and self.refs_list is None:
                 self.refs_list = self.enc._ref_list_p()
             if fast_me:
                 from .me_epzs import EPZSearcher
@@ -2917,8 +3100,16 @@ class _FrameEncoder:
         luma quarter-pel vector doubles into eighth-pel — decoder _mc_4x4
         recon.py twin)."""
         cx8 = (px // 2 + bx * 2) * 8 + mvx
+        # field pictures: opposite-parity references shift the chroma
+        # vector by -/+2 quarter-pel (spec 8.4.1.4.1; the decoder's
+        # recon._mc_4x4 cadj twin)
+        cadj = 0
+        if self.cur_parity is not None:
+            rpar = getattr(ref, "parity", None)
+            if rpar is not None and rpar != self.cur_parity:
+                cadj = -2 if self.cur_parity == 0 else 2
         if self.crows == 2:
-            cy8 = (py // 2 + by * 2) * 8 + mvy
+            cy8 = (py // 2 + by * 2) * 8 + mvy + cadj
             cbh, chh = 2, self.h // 2
         else:
             cy8 = (py + by * 4) * 8 + mvy * 2

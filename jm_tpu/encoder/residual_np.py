@@ -63,15 +63,27 @@ def np_quant_dc(dc: np.ndarray, qp: int, intra: bool) -> np.ndarray:
     return (np.sign(dc) * lev).astype(np.int32)
 
 
+# active 4x4 coefficient scan: frame pictures use the zig-zag, field
+# pictures the field scan of spec 8.5.5 (ldecod pos_scan selection).
+# Encoding is single-threaded; the field driver flips this around each
+# field picture (encoder._encode_field).
+_SCAN = {"tab": _ZZ}
+
+
+def set_field_scan(on: bool) -> None:
+    from ..common.tables import FIELD_SCAN_4x4
+    _SCAN["tab"] = np.asarray(FIELD_SCAN_4x4) if on else _ZZ
+
+
 def to_scan(raster_blocks: np.ndarray) -> np.ndarray:
-    """(..., 4, 4) raster -> (..., 16) zig-zag scan order."""
+    """(..., 4, 4) raster -> (..., 16) active scan order."""
     flat = raster_blocks.reshape(*raster_blocks.shape[:-2], 16)
-    return flat[..., _ZZ]
+    return flat[..., _SCAN["tab"]]
 
 
 def from_scan(scan: np.ndarray) -> np.ndarray:
     out = np.zeros_like(scan)
-    out[..., _ZZ] = scan
+    out[..., _SCAN["tab"]] = scan
     return out.reshape(*scan.shape[:-1], 4, 4)
 
 

@@ -313,14 +313,19 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
                        wp_l0=None, wp_l1=None,
                        long_term_flag: int = 0, mmco_ops=None,
                        ref_mod_l0=None, ref_mod_l1=None,
-                       qs: int = 0) -> None:
-    """Spec 7.3.3 slice header (frame, no FMO/field; B adds
+                       qs: int = 0, field_pic: int = 0,
+                       bottom_field: int = 0) -> None:
+    """Spec 7.3.3 slice header (frame or field pictures; B adds
     direct_spatial_mv_pred_flag + list1 actives; non-reference slices omit
     dec_ref_pic_marking — lencod/src/header.c:116 SliceHeader)."""
     bw.ue(first_mb)
     bw.ue(int(slice_type) + 5)      # all slices in picture share the type
     bw.ue(pps.pic_parameter_set_id)
     bw.u(frame_num, sps.log2_max_frame_num_minus4 + 4)
+    if not sps.frame_mbs_only_flag:
+        bw.flag(field_pic)
+        if field_pic:
+            bw.flag(bottom_field)
     if idr:
         bw.ue(idr_pic_id)
     if sps.pic_order_cnt_type == 0:
@@ -702,7 +707,8 @@ def serialize_slice(pic, sps, pps, *, slice_type: SliceType, frame_num: int,
                     slice_group_change_cycle: int = 0,
                     wp_l0=None, wp_l1=None,
                     long_term_flag: int = 0, mmco_ops=None,
-                    ref_mod_l0=None, ref_mod_l1=None, qs: int = 0) -> bytes:
+                    ref_mod_l0=None, ref_mod_l1=None, qs: int = 0,
+                    field_pic: int = 0, bottom_field: int = 0) -> bytes:
     """Serialize one slice; mb_addrs = MB addresses in decode order
     (default: the whole picture in raster order); returns RBSP."""
     if mb_addrs is None:
@@ -717,7 +723,8 @@ def serialize_slice(pic, sps, pps, *, slice_type: SliceType, frame_num: int,
                        slice_group_change_cycle=slice_group_change_cycle,
                        wp_l0=wp_l0, wp_l1=wp_l1,
                        long_term_flag=long_term_flag, mmco_ops=mmco_ops,
-                       ref_mod_l0=ref_mod_l0, ref_mod_l1=ref_mod_l1, qs=qs)
+                       ref_mod_l0=ref_mod_l0, ref_mod_l1=ref_mod_l1, qs=qs,
+                       field_pic=field_pic, bottom_field=bottom_field)
     native = _native_slice_data(bw, pic, pps, slice_type, qp,
                                 num_ref_idx_l0, mb_addrs)
     if native is not None:
