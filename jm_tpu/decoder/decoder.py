@@ -156,14 +156,9 @@ class H264Decoder:
             dpb = self.dpb1
 
         fld = int(getattr(hdr, "field_pic_flag", 0))
-        if sps.bit_depth_luma_minus8 or sps.bit_depth_chroma_minus8:
-            # High 10/422/444-Intra >8-bit (ldecod is imgpel=uint16
-            # throughout, IMGTYPE lencod/inc/defines.h:37); our recon is
-            # uint8 — reject loudly rather than silently wrap pixels
+        if sps.bit_depth_luma_minus8 > 6 or sps.bit_depth_chroma_minus8 > 6:
             raise NotImplementedError(
-                "bit depth > 8 not supported yet (bit_depth_luma_minus8="
-                f"{sps.bit_depth_luma_minus8}, chroma_minus8="
-                f"{sps.bit_depth_chroma_minus8})")
+                "bit depth > 14 is not a conforming profile")
         if sps.mb_adaptive_frame_field_flag and not fld:
             raise NotImplementedError(
                 "MBAFF frames are not supported yet (E42)")
@@ -313,6 +308,9 @@ class H264Decoder:
         from .mb_parse import MB_INTER
         if cur.get("parity") is not None or pic.n_crows != 2:
             return False
+        sps = cur["sps"]
+        if sps.bit_depth_luma_minus8 or sps.bit_depth_chroma_minus8:
+            return False          # device recon is uint8-only
         if wp is not None and getattr(wp, "mode", 0):
             return False
         if not lst0:
@@ -460,9 +458,17 @@ class H264Decoder:
             jnp.asarray(pic.slice_id.astype(np.int32)), zeros,
             d_cb, d_cr, mb_w=pic.mb_w, mb_h=pic.mb_h)
         state = EJ.prep_ref(dY, dU, dV)
-        out = jax.device_get((dY, dU, dV))
-        return (np.asarray(out[0]), np.asarray(out[1]),
-                np.asarray(out[2]), state)
+        # ONE fetch leaf: each device_get leaf costs a full tunnel round
+        # trip, so ship the three planes as one flat buffer
+        flat = np.asarray(jax.device_get(jnp.concatenate(
+            [dY.ravel(), dU.ravel(), dV.ravel()])))
+        hy, wy = dY.shape
+        hc, wc = dU.shape
+        ny = hy * wy
+        nc = hc * wc
+        return (flat[:ny].reshape(hy, wy),
+                flat[ny:ny + nc].reshape(hc, wc),
+                flat[ny + nc:].reshape(hc, wc), state)
 
     def _inter_recon_device(self, pic, pps, lst0):
         """Run ops/dec_jax.inter_recon_p over the picture's inter MBs;
@@ -586,7 +592,9 @@ class H264Decoder:
             raise ValueError("slice data missing for some macroblocks")
 
         from .wp import WPParams
-        wp = WPParams(hdr0, pps, lst0, lst1, cur["poc"])
+        wp = WPParams(hdr0, pps, lst0, lst1, cur["poc"],
+                      bd=(sps.bit_depth_luma_minus8 + 8,
+                          sps.bit_depth_chroma_minus8 + 8))
         dev_state = None
         if self.device_recon and self._device_pipe_ok(pic, cur, wp, lst0,
                                                       hdr0, pps, lost):
@@ -618,7 +626,8 @@ class H264Decoder:
                 "beta_off": b_off,
                 "cb_qp_off": cb_off, "cr_qp_off": cr_off,
                 "slice_id": pic.slice_id,
-            })
+            }, bd=(sps.bit_depth_luma_minus8 + 8,
+                   sps.bit_depth_chroma_minus8 + 8))
 
         view = cur.get("view", 0)
         if lost.any() and self.conceal_mode:
@@ -633,7 +642,8 @@ class H264Decoder:
                 Y, U, V, pic, lost, ref, pic.mb_w, pic.mb_h)
 
         frame = Frame(poc=cur["poc"], frame_num=hdr0.frame_num,
-                      Y=Y, U=U, V=V, is_ref=hdr0.nal_ref_idc != 0)
+                      Y=Y, U=U, V=V, is_ref=hdr0.nal_ref_idc != 0,
+                      bit_depth=sps.bit_depth_luma_minus8 + 8)
         if dev_state is not None:
             frame._dev_state = dev_state
         frame.motion = (pic.mv.copy(), pic.ref_idx.copy(),

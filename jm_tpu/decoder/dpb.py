@@ -30,13 +30,15 @@ class Frame:
     uid: int = -1            # unique decode-order id (deblock ref comparison)
     # (mv_l0, ref_idx_l0, mv_l1, ref_idx_l1) SoA for temporal/spatial direct
     motion: tuple | None = None
+    bit_depth: int = 8       # luma bit depth (>8: High 10 etc., uint16 Y)
     _luma_planes: tuple | None = None
     _chroma_pad: tuple | None = None
 
     @property
     def luma_planes(self):
         if self._luma_planes is None:
-            self._luma_planes = P.make_luma_planes(self.Y)
+            self._luma_planes = P.make_luma_planes(
+                self.Y, cmax=(1 << self.bit_depth) - 1)
         return self._luma_planes
 
     @property

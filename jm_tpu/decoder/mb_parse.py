@@ -323,12 +323,16 @@ class MBParser:
         pic, br = self.pic, self.br
         pic.mb_class[addr] = MB_IPCM
         br.align()
-        luma = np.array([br.u(8) for _ in range(256)],
-                        np.uint8).reshape(16, 16)
+        bdl = self.ctx.sps.bit_depth_luma_minus8 + 8
+        bdc = self.ctx.sps.bit_depth_chroma_minus8 + 8
+        dtl = np.uint8 if bdl == 8 else np.uint16
+        dtc = np.uint8 if bdc == 8 else np.uint16
+        luma = np.array([br.u(bdl) for _ in range(256)],
+                        dtl).reshape(16, 16)
         cf = self.ctx.sps.chroma_format_idc
         if cf == 1:
-            chroma = np.array([br.u(8) for _ in range(128)],
-                              np.uint8).reshape(2, 8, 8)
+            chroma = np.array([br.u(bdc) for _ in range(128)],
+                              dtc).reshape(2, 8, 8)
         elif cf == 0:
             chroma = None
         else:
@@ -342,9 +346,11 @@ class MBParser:
 
     def _read_qp_delta(self, addr: int) -> None:
         dq = self.br.se()
-        if not -27 <= dq <= 26:
+        off = 6 * self.ctx.sps.bit_depth_luma_minus8   # QpBdOffsetY
+        if not -(27 + off // 2) <= dq <= 26 + off // 2:
             raise ValueError(f"mb_qp_delta {dq} out of range")
-        self.qp = (self.qp + dq + 52) % 52  # spec 7.4.5: modular wrap
+        # spec 7.4.5 modular wrap over [-QpBdOffsetY, 51]
+        self.qp = ((self.qp + dq + 52 + 2 * off) % (52 + off)) - off
         self.pic.qp[addr] = self.qp
 
     # ---- inter MB (P slices) ---------------------------------------------
@@ -590,6 +596,8 @@ class MBParser:
             return False
         if self.ctx.sps.chroma_format_idc != 1:
             return False
+        if self.ctx.sps.bit_depth_luma_minus8:
+            return False      # >8-bit: the C parser's qp wrap is 8-bit
         pic = self.pic
         br = self.br
         buf = getattr(br, "buffer", None)

@@ -559,9 +559,11 @@ class MBParserCABAC:
 
     def _apply_dquant(self, addr):
         dq = self.read_dquant()
-        if not -27 <= dq <= 26:
+        off = 6 * self.ctx.sps.bit_depth_luma_minus8   # QpBdOffsetY
+        if not -(27 + off // 2) <= dq <= 26 + off // 2:
             raise ValueError("mb_qp_delta out of range")
-        self.qp = (self.qp + dq + 52) % 52
+        # spec 7.4.5 modular wrap over [-QpBdOffsetY, 51]
+        self.qp = ((self.qp + dq + 52 + 2 * off) % (52 + off)) - off
         self.pic.qp[addr] = self.qp
 
     def _parse_p_mb(self, addr, internal_type):

@@ -124,17 +124,18 @@ def build_inv_scale(pps):
     5 interCr; 8x8: 0 intraY, 1 interY (4:2:0).
     """
     from ..common.tables import DEQUANT_SCALE_4x4, DEQUANT_SCALE_8x8
-    tab4 = np.zeros((6, 52, 4, 4), np.int32)
+    rows = 88           # 52 + QpBdOffset range of >8-bit profiles
+    tab4 = np.zeros((6, rows, 4, 4), np.int32)
     for i in range(6):
         ws = _ws_raster_4(pps.scaling_list_4x4[i])
-        for qp in range(52):
+        for qp in range(rows):
             tab4[i, qp] = DEQUANT_SCALE_4x4[qp % 6] * ws
     n8 = min(len(pps.scaling_list_8x8), 6)
-    tab8 = np.zeros((max(n8, 2), 52, 8, 8), np.int32)
+    tab8 = np.zeros((max(n8, 2), rows, 8, 8), np.int32)
     for i in range(max(n8, 2)):
         lst = (pps.scaling_list_8x8[i] if i < n8 else [16] * 64)
         ws = _ws_raster_8(lst)
-        for qp in range(52):
+        for qp in range(rows):
             tab8[i, qp] = DEQUANT_SCALE_8x8[qp % 6] * ws
     return tab4, tab8
 
@@ -175,11 +176,12 @@ def _np_inv8(d):
 SCAN_YUV422 = [(0, 0), (0, 1), (1, 0), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3)]
 
 
-def decode_residuals(pic: PictureData, pps):
+def decode_residuals(pic: PictureData, pps, bd=(8, 8)):
     """Returns (res_luma (n,16,4,4), res_chroma (n,2,4,4,4)) int32 spatial
-    residuals, ready to add to prediction."""
+    residuals, ready to add to prediction. bd: (luma, chroma) bit depths —
+    >8-bit profiles scale with QP' = QP + QpBdOffset (spec 8.5.8)."""
     n = pic.n_mbs
-    qp = pic.qp.astype(np.int64)
+    qp = pic.qp.astype(np.int64) + 6 * (bd[0] - 8)
     tab4, tab8 = build_inv_scale(pps)
     intra = (pic.mb_class != 0).astype(np.int64)       # (n,)
     per = (qp // 6)
@@ -225,8 +227,11 @@ def decode_residuals(pic: PictureData, pps):
         res_luma = np.where(t8[:, None, None, None], res8, res_luma)
 
     # ---- chroma ----
-    qpc_cb = np.array([chroma_qp(int(q), pps.cb_qp_offset) for q in pic.qp], np.int64)
-    qpc_cr = np.array([chroma_qp(int(q), pps.cr_qp_offset) for q in pic.qp], np.int64)
+    cbdo = 6 * (bd[1] - 8)          # QpBdOffsetC (QP'c = QPc + offset)
+    qpc_cb = np.array([chroma_qp(int(q), pps.cb_qp_offset, bd[1]) + cbdo
+                       for q in pic.qp], np.int64)
+    qpc_cr = np.array([chroma_qp(int(q), pps.cr_qp_offset, bd[1]) + cbdo
+                       for q in pic.qp], np.int64)
     qpc = np.stack([qpc_cb, qpc_cr], axis=1)       # (n, 2)
     c_raster = _inv_scan_4x4(pic.chroma_coef, fld) \
         .astype(np.int64)                          # (n,2,blks,4,4)
@@ -300,10 +305,19 @@ class Reconstructor:
         self.h = self.mb_h * 16
         self.crows = pic.n_crows            # chroma 4x4-block rows per MB
         self.ch_mb = 4 * self.crows         # chroma MB height (8 or 16)
-        self.Y = np.zeros((self.h, self.w), np.uint8)
+        # >8-bit profiles (High 10 etc.): uint16 planes, (1<<bd)-1 clip,
+        # 1<<(bd-1) DC fallback (ldecod imgpel/IMGTYPE parity)
+        self.bd = sps.bit_depth_luma_minus8 + 8
+        self.bdc = sps.bit_depth_chroma_minus8 + 8
+        self.maxY = (1 << self.bd) - 1
+        self.maxC = (1 << self.bdc) - 1
+        self.dcY = 1 << (self.bd - 1)
+        self.dcC = 1 << (self.bdc - 1)
+        dt = np.uint8 if self.bd <= 8 and self.bdc <= 8 else np.uint16
+        self.Y = np.zeros((self.h, self.w), dt)
         ch = self.mb_h * self.ch_mb
-        self.U = np.zeros((ch, self.w // 2), np.uint8)
-        self.V = np.zeros((ch, self.w // 2), np.uint8)
+        self.U = np.zeros((ch, self.w // 2), dt)
+        self.V = np.zeros((ch, self.w // 2), dt)
 
     # ---- availability ----------------------------------------------------
 
@@ -336,7 +350,8 @@ class Reconstructor:
         MBs are then skipped here and only intra/IPCM wavefront MBs run
         on the host."""
         pic = self.pic
-        res_l, res_c = decode_residuals(pic, self.pps)
+        res_l, res_c = decode_residuals(pic, self.pps,
+                                        bd=(self.bd, self.bdc))
         inter_done = False
         if seed is not None:
             self.Y[:], self.U[:], self.V[:] = seed[0], seed[1], seed[2]
@@ -373,6 +388,8 @@ class Reconstructor:
         from ..native import available, jm_native
         if not available or not hasattr(jm_native, "intra_recon"):
             return False
+        if self.bd != 8 or self.bdc != 8:
+            return False          # the C loop is uint8-only
         cls = pic.mb_class
         has_intra = bool(((cls == MB_I4) | (cls == MB_I16)).any())
         if not has_intra:
@@ -422,8 +439,9 @@ class Reconstructor:
             if avail_tl:
                 corner = int(Y[y - 1, x - 1])
             pred = I.predict_i4(int(pic.i4_modes[addr, blk]), top, left,
-                                corner, avail_t, avail_l)
-            Y[y:y + 4, x:x + 4] = np.clip(pred + res_l[addr, blk], 0, 255)
+                                corner, avail_t, avail_l, dc=self.dcY)
+            Y[y:y + 4, x:x + 4] = np.clip(pred + res_l[addr, blk], 0,
+                                          self.maxY)
         self._recon_chroma_intra(addr, res_c)
 
     def _recon_i8(self, addr, res_l, res_c):
@@ -457,13 +475,13 @@ class Reconstructor:
                 corner = int(Y[y - 1, x - 1])
             mode = int(pic.i4_modes[addr, by * 4 + bx])
             pred = I.predict_i8(mode, top, left, corner, avail_t, avail_l,
-                                avail_tl)
+                                avail_tl, dc=self.dcY)
             res = np.zeros((8, 8), np.int64)
             for dy in range(2):
                 for dx in range(2):
                     blk = (by + dy) * 4 + bx + dx
                     res[dy * 4:dy * 4 + 4, dx * 4:dx * 4 + 4] = res_l[addr, blk]
-            Y[y:y + 8, x:x + 8] = np.clip(pred + res, 0, 255)
+            Y[y:y + 8, x:x + 8] = np.clip(pred + res, 0, self.maxY)
         self._recon_chroma_intra(addr, res_c)
 
     def _recon_i16(self, addr, res_l, res_c):
@@ -478,9 +496,9 @@ class Reconstructor:
         left = Y[py:py + 16, px - 1].astype(np.int32) if avail_l else np.zeros(16, np.int32)
         corner = int(Y[py - 1, px - 1]) if avail_tl else 0
         pred = I.predict_i16(int(pic.i16_mode[addr]), top, left, corner,
-                             avail_t, avail_l)
+                             avail_t, avail_l, dc=self.dcY, cmax=self.maxY)
         res = res_l[addr].reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
-        Y[py:py + 16, px:px + 16] = np.clip(pred + res, 0, 255)
+        Y[py:py + 16, px:px + 16] = np.clip(pred + res, 0, self.maxY)
         self._recon_chroma_intra(addr, res_c)
 
     def _recon_chroma_intra(self, addr, res_c):
@@ -496,10 +514,12 @@ class Reconstructor:
             top = plane[cy - 1, cx:cx + 8].astype(np.int32) if avail_t else np.zeros(8, np.int32)
             left = plane[cy:cy + mh, cx - 1].astype(np.int32) if avail_l else np.zeros(mh, np.int32)
             corner = int(plane[cy - 1, cx - 1]) if avail_tl else 0
-            pred = I.predict_chroma(mode, top, left, corner, avail_t, avail_l)
+            pred = I.predict_chroma(mode, top, left, corner, avail_t,
+                                    avail_l, dc=self.dcC, cmax=self.maxC)
             res = res_c[addr, comp].reshape(self.crows, 2, 4, 4) \
                 .transpose(0, 2, 1, 3).reshape(mh, 8)
-            plane[cy:cy + mh, cx:cx + 8] = np.clip(pred + res, 0, 255)
+            plane[cy:cy + mh, cx:cx + 8] = np.clip(pred + res, 0,
+                                                   self.maxC)
 
     # -- inter -------------------------------------------------------------
 
@@ -596,12 +616,13 @@ class Reconstructor:
             self.V[cy:cy + mh, cx:cx + 8] = cv
             return
         res = res_l[addr].reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
-        self.Y[py:py + 16, px:px + 16] = np.clip(pred_y + res, 0, 255)
+        self.Y[py:py + 16, px:px + 16] = np.clip(pred_y + res, 0,
+                                                 self.maxY)
         for comp, plane, pr in ((0, self.U, pred_u), (1, self.V, pred_v)):
             resc = res_c[addr, comp].reshape(self.crows, 2, 4, 4) \
                 .transpose(0, 2, 1, 3).reshape(mh, 8)
             cx, cy = mbx * 8, mby * mh
-            plane[cy:cy + mh, cx:cx + 8] = np.clip(pr + resc, 0, 255)
+            plane[cy:cy + mh, cx:cx + 8] = np.clip(pr + resc, 0, self.maxC)
 
     def _sp_luma(self, addr, pred_y):
         """itrans_sp for all 16 luma 4x4 blocks (block.c:395). Raw levels

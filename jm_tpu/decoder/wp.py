@@ -23,8 +23,13 @@ class WPParams:
     wbp[l][ref0][ref1][comp] (l in {0,1}).
     """
 
-    def __init__(self, hdr, pps, lst0, lst1, cur_poc):
+    def __init__(self, hdr, pps, lst0, lst1, cur_poc, bd=(8, 8)):
         self.mode = 0   # 0: off, 1: explicit, 2: implicit
+        # >8-bit: explicit offsets scale by 1<<(bd-8) (spec 8.4.2.3.3,
+        # ldecod fill_wp_params wp_offset scaling); clip at (1<<bd)-1
+        self.maxY = (1 << bd[0]) - 1
+        self.maxC = (1 << bd[1]) - 1
+        self._oscale = (1 << (bd[0] - 8), 1 << (bd[1] - 8))
         st = hdr.slice_type
         if st in (SliceType.P, SliceType.SP) and pps.weighted_pred_flag:
             self.mode = 1
@@ -43,10 +48,11 @@ class WPParams:
                 for r in range(self.weight.shape[1]):
                     if r < len(table):
                         e = table[r]
-                        self.weight[l, r, 0], self.offset[l, r, 0] = e["luma"]
+                        self.weight[l, r, 0], o0 = e["luma"]
+                        self.offset[l, r, 0] = o0 * self._oscale[0]
                         for j in range(2):
-                            self.weight[l, r, 1 + j], self.offset[l, r, 1 + j] = \
-                                e["chroma"][j]
+                            self.weight[l, r, 1 + j], oc = e["chroma"][j]
+                            self.offset[l, r, 1 + j] = oc * self._oscale[1]
                     else:
                         self.weight[l, r, 0] = 1 << self.luma_denom
                         self.weight[l, r, 1:] = 1 << self.chroma_denom
@@ -88,7 +94,7 @@ class WPParams:
         x = pred.astype(np.int64) * w
         if d > 0:
             x = (x + (1 << (d - 1))) >> d
-        return np.clip(x + o, 0, 255)
+        return np.clip(x + o, 0, self.maxY if comp == 0 else self.maxC)
 
     def bi(self, p0, p1, ref0, ref1, comp):
         w0 = int(self.wbp_w0[ref0, ref1, comp])
@@ -98,4 +104,4 @@ class WPParams:
         d = (self.luma_denom if comp == 0 else self.chroma_denom) + 1
         x = (p0.astype(np.int64) * w0 + p1.astype(np.int64) * w1
              + (1 << (d - 1))) >> d
-        return np.clip(x + o, 0, 255)
+        return np.clip(x + o, 0, self.maxY if comp == 0 else self.maxC)

@@ -675,7 +675,7 @@ class Encoder:
         # average (~3x the fast path's measured qp28 rate); rare hotter
         # frames raise the packer's ovf flag and take the host-serializer
         # fallback instead
-        max_words = max(4096, n * 3) + 64
+        max_words = max(4096, n * 2) + 64
 
         def dispatch(Y, U, V, s):
             # composed from separately-jitted (persistently cached)
@@ -700,9 +700,15 @@ class Encoder:
                 core["luma_scan"], core["luma_nnz"], core["chroma_dc"],
                 core["chroma_scan"], core["chroma_nnz"],
                 mb_w=self.mb_w, mb_h=self.mb_h, max_words=max_words)
-            small = {"intra_any": core["intra_mask"].any(),
-                     "ovf": packed["ovf"], "nbits": packed["nbits"]}
-            out = {"small": small, "words": packed["words"],
+            # one 3-int flag vector -> ONE transfer leaf at finalize (the
+            # dict of separate scalars cost one ~25 ms tunnel round trip
+            # per leaf)
+            import jax.numpy as jnp
+            flags = jnp.stack([
+                packed["nbits"].astype(jnp.int32),
+                packed["ovf"].astype(jnp.int32),
+                core["intra_mask"].any().astype(jnp.int32)])
+            out = {"flags": flags, "words": packed["words"],
                    "core": core, "skip": packed["skip"]}
             return out, state
 
@@ -765,11 +771,13 @@ class Encoder:
         -> classic re-encode; entropy-pack overflow -> download the wide
         coefficient tensors and serialize on host."""
         import jax
-        # ONE transfer round: the flags and the full fixed-shape words
-        # buffer together. Fetching `words[:k]` instead would build a new
+        # ONE transfer round: the flag vector and the full fixed-shape
+        # words buffer. Fetching `words[:k]` instead would build a new
         # XLA slice program per distinct k — a per-frame remote compile
         # (~400 ms/frame on the axon tunnel, tools/profile_pipe.py).
-        small, words_full = jax.device_get((out["small"], out["words"]))
+        flags, words_full = jax.device_get((out["flags"], out["words"]))
+        small = {"nbits": int(flags[0]), "ovf": bool(flags[1]),
+                 "intra_any": bool(flags[2])}
         if bool(small["intra_any"]):
             # rare: finish the frame via the classic path, but REUSE the
             # already-computed device core (no second p_frame_step

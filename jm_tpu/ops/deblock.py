@@ -123,7 +123,8 @@ def compute_bs(pic, mb_w: int, mb_h: int):
     return bs_v, bs_h
 
 
-def _filter_luma_edge(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0):
+def _filter_luma_edge(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0,
+                      cmax=255):
     """Filter one luma edge line-batch. All args int32 arrays of same shape.
     Returns new (p2, p1, p0, q0, q1, q2)."""
     fflag = ((np.abs(p0 - q0) < alpha) & (np.abs(p1 - p0) < beta)
@@ -134,8 +135,8 @@ def _filter_luma_edge(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0):
     # bs < 4 path
     tc = tc0 + ap.astype(np.int32) + aq.astype(np.int32)
     delta = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
-    np0 = np.clip(p0 + delta, 0, 255)
-    nq0 = np.clip(q0 - delta, 0, 255)
+    np0 = np.clip(p0 + delta, 0, cmax)
+    nq0 = np.clip(q0 - delta, 0, cmax)
     np1 = p1 + clip3(-tc0, tc0, (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1)
     nq1 = q1 + clip3(-tc0, tc0, (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1)
     np1 = np.where(ap, np1, p1)
@@ -169,13 +170,13 @@ def _filter_luma_edge(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0):
     return rp2, rp1, rp0, rq0, rq1, rq2
 
 
-def _filter_chroma_edge(p1, p0, q0, q1, bs, alpha, beta, tc0):
+def _filter_chroma_edge(p1, p0, q0, q1, bs, alpha, beta, tc0, cmax=255):
     fflag = ((np.abs(p0 - q0) < alpha) & (np.abs(p1 - p0) < beta)
              & (np.abs(q1 - q0) < beta) & (bs > 0))
     tc = tc0 + 1
     delta = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
-    np0 = np.clip(p0 + delta, 0, 255)
-    nq0 = np.clip(q0 - delta, 0, 255)
+    np0 = np.clip(p0 + delta, 0, cmax)
+    nq0 = np.clip(q0 - delta, 0, cmax)
     sp0 = (2 * p1 + p0 + q1 + 2) >> 2
     sq0 = (2 * q1 + q0 + p1 + 2) >> 2
     is4 = bs == 4
@@ -223,7 +224,7 @@ def _deblock_native(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params,
 
 
 def deblock_picture(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params,
-                    force_numpy: bool = False):
+                    force_numpy: bool = False, bd=(8, 8)):
     """In-place deblock of planes. qp_arr: per-MB luma QP. slice_params:
     per-MB (disable_idc, alpha_off, beta_off, cb_off, cr_off, slice_id).
 
@@ -232,16 +233,22 @@ def deblock_picture(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params,
     byte-exact twin of the numpy loops below) when available.
     """
     bs_v, bs_h = compute_bs(pic, mb_w, mb_h)
-    if not force_numpy and _deblock_native(Y, U, V, pic, mb_w, mb_h,
-                                           qp_arr, slice_params, bs_v, bs_h):
+    if not force_numpy and bd == (8, 8) and _deblock_native(
+            Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params, bs_v, bs_h):
         return
+    # >8-bit: alpha/beta/tc0 scale by 1<<(bd-8) and clips widen
+    # (spec 8.7.2.2 threshold derivation)
+    sy, sc = 1 << (bd[0] - 8), 1 << (bd[1] - 8)
+    maxY, maxC = (1 << bd[0]) - 1, (1 << bd[1]) - 1
     disable = slice_params["disable_idc"]
     a_off = slice_params["alpha_off"]
     b_off = slice_params["beta_off"]
     cb_off = slice_params["cb_qp_off"]
     cr_off = slice_params["cr_qp_off"]
     slice_id = slice_params["slice_id"]
-    qpc_tab = {off: np.array([chroma_qp(q, off) for q in range(52)], np.int32)
+    _qmin = -48      # lowest QPY of the >8-bit profiles (-QpBdOffsetY)
+    qpc_tab = {off: np.array([chroma_qp(q, off, bd[1])
+                              for q in range(_qmin, 52)], np.int32)
                for off in set(cb_off.tolist()) | set(cr_off.tolist())}
     crows = getattr(pic, "n_crows", 2)   # 2 = 4:2:0, 4 = 4:2:2
 
@@ -277,13 +284,14 @@ def deblock_picture(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params,
                 qp_av = (int(qp_p) + int(qp_q) + 1) >> 1
                 ia = min(max(qp_av + 2 * a_off[addr], 0), 51)
                 ib = min(max(qp_av + 2 * b_off[addr], 0), 51)
-                alpha, beta = int(ALPHA_TABLE[ia]), int(BETA_TABLE[ib])
-                tc0 = TC0_TABLE[np.clip(bs_line, 1, 3) - 1, ia]
+                alpha = int(ALPHA_TABLE[ia]) * sy
+                beta = int(BETA_TABLE[ib]) * sy
+                tc0 = TC0_TABLE[np.clip(bs_line, 1, 3) - 1, ia] * sy
                 cols = Y[py:py + 16, x - 4:x + 4].astype(np.int32)
                 res = _filter_luma_edge(
                     cols[:, 0], cols[:, 1], cols[:, 2], cols[:, 3],
                     cols[:, 4], cols[:, 5], cols[:, 6], cols[:, 7],
-                    bs_line, alpha, beta, tc0)
+                    bs_line, alpha, beta, tc0, cmax=maxY)
                 Y[py:py + 16, x - 3:x + 3] = np.stack(res, axis=1)
 
                 # chroma vertical edges at luma x offsets 0 and 8
@@ -296,17 +304,18 @@ def deblock_picture(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params,
                         cyy, cnr = py, 16
                     bs_c = np.repeat(bs_col, cnr // 4).astype(np.int32)
                     for plane, off_arr in ((U, cb_off), (V, cr_off)):
-                        qpc_p = int(qpc_tab[off_arr[addr]][qp_p])
-                        qpc_q = int(qpc_tab[off_arr[addr]][qp_q])
+                        qpc_p = int(qpc_tab[off_arr[addr]][qp_p - _qmin])
+                        qpc_q = int(qpc_tab[off_arr[addr]][qp_q - _qmin])
                         qpc_av = (qpc_p + qpc_q + 1) >> 1
                         ia_c = min(max(qpc_av + 2 * a_off[addr], 0), 51)
                         ib_c = min(max(qpc_av + 2 * b_off[addr], 0), 51)
-                        al_c, be_c = int(ALPHA_TABLE[ia_c]), int(BETA_TABLE[ib_c])
-                        tc0_c = TC0_TABLE[np.clip(bs_c, 1, 3) - 1, ia_c]
+                        al_c = int(ALPHA_TABLE[ia_c]) * sc
+                        be_c = int(BETA_TABLE[ib_c]) * sc
+                        tc0_c = TC0_TABLE[np.clip(bs_c, 1, 3) - 1, ia_c] * sc
                         cc = plane[cyy:cyy + cnr, cx - 2:cx + 2].astype(np.int32)
                         rp0, rq0 = _filter_chroma_edge(
                             cc[:, 0], cc[:, 1], cc[:, 2], cc[:, 3],
-                            bs_c, al_c, be_c, tc0_c)
+                            bs_c, al_c, be_c, tc0_c, cmax=maxC)
                         plane[cyy:cyy + cnr, cx - 1] = rp0
                         plane[cyy:cyy + cnr, cx] = rq0
 
@@ -336,14 +345,15 @@ def deblock_picture(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params,
                 qp_av = (int(qp_p) + int(qp_q) + 1) >> 1
                 ia = min(max(qp_av + 2 * a_off[addr], 0), 51)
                 ib = min(max(qp_av + 2 * b_off[addr], 0), 51)
-                alpha, beta = int(ALPHA_TABLE[ia]), int(BETA_TABLE[ib])
-                tc0 = TC0_TABLE[np.clip(bs_line, 1, 3) - 1, ia]
+                alpha = int(ALPHA_TABLE[ia]) * sy
+                beta = int(BETA_TABLE[ib]) * sy
+                tc0 = TC0_TABLE[np.clip(bs_line, 1, 3) - 1, ia] * sy
                 if luma_this_edge:
                     rows = Y[y - 4:y + 4, px:px + 16].astype(np.int32)
                     res = _filter_luma_edge(
                         rows[0], rows[1], rows[2], rows[3],
                         rows[4], rows[5], rows[6], rows[7],
-                        bs_line, alpha, beta, tc0)
+                        bs_line, alpha, beta, tc0, cmax=maxY)
                     Y[y - 3:y + 3, px:px + 16] = np.stack(res, axis=0)
 
                 # chroma horizontal edges: 4:2:0 at ey 0/2; 4:2:2 at every
@@ -353,16 +363,17 @@ def deblock_picture(Y, U, V, pic, mb_w, mb_h, qp_arr, slice_params,
                     cxx = px // 2
                     bs_c = np.repeat(bs_row, 2).astype(np.int32)
                     for plane, off_arr in ((U, cb_off), (V, cr_off)):
-                        qpc_p = int(qpc_tab[off_arr[addr]][qp_p])
-                        qpc_q = int(qpc_tab[off_arr[addr]][qp_q])
+                        qpc_p = int(qpc_tab[off_arr[addr]][qp_p - _qmin])
+                        qpc_q = int(qpc_tab[off_arr[addr]][qp_q - _qmin])
                         qpc_av = (qpc_p + qpc_q + 1) >> 1
                         ia_c = min(max(qpc_av + 2 * a_off[addr], 0), 51)
                         ib_c = min(max(qpc_av + 2 * b_off[addr], 0), 51)
-                        al_c, be_c = int(ALPHA_TABLE[ia_c]), int(BETA_TABLE[ib_c])
-                        tc0_c = TC0_TABLE[np.clip(bs_c, 1, 3) - 1, ia_c]
+                        al_c = int(ALPHA_TABLE[ia_c]) * sc
+                        be_c = int(BETA_TABLE[ib_c]) * sc
+                        tc0_c = TC0_TABLE[np.clip(bs_c, 1, 3) - 1, ia_c] * sc
                         cc = plane[cy - 2:cy + 2, cxx:cxx + 8].astype(np.int32)
                         rp0, rq0 = _filter_chroma_edge(
                             cc[0], cc[1], cc[2], cc[3],
-                            bs_c, al_c, be_c, tc0_c)
+                            bs_c, al_c, be_c, tc0_c, cmax=maxC)
                         plane[cy - 1, cxx:cxx + 8] = rp0
                         plane[cy, cxx:cxx + 8] = rq0

@@ -44,8 +44,9 @@ def _conv6_v(x: np.ndarray) -> np.ndarray:
             + 20 * x[3:-2, :] - 5 * x[4:-1, :] + x[5:, :])
 
 
-def make_luma_planes(plane: np.ndarray, pad: int = PAD):
-    """Returns (INT, B, H, J) uint8 planes, each (h+2*pad, w+2*pad).
+def make_luma_planes(plane: np.ndarray, pad: int = PAD, cmax: int = 255):
+    """Returns (INT, B, H, J) planes, each (h+2*pad, w+2*pad); uint8 for
+    8-bit samples, uint16 for the >8-bit profiles (cmax = (1<<bd)-1).
 
     B[y][x] = half-pel between INT[y][x] and INT[y][x+1]
     H[y][x] = half-pel between INT[y][x] and INT[y+1][x]
@@ -56,18 +57,18 @@ def make_luma_planes(plane: np.ndarray, pad: int = PAD):
     # b1: horizontal 6-tap, aligned so b1[y, x] is between ext[y, x+2], ext[y, x+3]
     b1 = _conv6_h(ext)                       # (H+2p+6, W+2p+1)
     h1 = _conv6_v(ext)                       # (H+2p+1, W+2p+6)
-    B = np.clip((b1 + 16) >> 5, 0, 255)
-    H = np.clip((h1 + 16) >> 5, 0, 255)
+    B = np.clip((b1 + 16) >> 5, 0, cmax)
+    H = np.clip((h1 + 16) >> 5, 0, cmax)
     # j: 6-tap vertically over b1 columns (spec: from intermediate values)
     j1 = _conv6_v(b1)                        # (H+2p+1, W+2p+1)
-    J = np.clip((j1 + 512) >> 10, 0, 255)
+    J = np.clip((j1 + 512) >> 10, 0, cmax)
     p = pad
+    dt = np.uint8 if cmax <= 255 else np.uint16
     INT = ext[3 + 0:, 3 + 0:][: plane.shape[0] + 2 * p, : plane.shape[1] + 2 * p]
     Bc = B[3:, 1:][: plane.shape[0] + 2 * p, : plane.shape[1] + 2 * p]
     Hc = H[1:, 3:][: plane.shape[0] + 2 * p, : plane.shape[1] + 2 * p]
     Jc = J[1:, 1:][: plane.shape[0] + 2 * p, : plane.shape[1] + 2 * p]
-    return (INT.astype(np.uint8), Bc.astype(np.uint8),
-            Hc.astype(np.uint8), Jc.astype(np.uint8))
+    return (INT.astype(dt), Bc.astype(dt), Hc.astype(dt), Jc.astype(dt))
 
 
 # quarter-pel selection table: for (xf, yf) -> (plane1, dx1, dy1, plane2, dx2, dy2)

@@ -21,7 +21,8 @@ C_DC, C_HOR, C_VERT, C_PLANE = range(4)
 
 
 def predict_i4(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
-               avail_top: bool, avail_left: bool) -> np.ndarray:
+               avail_top: bool, avail_left: bool,
+               dc: int = 128) -> np.ndarray:
     """One 4x4 intra prediction. top: 8 samples A..H (up + up-right, the
     caller already substitutes top[4:8]=top[3] when up-right is unavailable),
     left: 4 samples, corner: sample M. Returns (4,4) int32.
@@ -42,7 +43,7 @@ def predict_i4(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
         elif avail_left:
             p[:, :] = (int(l.sum()) + 2) >> 2
         else:
-            p[:, :] = 128
+            p[:, :] = dc
     elif mode == I4_DDL:
         for y in range(4):
             for x in range(4):
@@ -119,7 +120,8 @@ def predict_i4(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
 
 
 def predict_i8(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
-               avail_top: bool, avail_left: bool, avail_corner: bool) -> np.ndarray:
+               avail_top: bool, avail_left: bool, avail_corner: bool,
+               dc: int = 128) -> np.ndarray:
     """8x8 luma intra prediction with reference filtering (spec 8.3.2.2).
 
     top: 16 samples (top + top-right; caller replicates top[8:]=top[7] when
@@ -173,7 +175,7 @@ def predict_i8(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
         elif avail_left:
             p[:, :] = (int(l.sum()) + 4) >> 3
         else:
-            p[:, :] = 128
+            p[:, :] = dc
     elif mode == I4_DDL:
         for y in range(8):
             for x in range(8):
@@ -251,7 +253,8 @@ def predict_i8(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
 
 
 def predict_i16(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
-                avail_top: bool, avail_left: bool) -> np.ndarray:
+                avail_top: bool, avail_left: bool, dc: int = 128,
+                cmax: int = 255) -> np.ndarray:
     """16x16 luma intra prediction. top/left: 16 samples each."""
     t = top.astype(np.int32)
     l = left.astype(np.int32)
@@ -268,7 +271,7 @@ def predict_i16(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
         elif avail_left:
             p[:, :] = (int(l.sum()) + 8) >> 4
         else:
-            p[:, :] = 128
+            p[:, :] = dc
     elif mode == I16_PLANE:
         m = int(corner)
         tt = np.concatenate([[m], t])  # tt[i] = p[i-1, -1]
@@ -279,14 +282,15 @@ def predict_i16(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
         b = (5 * hh + 32) >> 6
         c = (5 * vv + 32) >> 6
         ys, xs = np.mgrid[0:16, 0:16]
-        p = np.clip((a + b * (xs - 7) + c * (ys - 7) + 16) >> 5, 0, 255)
+        p = np.clip((a + b * (xs - 7) + c * (ys - 7) + 16) >> 5, 0, cmax)
     else:
         raise ValueError(f"bad intra16 mode {mode}")
     return p
 
 
 def predict_chroma(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
-                   avail_top: bool, avail_left: bool) -> np.ndarray:
+                   avail_top: bool, avail_left: bool, dc: int = 128,
+                   cmax: int = 255) -> np.ndarray:
     """Chroma intra prediction, 8x8 (4:2:0) or 8x16 (4:2:2) depending on
     len(left).  Per-4x4-block DC position rules follow
     ldecod/src/intra_chroma_pred.c:79-141 (block_pos table: 4:2:2 rows
@@ -313,21 +317,21 @@ def predict_chroma(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
                     elif avail_left:
                         v = (ls + 2) >> 2
                     else:
-                        v = 128
+                        v = dc
                 elif pos == 1:  # top-right block prefers top
                     if avail_top:
                         v = (ts + 2) >> 2
                     elif avail_left:
                         v = (ls + 2) >> 2
                     else:
-                        v = 128
+                        v = dc
                 else:  # bottom-left block prefers left
                     if avail_left:
                         v = (ls + 2) >> 2
                     elif avail_top:
                         v = (ts + 2) >> 2
                     else:
-                        v = 128
+                        v = dc
                 p[yo:yo + 4, xo:xo + 4] = v
     elif mode == C_HOR:
         p[:, :] = l[:, None]
@@ -345,7 +349,7 @@ def predict_chroma(mode: int, top: np.ndarray, left: np.ndarray, corner: int,
         b = (34 * hh + 32) >> 6
         c = ((17 if H == 8 else 5) * vv + 2 * H) >> (5 if H == 8 else 6)
         ys, xs = np.mgrid[0:H, 0:8]
-        p = np.clip((a + b * (xs - 3) + c * (ys - h2 + 1) + 16) >> 5, 0, 255)
+        p = np.clip((a + b * (xs - 3) + c * (ys - h2 + 1) + 16) >> 5, 0, cmax)
     else:
         raise ValueError(f"bad chroma mode {mode}")
     return p

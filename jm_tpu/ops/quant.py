@@ -18,19 +18,23 @@ import numpy as np
 from ..common import tables as T
 
 
+_QP_ROWS = 88        # 52 + 6*(14-8): >8-bit profiles index qp + QpBdOffset
+
+
 def _expand_dequant_4x4(weight_scale: np.ndarray) -> np.ndarray:
-    """(52, 4, 4) int32: InvLevelScale = V[qp%6] * WS, per absolute QP."""
+    """(88, 4, 4) int32: InvLevelScale = V[qp%6] * WS, per absolute QP
+    (rows beyond 51 serve the QpBdOffset range of >8-bit decoding)."""
     ws = np.asarray(weight_scale, dtype=np.int64).reshape(4, 4)
-    out = np.zeros((52, 4, 4), dtype=np.int64)
-    for qp in range(52):
+    out = np.zeros((_QP_ROWS, 4, 4), dtype=np.int64)
+    for qp in range(_QP_ROWS):
         out[qp] = T.DEQUANT_SCALE_4x4[qp % 6] * ws
     return out.astype(np.int32)
 
 
 def _expand_dequant_8x8(weight_scale: np.ndarray) -> np.ndarray:
     ws = np.asarray(weight_scale, dtype=np.int64).reshape(8, 8)
-    out = np.zeros((52, 8, 8), dtype=np.int64)
-    for qp in range(52):
+    out = np.zeros((_QP_ROWS, 8, 8), dtype=np.int64)
+    for qp in range(_QP_ROWS):
         out[qp] = T.DEQUANT_SCALE_8x8[qp % 6] * ws
     return out.astype(np.int32)
 

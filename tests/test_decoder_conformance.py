@@ -80,16 +80,25 @@ def test_mbaff_rejected_loudly(golden_dir):
         decode_file(str(golden_dir / "mbaff1.264"))
 
 
-def test_high10_rejected_loudly(golden_dir):
-    """>8-bit streams (High 10) must reject until the uint16 path lands
-    — the parse used to silently ignore bit_depth_*_minus8 and corrupt.
-    Goldens hi10.264 (CABAC+B) / hi10c.264 (CAVLC IPP) are JM-encoded,
-    ldecod-verified 10-bit streams."""
-    import pytest
-    from jm_tpu.decoder.decoder import decode_file
-    for stream in ("hi10.264", "hi10c.264"):
-        with pytest.raises(NotImplementedError, match="bit depth"):
-            decode_file(str(golden_dir / stream))
+@pytest.mark.parametrize("stream,recon,n", [
+    ("hi10c.264", "hi10c_rec.yuv", 6),   # High 10, CAVLC IPP
+    ("hi10.264", "hi10_rec.yuv", 6),     # High 10, CABAC + 2 B + 2 refs
+])
+def test_high10_bit_exact(golden_dir, stream, recon, n):
+    """>8-bit decoding (High 10 profile, uint16 planes): bit-exact vs
+    the JM recon — QP'=QP+QpBdOffset dequant, 1<<(bd-1) intra DC,
+    scaled deblock thresholds, (1<<bd)-1 clips throughout."""
+    frames = sorted(decode_file(str(golden_dir / stream)),
+                    key=lambda f: f.poc)
+    assert len(frames) == n
+    assert frames[0].Y.dtype == np.uint16
+    ref = np.fromfile(golden_dir / recon, "<u2")
+    fsz = W * H * 3 // 2
+    for k, f in enumerate(frames):
+        got = np.concatenate([f.Y.ravel(), f.U.ravel(), f.V.ravel()])
+        np.testing.assert_array_equal(got.astype(np.uint16),
+                                      ref[k * fsz:(k + 1) * fsz],
+                                      err_msg=f"frame {k}")
 
 
 def test_dp_encode_roundtrip():
