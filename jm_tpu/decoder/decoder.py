@@ -155,6 +155,17 @@ class H264Decoder:
                 self.dpb1 = DPB(sps)
             dpb = self.dpb1
 
+        rpc = int(getattr(hdr, "redundant_pic_cnt", 0) or 0)
+        if rpc > 0:
+            # redundant coded picture (spec 7.4.3, ldecod image.c): when
+            # the primary coding of this (frame_num, poc_lsb) decoded
+            # fine, discard; otherwise fall through and decode the
+            # redundant coding as the picture (loss fallback)
+            self._finish_picture()
+            key = (hdr.frame_num, getattr(hdr, "pic_order_cnt_lsb", 0))
+            if key in getattr(self, "_primary_keys", ()):
+                return
+
         fld = int(getattr(hdr, "field_pic_flag", 0))
         if sps.bit_depth_luma_minus8 > 6 or sps.bit_depth_chroma_minus8 > 6:
             raise NotImplementedError(
@@ -641,6 +652,14 @@ class H264Decoder:
             self.concealed_count += conceal_mbs(
                 Y, U, V, pic, lost, ref, pic.mb_w, pic.mb_h)
 
+        # record the primary key so later redundant codings are discarded
+        if int(getattr(hdr0, "redundant_pic_cnt", 0) or 0) == 0:
+            keys = getattr(self, "_primary_keys", None)
+            if keys is None:
+                keys = self._primary_keys = []
+            keys.append((hdr0.frame_num,
+                         getattr(hdr0, "pic_order_cnt_lsb", 0)))
+            del keys[:-32]
         frame = Frame(poc=cur["poc"], frame_num=hdr0.frame_num,
                       Y=Y, U=U, V=V, is_ref=hdr0.nal_ref_idc != 0,
                       bit_depth=sps.bit_depth_luma_minus8 + 8)

@@ -108,6 +108,13 @@ class EncoderConfig:
                                  # context_ini.c; here: exact 3-way trial)
     poc_type: int = 0            # PicOrderCntType 0/1/2 (E28; type 1
                                  # writes a 1-entry expected cycle)
+    redundant_period: int = 0    # emit a redundant coded picture after
+                                 # every Nth P primary (E34; lencod.c
+                                 # 2225-2352 RedundantPicture/
+                                 # NumRedundantHierarchy — loss
+                                 # resilience: decoders fall back to it
+                                 # when the primary is lost)
+    redundant_qp_off: int = 4    # redundant picture QP delta
     pic_interlace: int = 0       # 1: field coding always (E42 encode;
                                  # lencod PicInterlace=1,
                                  # image.c:751 perform_encode_field) —
@@ -337,8 +344,15 @@ class Encoder:
                        transform_8x8_mode_flag=1 if cfg.transform8x8 else 0,
                        weighted_pred_flag=1 if cfg.weighted_pred else 0,
                        weighted_bipred_idc=cfg.weighted_bipred,
+                       redundant_pic_cnt_present_flag=
+                       1 if cfg.redundant_period else 0,
                        deblocking_filter_control_present_flag=
                        0 if cfg.deblock else 1)
+        if cfg.redundant_period and (cfg.num_b or cfg.num_views != 1
+                                     or cfg.pic_interlace
+                                     or cfg.data_partition):
+            raise NotImplementedError(
+                "redundant pictures: IPPP single-view frame coding only")
         # custom quant matrices / offsets / adaptive rounding (E10/E12,
         # q_matrix.c + q_offsets.c + q_around.c; encoder/qmatrix.py)
         self.quant_custom = bool(cfg.scaling_matrix or cfg.offset_matrix
@@ -1240,6 +1254,11 @@ class Encoder:
         frame.motion = (pic.mv.copy(), pic.ref_idx.copy(),
                         pic.mv_l1.copy(), pic.ref_idx_l1.copy(),
                         pic.ref_pic_id.copy(), pic.ref_pic_id_l1.copy())
+        # the redundant coding references what the primary referenced
+        # (the decoder's DPB state when the primary is LOST)
+        redundant_refs = (self._ref_list_p()[:1]
+                          if cfg.redundant_period
+                          and stype == SliceType.P else [])
         if is_idr:
             self.refs = []
         if poc_victim is not None:
@@ -1280,6 +1299,10 @@ class Encoder:
                 mvc_ext=mvc_ext_bytes(0 if is_idr else 1, 0,
                                       1 if is_idr else 0, 1))
         payload += slice_bytes
+        if (cfg.redundant_period and stype == SliceType.P
+                and self.frame_idx % cfg.redundant_period == 0):
+            payload += self._emit_redundant(Y, U, V, poc, qp,
+                                            redundant_refs)
         if cfg.num_views == 2:
             payload += self._emit_view1(disp, frame, poc, self.frame_num,
                                         anchor=is_idr)
@@ -1298,6 +1321,36 @@ class Encoder:
                              "bits": len(payload) * 8, "frame": frame,
                              "qp": qp})
         return payload
+
+    def _emit_redundant(self, Y, U, V, poc: int, qp_primary: int,
+                        refs) -> bytes:
+        """Redundant coded picture (E34; lencod.c:2225-2352): an
+        independent P coding of the SAME frame at a coarser QP against
+        the pre-primary references, emitted with redundant_pic_cnt=1.
+        Decoders that received the primary discard it; on primary loss
+        they decode this instead (loss resilience, tested through the
+        RTP fault injector)."""
+        cfg = self.cfg
+        qp_r = min(51, qp_primary + cfg.redundant_qp_off)
+        if not refs:
+            return b""
+        fe = _FrameEncoder(self, SliceType.P, Y, U, V)
+        fe.refs_list = refs[:1]
+        fe.qp = qp_r
+        fe.qpc = chroma_qp(qp_r, self.pps.chroma_qp_index_offset)
+        fe.lam = lambda_me(qp_r)
+        fe.lam4 = lambda_mode4(qp_r)
+        pic = fe.encode()
+        # nal_ref_idc=0 + no dec_ref_pic_marking: the non-reference
+        # marking is what lets is_new_picture (ldecod image.c:2276)
+        # close the primary picture before the redundant slices arrive
+        rbsp = serialize_slice(
+            pic, self.sps, self.pps, slice_type=SliceType.P,
+            frame_num=self.frame_num, idr=False, qp=qp_r,
+            poc_lsb=poc % (1 << (self.sps.log2_max_pic_order_cnt_lsb_minus4
+                                 + 4)),
+            num_ref_idx_l0=1, redundant_pic_cnt=1, is_ref=False)
+        return annexb_bytes(0, NalUnitType.SLICE, rbsp)
 
     def _ref_mod_ops(self, default_list, target):
         """One ref_pic_list_modification command putting `target` at

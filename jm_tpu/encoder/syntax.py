@@ -314,7 +314,8 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
                        long_term_flag: int = 0, mmco_ops=None,
                        ref_mod_l0=None, ref_mod_l1=None,
                        qs: int = 0, field_pic: int = 0,
-                       bottom_field: int = 0) -> None:
+                       bottom_field: int = 0,
+                       redundant_pic_cnt: int = 0) -> None:
     """Spec 7.3.3 slice header (frame or field pictures; B adds
     direct_spatial_mv_pred_flag + list1 actives; non-reference slices omit
     dec_ref_pic_marking — lencod/src/header.c:116 SliceHeader)."""
@@ -330,6 +331,8 @@ def write_slice_header(bw: BitWriter, sps, pps, *, slice_type: SliceType,
         bw.ue(idr_pic_id)
     if sps.pic_order_cnt_type == 0:
         bw.u(poc_lsb, sps.log2_max_pic_order_cnt_lsb_minus4 + 4)
+    if pps.redundant_pic_cnt_present_flag:
+        bw.ue(redundant_pic_cnt)
     if slice_type == SliceType.B:
         bw.flag(1 if direct_spatial else 0)
     if slice_type in (SliceType.P, SliceType.SP, SliceType.B):
@@ -708,7 +711,8 @@ def serialize_slice(pic, sps, pps, *, slice_type: SliceType, frame_num: int,
                     wp_l0=None, wp_l1=None,
                     long_term_flag: int = 0, mmco_ops=None,
                     ref_mod_l0=None, ref_mod_l1=None, qs: int = 0,
-                    field_pic: int = 0, bottom_field: int = 0) -> bytes:
+                    field_pic: int = 0, bottom_field: int = 0,
+                    redundant_pic_cnt: int = 0) -> bytes:
     """Serialize one slice; mb_addrs = MB addresses in decode order
     (default: the whole picture in raster order); returns RBSP."""
     if mb_addrs is None:
@@ -724,7 +728,8 @@ def serialize_slice(pic, sps, pps, *, slice_type: SliceType, frame_num: int,
                        wp_l0=wp_l0, wp_l1=wp_l1,
                        long_term_flag=long_term_flag, mmco_ops=mmco_ops,
                        ref_mod_l0=ref_mod_l0, ref_mod_l1=ref_mod_l1, qs=qs,
-                       field_pic=field_pic, bottom_field=bottom_field)
+                       field_pic=field_pic, bottom_field=bottom_field,
+                       redundant_pic_cnt=redundant_pic_cnt)
     native = _native_slice_data(bw, pic, pps, slice_type, qp,
                                 num_ref_idx_l0, mb_addrs)
     if native is not None:
