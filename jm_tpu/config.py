@@ -493,6 +493,8 @@ class EncoderParams:
             intra_mb_refresh=self.RandomIntraMBRefresh,
             weighted_pred=self.WeightedPrediction,
             wp_method=self.extra.get("WPMethod", 0),
+            wp_iter_mc=self.extra.get("WPIterMC", 0),
+            wp_mcprec=self.extra.get("WPMCPrecision", 0),
             weighted_bipred=self.WeightedBiprediction,
             enable_vui=bool(self.EnableVUISupport),
             sub8x8=bool(self.InterSearch8x4 or self.InterSearch4x8

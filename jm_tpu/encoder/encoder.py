@@ -152,6 +152,12 @@ class EncoderConfig:
                                  # lencod RandomIntraMBRefresh/intrarefresh.c)
     weighted_pred: int = 0       # P explicit WP (lencod WeightedPrediction)
     wp_method: int = 0           # 0 = DC-ratio alg0, 1 = LMS (wp_lms.c)
+    wp_iter_mc: int = 0          # >0: iterative MC-based WP estimation
+                                 # rounds (WPIterMC; wp_mciter.c:1-874)
+    wp_mcprec: int = 0           # WPMCPrecision (wp_mcprec.c
+                                 # wpxInitWPXPasses): trial the picture
+                                 # with {estimated WP, offset-only WP,
+                                 # no WP} and keep the min-J coding
     weighted_bipred: int = 0     # B WP: 0 off, 1 explicit, 2 implicit
     enable_vui: bool = False     # write VUI timing info into the SPS (E26)
     rdo: int = 0                 # 0 = cost-based (md_low), 1 = trial-encode
@@ -1166,11 +1172,15 @@ class Encoder:
             forced_intra = self._refresh_set()
             if cfg.weighted_pred:
                 from .wp_est import (build_wp_params, estimate_explicit,
-                                     estimate_lms)
+                                     estimate_lms, estimate_mc_iter)
                 refs = self._ref_list_p()
-                est = estimate_lms if cfg.wp_method == 1 \
-                    else estimate_explicit
-                wp_l0 = est(Y, U, V, refs)
+                if cfg.wp_iter_mc > 0:
+                    wp_l0 = estimate_mc_iter(Y, U, V, refs,
+                                             iters=cfg.wp_iter_mc)
+                else:
+                    est = estimate_lms if cfg.wp_method == 1 \
+                        else estimate_explicit
+                    wp_l0 = est(Y, U, V, refs)
                 wp = build_wp_params(SliceType.P, self.pps, refs, [],
                                      poc, wp_l0=wp_l0)
         # long-term marking policy (E24): every Nth anchor becomes the
@@ -1195,9 +1205,28 @@ class Encoder:
         if cfg.rd_picture_decision and self.frame_idx > 0 \
                 and self.rc is None:
             qps = [qp, max(0, qp - 1), min(51, qp + 1)]
+        trials = [(q, wp_l0, wp) for q in qps]
+        if (cfg.wp_mcprec and cfg.weighted_pred and wp is not None
+                and stype == SliceType.P and self.rc is None):
+            # WPMCPrecision passes (wp_mcprec.c wpxInitWPXPasses via
+            # RDPictureDecision, image.c:1281-1286): also trial the
+            # offset-only table and the default (no-op) weights; the
+            # frame-level J decides which coding ships
+            from .wp_est import build_wp_params as _bwp
+            from .wp_est import estimate_lms as _elms
+            refs_w = self._ref_list_p()
+            wp_off = _elms(Y, U, V, refs_w, select_offset=1)
+            trials.append((qp, wp_off,
+                           _bwp(SliceType.P, self.pps, refs_w, [], poc,
+                                wp_l0=wp_off)))
+            dflt = [{"luma": (32, 0), "chroma": ((32, 0), (32, 0))}
+                    for _ in refs_w]
+            trials.append((qp, dflt,
+                           _bwp(SliceType.P, self.pps, refs_w, [], poc,
+                                wp_l0=dflt)))
         best = None
-        for q in qps:
-            def _encode_once(q=q):
+        for q, wp_l0, wp in trials:
+            def _encode_once(q=q, wp=wp):
                 fe = _FrameEncoder(self, stype, Y, U, V)
                 fe.forced_intra = forced_intra
                 fe.wp = wp
@@ -1232,7 +1261,7 @@ class Encoder:
                     pic, stype, q, poc, is_idr, wp_l0,
                     long_term_flag=long_term_flag, mmco_ops=mmco_ops,
                     ref_mod_l0=ref_mod_l0)
-            if len(qps) == 1:
+            if len(trials) == 1:
                 best = (0.0, q, pic, recY, recU, recV, slice_bytes)
                 break
             from .rdo import lambda_mode

@@ -75,6 +75,75 @@ def estimate_lms(origY, origU, origV, refs,
     return out
 
 
+def estimate_mc_iter(origY, origU, origV, refs, iters: int = 2,
+                     rng: int = 4) -> list[dict]:
+    """Iterative motion-compensated WP estimation (WPIterMC; reference
+    lencod/src/wp_mciter.c:1-874 EstimateWPPSliceAlg1/compute_offset):
+    the DC ratio is re-estimated against a MOTION-COMPENSATED reference
+    instead of the co-located one, iterating weight estimation and a
+    16x16 integer alignment search so global motion does not corrupt
+    the brightness model (the failure mode of alg0 on panning fades).
+    Chroma keeps the DC-ratio weights (as the reference does)."""
+    default = 1 << LUMA_DENOM
+    org = np.asarray(origY, np.int32)
+    H, W = org.shape
+    mbh, mbw = H // 16, W // 16
+    Hc, Wc = mbh * 16, mbw * 16
+    orgc = org[:Hc, :Wc]
+    dco = (float(org.sum()),
+           float(np.asarray(origU, np.float64).sum()),
+           float(np.asarray(origV, np.float64).sum()))
+    out = []
+    for f in refs:
+        ref = np.asarray(f.Y, np.int32)
+        pad = np.pad(ref[:Hc, :Wc], rng, mode="edge")
+        # seed with the co-located DC ratio (EstimateWPPSliceAlg1 starts
+        # from the alg0 weights before iterating)
+        dcr0 = float(ref.sum())
+        w = default if dcr0 == 0.0 else \
+            max(-128, min(127, int(default * dco[0] / dcr0 + 0.5)))
+        o = 0
+        mc = ref[:Hc, :Wc]
+        for _ in range(max(1, iters)):
+            # 16x16 integer alignment of org against the weighted ref
+            wref = np.clip((pad * w + (1 << (LUMA_DENOM - 1)))
+                           >> LUMA_DENOM, 0, 1 << 14) + o
+            best = np.full((mbh, mbw), 1 << 30, np.int64)
+            bdy = np.zeros((mbh, mbw), np.int32)
+            bdx = np.zeros((mbh, mbw), np.int32)
+            for dy in range(-rng, rng + 1):
+                for dx in range(-rng, rng + 1):
+                    sh = wref[rng + dy:rng + dy + Hc, rng + dx:rng + dx + Wc]
+                    sad = np.abs(orgc - sh).reshape(mbh, 16, mbw, 16) \
+                        .sum(axis=(1, 3))
+                    m = sad < best
+                    best = np.where(m, sad, best)
+                    bdy = np.where(m, dy, bdy)
+                    bdx = np.where(m, dx, bdx)
+            # motion-compensated UNWEIGHTED reference at the chosen MVs
+            mc = np.empty_like(orgc)
+            for by in range(mbh):
+                for bx in range(mbw):
+                    dy, dx = int(bdy[by, bx]), int(bdx[by, bx])
+                    mc[by * 16:by * 16 + 16, bx * 16:bx * 16 + 16] = \
+                        pad[rng + by * 16 + dy:rng + by * 16 + dy + 16,
+                            rng + bx * 16 + dx:rng + bx * 16 + dx + 16]
+            # re-estimate against the compensated reference
+            dcr = float(mc.sum())
+            w = default if dcr == 0.0 else \
+                int(default * float(orgc.sum()) / dcr + 0.5)
+            w = max(-128, min(127, w))
+            o = 0
+        cws = []
+        for comp, plane in enumerate((f.U, f.V), start=1):
+            dcr = float(np.asarray(plane, np.float64).sum())
+            cw = default if dcr == 0.0 else \
+                int(default * dco[comp] / dcr + 0.5)
+            cws.append((max(-128, min(127, cw)), 0))
+        out.append({"luma": (w, o), "chroma": (cws[0], cws[1])})
+    return out
+
+
 def is_nontrivial(tables: list[dict]) -> bool:
     """True when any weight departs from the default (JM's wp test gate)."""
     default = 1 << LUMA_DENOM

@@ -74,11 +74,33 @@ def main(argv=None) -> int:
         print(f" Note: {len(prm.ignored)} unimplemented config parameters "
               "accepted and ignored.")
 
-    frames = read_yuv420_frames(prm.InputFile, prm.SourceWidth,
-                                prm.SourceHeight, prm.FramesToBeEncoded,
-                                prm.StartFrame,
-                                chroma_format=prm.YUVFormat
-                                if prm.YUVFormat in (1, 2) else 1)
+    # packed / >8-bit sources (C5, lcommon/src/input.c deinterleave_*):
+    # Interleaved=1 + PixelFormat select packed 4:2:2 (UYVY/YUY2/YVYU/
+    # V210); SourceBitDepthLuma>8 selects 16-bit-LE planar samples
+    interleaved = int(prm.extra.get("Interleaved", 0))
+    pix_fmt = int(prm.extra.get("PixelFormat", 0)) if interleaved else None
+    src_bd = int(prm.extra.get("SourceBitDepthLuma", 8))
+    if interleaved or src_bd > 8:
+        from .input import read_frames
+        frames = read_frames(prm.InputFile, prm.SourceWidth,
+                             prm.SourceHeight, prm.FramesToBeEncoded,
+                             start=prm.StartFrame,
+                             chroma_format=prm.YUVFormat
+                             if prm.YUVFormat in (1, 2) else 1,
+                             bit_depth=src_bd, pixel_format=pix_fmt)
+        if src_bd > 8 or pix_fmt == 4:
+            raise SystemExit(" >8-bit ENCODING is not implemented yet "
+                             "(the decoder is); rescale the source or "
+                             "use an 8-bit input")
+        if pix_fmt is not None and prm.YUVFormat != 2:
+            raise SystemExit(" packed sources are 4:2:2; set YUVFormat=2")
+    else:
+        frames = read_yuv420_frames(prm.InputFile, prm.SourceWidth,
+                                    prm.SourceHeight,
+                                    prm.FramesToBeEncoded,
+                                    prm.StartFrame,
+                                    chroma_format=prm.YUVFormat
+                                    if prm.YUVFormat in (1, 2) else 1)
     if len(frames) < prm.FramesToBeEncoded:
         print(f"Incorrect FramesToBeEncoded: actual number is "
               f"{len(frames):>6} frames!")

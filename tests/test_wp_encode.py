@@ -48,6 +48,37 @@ def test_wp_b_implicit_and_explicit_roundtrip():
     _run(num_b=1, weighted_pred=1, weighted_bipred=1)
 
 
+def test_wp_iter_mc_roundtrips_and_tracks_fade():
+    """WPIterMC (wp_mciter.c twin): iterative MC-based estimation still
+    roundtrips decode-exactly and stays within the fade's bit budget."""
+    plain = _run()
+    it = _run(weighted_pred=1, wp_iter_mc=2)
+    assert it < plain * 0.85
+
+
+def test_wp_mcprec_picks_min_j():
+    """WPMCPrecision: the per-picture {WP, offset-only, no-WP} trial
+    never loses to plain explicit WP (it contains it as a candidate)."""
+    wp = _run(weighted_pred=1)
+    prec = _run(weighted_pred=1, wp_mcprec=1)
+    assert prec <= wp * 1.02
+
+
+def test_wp_mc_iter_estimation_on_shift():
+    """A pure global shift must NOT corrupt the weight (alg0's failure
+    mode): after MC alignment the weight stays ~default."""
+    from jm_tpu.decoder.dpb import Frame
+    from jm_tpu.encoder.wp_est import estimate_explicit, estimate_mc_iter
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 250, (96, 128)).astype(np.uint8)
+    Y = base[4:68, 4:100].copy()                  # shifted crop, same dc-ish
+    refY = base[0:64, 0:96].copy()
+    U = V = np.full((32, 48), 80, np.uint8)
+    ref = Frame(poc=0, frame_num=0, Y=refY, U=U, V=V)
+    tab = estimate_mc_iter(Y, U, V, [ref], iters=2, rng=4)
+    assert abs(tab[0]["luma"][0] - 32) <= 1
+
+
 def test_wp_estimation_values():
     from jm_tpu.encoder.wp_est import estimate_explicit, is_nontrivial
     from jm_tpu.decoder.dpb import Frame
