@@ -520,7 +520,9 @@ class EncoderParams:
             if self.HierarchicalCoding == 3 else "",
             transform8x8=bool(self.Transform8x8Mode),
             chroma_format=self.YUVFormat if self.YUVFormat in (1, 2) else 1,
-            rdo=1 if self.RDOptimization else 0,
+            rdo=self.RDOptimization,     # 0 low, 1 high, 2 highfast,
+                                         # 3 highloss, 4 high_updated
+                                         # (rdopt.c:242 dispatch)
             num_decoders=self.NumberOfDecoders if self.RDOptimization == 3 else 0,
             loss_rate_a=self.LossRateA if self.RDOptimization == 3 else 0,
             enable_ipcm=self.EnableIPCM,

@@ -26,6 +26,7 @@ RECOVERY_POINT = 6
 DEC_REF_PIC_MARKING_REPETITION = 7
 SPARE_PIC = 8
 SCENE_INFO = 9
+SUB_SEQ_INFO = 10
 FULL_FRAME_FREEZE = 13
 FULL_FRAME_FREEZE_RELEASE = 14
 FULL_FRAME_SNAPSHOT = 15
@@ -215,6 +216,66 @@ def tone_map_frame(frame, lut):
             lut[np.asarray(frame.V)])
 
 
+def _parse_spare_pic(br: BitReader, mb_count: int | None) -> dict:
+    """Spare picture (D.1.8): target frame + per-spare-pic MB unit maps
+    (area idc 0 = whole picture, 1 = explicit unit map)."""
+    f = {"target_frame_num": br.ue(), "spare_field_flag": br.flag()}
+    n = br.ue() + 1
+    pics = []
+    for _ in range(n):
+        e = {"delta_spare_frame_num": br.ue()}
+        idc = br.ue()
+        e["spare_area_idc"] = idc
+        if idc == 1 and mb_count:
+            e["unit_map"] = [br.flag() for _ in range(mb_count)]
+        elif idc == 2 and mb_count:
+            runs, total = [], 0
+            while total < mb_count:
+                r = br.ue()
+                runs.append(r)
+                total += r
+            e["zero_runs"] = runs
+        pics.append(e)
+    f["spare_pics"] = pics
+    return f
+
+
+def _parse_sub_seq_info(br: BitReader) -> dict:
+    f = {"sub_seq_layer_num": br.ue(), "sub_seq_id": br.ue(),
+         "first_ref_pic_flag": br.flag(),
+         "leading_non_ref_pic_flag": br.flag(),
+         "last_pic_flag": br.flag()}
+    if br.flag():
+        f["sub_seq_frame_num"] = br.ue()
+    return f
+
+
+def _parse_drpm_repetition(br: BitReader, frame_mbs_only: bool) -> dict:
+    f = {"original_idr_flag": br.flag(),
+         "original_frame_num": br.ue()}
+    if not frame_mbs_only:
+        f["original_field_pic_flag"] = br.flag()
+        if f["original_field_pic_flag"]:
+            f["original_bottom_field_flag"] = br.flag()
+    if f["original_idr_flag"]:
+        f["no_output_of_prior_pics_flag"] = br.flag()
+        f["long_term_reference_flag"] = br.flag()
+    else:
+        f["adaptive_ref_pic_marking_mode_flag"] = br.flag()
+        ops = []
+        if f["adaptive_ref_pic_marking_mode_flag"]:
+            while True:
+                op = br.ue()
+                if op == 0:
+                    break
+                val = br.ue() if op in (1, 2, 3, 4, 6) else None
+                if op == 3:
+                    val = (val, br.ue())
+                ops.append((op, val))
+        f["mmco_ops"] = ops
+    return f
+
+
 def parse_sei_rbsp(rbsp: bytes, sps=None) -> list[SEIMessage]:
     """Split one SEI RBSP into messages (spec 7.3.2.3.1 framing: 0xFF-
     escaped type and size bytes; trailing rbsp stop bit)."""
@@ -257,6 +318,17 @@ def parse_sei_rbsp(rbsp: bytes, sps=None) -> list[SEIMessage]:
                 msg.fields = _parse_frame_packing(br)
             elif ptype == TONE_MAPPING:
                 msg.fields = _parse_tone_mapping(br)
+            elif ptype == SPARE_PIC:
+                mbs = None
+                if sps is not None:
+                    mbs = (sps.pic_width_in_mbs
+                           * sps.frame_height_in_mbs)
+                msg.fields = _parse_spare_pic(br, mbs)
+            elif ptype == SUB_SEQ_INFO:
+                msg.fields = _parse_sub_seq_info(br)
+            elif ptype == DEC_REF_PIC_MARKING_REPETITION:
+                msg.fields = _parse_drpm_repetition(
+                    br, bool(sps.frame_mbs_only_flag) if sps else True)
             elif ptype == USER_DATA_UNREGISTERED:
                 msg.fields = {"uuid": payload[:16].hex(),
                               "data": payload[16:]}

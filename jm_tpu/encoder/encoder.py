@@ -160,7 +160,11 @@ class EncoderConfig:
                                  # no WP} and keep the min-J coding
     weighted_bipred: int = 0     # B WP: 0 off, 1 explicit, 2 implicit
     enable_vui: bool = False     # write VUI timing info into the SPS (E26)
-    rdo: int = 0                 # 0 = cost-based (md_low), 1 = trial-encode
+    rdo: int = 0                 # RDOptimization tier (rdopt.c:242):
+                                 # 0 = cost-based (md_low), 1 = trial-
+                                 # encode md_high, 2 = md_highfast,
+                                 # 3 = md_highloss (+ errdo), 4 =
+                                 # md_high_updated; 1 = trial-encode
                                  # RD with exact bit counting (md_high, E8)
     enable_ipcm: int = 0         # 1: IPCM as RD candidate, 2: force IPCM
                                  # (lencod EnableIPCM, mode_decision.c:132)
@@ -2823,38 +2827,69 @@ class _FrameEncoder:
         self.recV[cy:cy + ch, cx:cx + 8] = V
 
     def _p_mode_rd(self, addr, candidates, sub_commit, skip_mv):
-        """md_high tier (E8): trial-encode the leading candidates and pick
-        by J = SSD + lambda_mode * bits (exact CAVLC marginal bits;
-        rdopt.c RDCost_for_macroblocks twin over the SoA state)."""
+        """md_high-family tiers (E6/E8): trial-encode the candidates and
+        pick by J = SSD + lambda_mode * bits (exact CAVLC marginal bits;
+        rdopt.c RDCost_for_macroblocks twin over the SoA state).
+
+        cfg.rdo selects the tier exactly like the reference's
+        RDOptimization switch (lencod/src/rdopt.c:242):
+          1 = md_high; 2 = md_highfast (early-skip + selective-intra
+          termination, md_highfast.c:95); 3 = md_highloss (the errdo
+          expected-drift distortion term, md_highloss.c:38 — driven by
+          NumberOfDecoders); 4 = md_high_updated (the reversed
+          mb_mode_table_updated trial order, md_high_updated.c:40 +
+          mode_decision.h:24)."""
         from .rdo import MBState, count_mb_bits, lambda_mode, mb_ssd
         pic = self.pic
+        tier = self.enc.cfg.rdo
         lam = lambda_mode(self.qp)
         base = MBState(self, addr)
         best = None
+        best_bits = 0
 
         errdo = self.enc.errdo
 
         def consider():
-            nonlocal best
+            nonlocal best, best_bits
             bits = count_mb_bits(self, addr, SliceType.P)
             j = mb_ssd(self, addr) + lam * bits
             if errdo is not None:   # expected drift of lossy decoders (E32)
                 j += errdo.mb_error_energy(pic, addr, self.mb_w)
             if best is None or j < best[0]:
                 best = (j, MBState(self, addr))
+                best_bits = bits
 
-        # inter partitions (md_high trials every enabled inter mode)
-        for m in sorted(candidates, key=lambda k: candidates[k][0]):
+        # inter partitions: md_high trials every enabled inter mode;
+        # high_updated walks mb_mode_table_updated (P8x8 first)
+        if tier == 4:
+            order = [m for m in (3, 2, 1, 0) if m in candidates]
+        else:
+            order = sorted(candidates, key=lambda k: candidates[k][0])
+        inter_skip = False
+        for m in order:
             base.restore()
             self._commit_inter_p(addr, m, candidates[m][1],
                                  sub_commit if m == 3 else None, skip_mv)
             consider()
+            if (tier == 2 and m == 0 and pic.cbp[addr] == 0
+                    and pic.ref_idx[addr, 0] == 0
+                    and (pic.mv[addr, 0] == skip_mv).all()):
+                # md_highfast EarlySkipEnable: the 16x16 coding IS the
+                # skip coding — stop trialing anything else
+                inter_skip = True
+                break
+        if inter_skip:
+            best[1].restore()
+            return
         # forced P_SKIP (prediction only, zero residual)
         base.restore()
         self._commit_inter_p(addr, 0,
                              [(0, 0, 4, 4, (0, 1, 2, 3), 0, skip_mv.copy())],
                              None, skip_mv, no_residual=True)
         consider()
+        if tier == 2 and self._highfast_intra_skip(addr, best_bits):
+            best[1].restore()
+            return
         # intra trials
         origY_mb = self._mb_orig(addr)[0]
         base.restore()
@@ -2877,6 +2912,33 @@ class _FrameEncoder:
                 return
             consider()
         best[1].restore()
+
+    def _highfast_intra_skip(self, addr, best_bits: int) -> bool:
+        """md_highfast SelectiveIntraEnable (fast_mode_intra_decision,
+        md_highfast.c:40): skip the intra trials when the best inter
+        coding's average rate AR = bits/384 is at most the average
+        boundary error ABE (SAD of the source's top/left rows against
+        the reconstructed neighbors, luma + both chroma, /64).
+        Boundary MBs always keep the intra trials (ABE = 0 rule)."""
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        if (mbx == 0 or mby == 0 or mbx == self.mb_w - 1
+                or mby == self.mb_h - 1):
+            return False
+        px, py = mbx * 16, mby * 16
+        o = self._mb_orig(addr)[0].astype(np.int32)
+        sbe = int(np.abs(o[0] - self.recY[py - 1, px:px + 16]
+                         .astype(np.int32)).sum())
+        sbe += int(np.abs(o[:, 0] - self.recY[py:py + 16, px - 1]
+                          .astype(np.int32)).sum())
+        mh = self.ch_mb
+        cx, cy = mbx * 8, mby * mh
+        for plane, orig in ((self.recU, self.origU), (self.recV, self.origV)):
+            oc = orig[cy:cy + mh, cx:cx + 8].astype(np.int32)
+            sbe += int(np.abs(oc[0] - plane[cy - 1, cx:cx + 8]
+                              .astype(np.int32)).sum())
+            sbe += int(np.abs(oc[:, 0] - plane[cy:cy + mh, cx - 1]
+                              .astype(np.int32)).sum())
+        return best_bits / 384.0 <= sbe / 64.0
 
     def _commit_inter_p(self, addr, best_mode, commit, sub_commit, skip_mv,
                         no_residual=False):

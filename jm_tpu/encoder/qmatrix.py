@@ -23,6 +23,12 @@ offset categories are kept (the remaining OffsetList rows exist solely for
 4:4:4 separate-plane coding); adaptive rounding captures fadjust from the
 committed encode of each MB (the reference reaches the same state via its
 ARCofAdj store/update dance across mode trials, q_around.c:44-120).
+
+Deliberately not ported: quant4x4_2step.c / quantChroma_2step.c. Those
+"two-step" quantizers are dead code in JM 19.0 — no call site, no header
+declaration, and init_quant_4x4/init_quant_Chroma (quant4x4.c,
+quantChroma.c) only ever select the normal/trellis/around variants, all
+three of which exist here (quant dispatch, rdoq.py, adaptive rounding).
 """
 
 from __future__ import annotations

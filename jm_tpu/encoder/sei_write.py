@@ -133,6 +133,79 @@ def tone_mapping(tone_map_id: int = 0, cancel: bool = False,
     return S.TONE_MAPPING, _payload(bw)
 
 
+def spare_pic(target_frame_num: int, spare_maps: list,
+              mb_count: int) -> tuple[int, bytes]:
+    """Spare picture SEI (spec D.1.8; lencod/src/sei.c
+    ComposeSparePictureMessage:408): spare_maps is a list of
+    (delta_spare_frame_num, unit_map-or-None); unit_map None means
+    spare_area_idc=0 (every MB of that picture is a spare), an array of
+    mb_count 0/1 flags writes spare_area_idc=1 unit maps."""
+    bw = BitWriter()
+    bw.ue(target_frame_num)
+    bw.flag(0)                       # spare_field_flag (frame pictures)
+    bw.ue(len(spare_maps) - 1)       # num_spare_pics_minus1
+    for delta, unit_map in spare_maps:
+        bw.ue(delta)
+        if unit_map is None:
+            bw.ue(0)                 # spare_area_idc: whole picture
+        else:
+            assert len(unit_map) == mb_count
+            bw.ue(1)
+            for b in unit_map:
+                bw.flag(int(b))
+    return S.SPARE_PIC, _payload(bw)
+
+
+def sub_seq_info(layer_num: int, sub_seq_id: int,
+                 first_ref_pic: bool = False,
+                 leading_non_ref_pic: bool = False,
+                 last_pic: bool = False,
+                 sub_seq_frame_num: int | None = None) -> tuple[int, bytes]:
+    """Sub-sequence information SEI (spec D.1.11; lencod sei.c
+    InitSubseqInfo:104, triggered by NumFramesInELSubSeq)."""
+    bw = BitWriter()
+    bw.ue(layer_num)
+    bw.ue(sub_seq_id)
+    bw.flag(1 if first_ref_pic else 0)
+    bw.flag(1 if leading_non_ref_pic else 0)
+    bw.flag(1 if last_pic else 0)
+    bw.flag(0 if sub_seq_frame_num is None else 1)
+    if sub_seq_frame_num is not None:
+        bw.ue(sub_seq_frame_num)
+    return S.SUB_SEQ_INFO, _payload(bw)
+
+
+def dec_ref_pic_marking_repetition(original_idr: bool,
+                                   original_frame_num: int,
+                                   frame_mbs_only: bool = True,
+                                   long_term_reference_flag: int = 0,
+                                   mmco_ops=None) -> tuple[int, bytes]:
+    """Dec-ref-pic-marking repetition SEI (spec D.1.9): repeats the
+    marking of an earlier picture for error resilience (lencod sei.c
+    DRPM repetition)."""
+    bw = BitWriter()
+    bw.flag(1 if original_idr else 0)
+    bw.ue(original_frame_num)
+    if not frame_mbs_only:
+        bw.flag(0)                   # original_field_pic_flag
+    # dec_ref_pic_marking() (7.3.3.3)
+    if original_idr:
+        bw.flag(0)                   # no_output_of_prior_pics_flag
+        bw.flag(long_term_reference_flag)
+    elif mmco_ops:
+        bw.flag(1)
+        for op, val in mmco_ops:
+            bw.ue(op)
+            if op in (1, 2, 3, 4, 6):
+                bw.ue(val)
+            if op == 3:
+                raise NotImplementedError("MMCO 3 repetition")
+        bw.ue(0)
+    else:
+        bw.flag(0)
+    return S.DEC_REF_PIC_MARKING_REPETITION, _payload(bw)
+
+
 def buffering_period(sps, initial_cpb_removal_delay: int,
                      initial_cpb_removal_delay_offset: int = 0
                      ) -> tuple[int, bytes]:

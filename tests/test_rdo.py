@@ -166,3 +166,41 @@ def test_errdo_loss_aware_rdo():
     clean = run()
     lossy = run(num_decoders=6, loss_rate_a=12)
     assert lossy > clean
+
+
+def test_md_tiers_roundtrip_and_order():
+    """E6 tiers (rdopt.c:242 dispatch): highfast (2), highloss (3) and
+    high_updated (4) all produce decodable streams; highfast never
+    exceeds md_high's bits by more than its termination slack, and
+    high_updated matches md_high's quality envelope."""
+    import numpy as np
+
+    from jm_tpu.decoder.decoder import H264Decoder
+    from jm_tpu.encoder.encoder import Encoder, EncoderConfig
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (128 + 32, 160 + 32)).astype(np.float32)
+    k = np.ones(5) / 5
+    base = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, base)
+    base = np.clip(base * 1.5, 0, 255).astype(np.uint8)
+    frames = [(base[2 * i:2 * i + 128, 3 * i:3 * i + 160].copy(),
+               base[2 * i:2 * i + 128, 3 * i:3 * i + 160][::2, ::2].copy(),
+               base[2 * i:2 * i + 128, 3 * i:3 * i + 160][1::2, ::2].copy())
+              for i in range(3)]
+
+    bits = {}
+    for tier in (1, 2, 3, 4):
+        kw = dict(width=160, height=128, qp=30, rdo=tier)
+        if tier == 3:
+            kw.update(num_decoders=2, loss_rate_a=5)
+        enc = Encoder(EncoderConfig(**kw))
+        out = b"".join(enc.encode_frame(*f) for f in frames) + enc.flush()
+        rec = [r["frame"] for r in sorted(enc.results,
+                                          key=lambda r: r["disp"])]
+        dec = sorted(H264Decoder().decode_annexb(out), key=lambda f: f.poc)
+        for a, b in zip(rec, dec):
+            assert np.array_equal(a.Y, b.Y) and np.array_equal(a.U, b.U) \
+                and np.array_equal(a.V, b.V)
+        bits[tier] = len(out) * 8
+    # the fast tier terminates early but must stay in md_high's ballpark
+    assert bits[2] <= bits[1] * 1.10
+    assert bits[4] <= bits[1] * 1.10

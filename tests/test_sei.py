@@ -153,3 +153,42 @@ def test_tone_mapping_roundtrip_and_lut():
     lut = DS.build_tone_map_lut(f)
     Y2, U2, V2 = DS.tone_map_frame(_F, lut)
     assert int(Y2.max()) == 255 and int(V2[0, 0]) == 255
+
+
+def test_spare_pic_subseq_drpm_roundtrip():
+    """E27 remainder: spare picture / sub-sequence info / DRPM
+    repetition writers parse back field-exactly (sei.c:89 set)."""
+    import numpy as np
+
+    from jm_tpu.decoder import sei as DS
+    from jm_tpu.encoder import sei_write as SW
+
+    class _SPS:
+        pic_width_in_mbs = 4
+        frame_height_in_mbs = 3
+        frame_mbs_only_flag = 1
+
+    mbs = 12
+    unit_map = [1, 0] * 6
+    t, p = SW.spare_pic(7, [(0, None), (1, unit_map)], mbs)
+    msgs = DS.parse_sei_rbsp(SW.build_sei_rbsp([(t, p)]), sps=_SPS)
+    f = msgs[0].fields
+    assert msgs[0].payload_type == DS.SPARE_PIC
+    assert f["target_frame_num"] == 7
+    assert f["spare_pics"][0]["spare_area_idc"] == 0
+    assert f["spare_pics"][1]["unit_map"] == unit_map
+
+    t, p = SW.sub_seq_info(1, 3, first_ref_pic=True, sub_seq_frame_num=9)
+    f = DS.parse_sei_rbsp(SW.build_sei_rbsp([(t, p)]), sps=_SPS)[0].fields
+    assert f["sub_seq_layer_num"] == 1 and f["sub_seq_id"] == 3
+    assert f["first_ref_pic_flag"] == 1 and f["sub_seq_frame_num"] == 9
+
+    t, p = SW.dec_ref_pic_marking_repetition(False, 5,
+                                             mmco_ops=[(1, 2), (4, 3)])
+    f = DS.parse_sei_rbsp(SW.build_sei_rbsp([(t, p)]), sps=_SPS)[0].fields
+    assert f["original_frame_num"] == 5
+    assert f["mmco_ops"] == [(1, 2), (4, 3)]
+    t, p = SW.dec_ref_pic_marking_repetition(True, 0,
+                                             long_term_reference_flag=1)
+    f = DS.parse_sei_rbsp(SW.build_sei_rbsp([(t, p)]), sps=_SPS)[0].fields
+    assert f["original_idr_flag"] == 1 and f["long_term_reference_flag"] == 1
