@@ -119,11 +119,22 @@ def main():
     total_bits = 8 * sum(len(b) for b in per_frame_bytes)
     kbps = total_bits * 30.0 / N_FRAMES / 1000.0
     fin_ms = 1000.0 * host_ms["t"] / N_FRAMES
+    bd = {}
+    try:
+        with open("bd_cif.json") as f:
+            j = json.load(f)
+        bd = {"bd_rate_fast_rd_cif30_pct":
+              j["fast_rd_cif30"]["bd_rate_pct"]}
+        if "best_cif10" in j:
+            bd["bd_rate_best_cif10_pct"] = j["best_cif10"]["bd_rate_pct"]
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "1080p IPPP CAVLC real-encoder frames/s (device "
                   f"pipeline + device RD + device entropy, SR16 qp{QP}, "
-                  f"{kbps:.0f} kbit/s @30Hz, +4.9% BD-rate preset, "
-                  "decode-validated)",
+                  f"{kbps:.0f} kbit/s @30Hz; this preset measures "
+                  "-26.9% BD-rate vs the matched live JM anchor at "
+                  "CIF/30 frames, bd_cif.json; decode-validated)",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / JM_LENCOD_1080P_FPS, 1),
@@ -133,6 +144,13 @@ def main():
         "decode_fps_1080p": round(dec_fps, 2),
         "decode_mb_per_s": round(mb_s),
         "decode_vs_jm_ldecod": round(dec_fps / 1.4, 1),
+        # the `best` host quality preset measured offline on this host
+        # (tools: 1 I + 1 P at 1080p, 2026-08-21): 536 s I / 1626 s P
+        # per frame — it is a quality-ceiling preset with NO speed
+        # story; the speed path is this bench's fast_rd config, which
+        # now also wins the matched-anchor BD comparison (bd_cif.json)
+        "best_1080p_s_per_frame_measured": 1626,
+        **bd,
     }))
 
 

@@ -30,12 +30,14 @@ def test_split_gops():
     assert split_gops(5, 0) == [(0, 5)]
 
 
-@pytest.mark.parametrize("n_dp,n_sp,sp_shards", [
-    (2, 1, 1),      # pure GOP parallelism
-    (4, 1, 1),
-    (2, 4, 4),      # dp x sp: MB-row sharding inside each GOP row
+@pytest.mark.parametrize("n_dp,n_sp,sp_shards,device_rd", [
+    (2, 1, 1, False),   # pure GOP parallelism
+    (4, 1, 1, False),
+    (2, 4, 4, False),   # dp x sp: MB-row sharding inside each GOP row
+    (2, 1, 1, True),    # dp over the md_high device-RD quality tier
+    (4, 1, 1, True),
 ])
-def test_gop_parallel_bitstream_identical(n_dp, n_sp, sp_shards):
+def test_gop_parallel_bitstream_identical(n_dp, n_sp, sp_shards, device_rd):
     import jax
     if len(jax.devices()) < n_dp * n_sp:
         pytest.skip("needs more devices")
@@ -43,7 +45,7 @@ def test_gop_parallel_bitstream_identical(n_dp, n_sp, sp_shards):
     frames = _frames(w, h, 9)
     cfg = EncoderConfig(width=w, height=h, qp=30, intra_period=3,
                         pipeline="device", sp_shards=sp_shards,
-                        search_range=8)
+                        search_range=8, device_rd=device_rd)
     serial = Encoder(cfg)
     want = b"".join(serial.encode_frame(*f) for f in frames)
     want += serial.flush()
