@@ -269,6 +269,16 @@ class EncoderParams:
         "AdaptRndWFactorBNRef",
     }
 
+    # extra-schema parameters that ARE implemented (consumed from
+    # `.extra` by their feature sites rather than mapped to
+    # EncoderConfig fields): explicit sequence scripting
+    # (tools/lencod.py -> encoder/gop.py) and the packed-source readers
+    # (tools/input.py)
+    _IMPLEMENTED_EXTRA = frozenset({
+        "ExplicitSeqCoding", "ExplicitSeqFile",
+        "Interleaved", "PixelFormat",
+    })
+
     # Sub-parameters that are inert unless their master feature switch is
     # active, mirroring how the reference only *reads* them behind the flag
     # (e.g. rc QP clamps behind RateControlEnable, rate_control.c). A pending
@@ -383,6 +393,8 @@ class EncoderParams:
         Zero silent ignores: everything else set lands in `.ignored`."""
         unsupported = []
         for canon, v in self.extra.items():
+            if canon in self._IMPLEMENTED_EXTRA:
+                continue      # consumed by tools/encoder (see each site)
             if (canon in self._TOLERATED
                     or canon.startswith(self._TOLERATED_PREFIXES)):
                 continue

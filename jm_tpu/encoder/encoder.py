@@ -1138,7 +1138,7 @@ class Encoder:
         nal_type = NalUnitType.IDR if is_idr else NalUnitType.SLICE
         return annexb_bytes(3, nal_type, rbsp)
 
-    def _emit_anchor(self, Y, U, V, disp: int) -> bytes:
+    def _emit_anchor(self, Y, U, V, disp: int, force=None) -> bytes:
         cfg = self.cfg
         intra_due = (cfg.intra_period > 0 and
                      self.frame_idx % cfg.intra_period == 0)
@@ -1147,6 +1147,10 @@ class Encoder:
         # with B pictures, periodic intra anchors are open-GOP I slices
         # (IDR would invalidate list-0 references of preceding-in-display Bs)
         is_idr = is_first or (cfg.num_b == 0 and intra_due)
+        if force is not None:
+            # explicit sequence scripting (gop.encode_explicit_seq)
+            is_intra = bool(force.get("intra", is_intra))
+            is_idr = bool(force.get("idr", is_idr)) and is_intra
         stype = SliceType.I if is_intra else SliceType.P
         if (cfg.sp_periodicity > 0 and stype == SliceType.P
                 and self.frame_idx % cfg.sp_periodicity == 0):

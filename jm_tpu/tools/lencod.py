@@ -155,18 +155,28 @@ def main(argv=None) -> int:
     ssim_acc = np.zeros(3)
     msssim_acc = np.zeros(3)
     t_seq0 = time.time()
-    for i, (Y, U, V) in enumerate(frames):
-        if i < start_at:
-            continue
-        if ckpt_path and i > start_at:      # also re-checkpoint resumed runs
-            from ..encoder import checkpoint as CK
-            if CK.checkpointable(enc):
-                with open(prm.OutputFile + ".part", "wb") as fh:
-                    fh.write(out)
-                CK.save(enc, ckpt_path, len(out))
-        out += enc.encode_frame(Y, U, V,
-                                view1=frames1[i] if frames1 else None)
-    out += enc.flush()
+    if int(prm.extra.get("ExplicitSeqCoding", 0)):
+        # script-file-driven coding order (E3; lencod explicit_seq.c)
+        from ..encoder.gop import (encode_explicit_seq,
+                                   parse_explicit_seq_file)
+        seq_file = prm.extra.get("ExplicitSeqFile", "explicit_seq.txt")
+        with open(seq_file, encoding="latin-1") as fh:
+            entries = parse_explicit_seq_file(fh.read())
+        for chunk in encode_explicit_seq(enc, frames, entries):
+            out += chunk
+    else:
+        for i, (Y, U, V) in enumerate(frames):
+            if i < start_at:
+                continue
+            if ckpt_path and i > start_at:  # also re-checkpoint resumed runs
+                from ..encoder import checkpoint as CK
+                if CK.checkpointable(enc):
+                    with open(prm.OutputFile + ".part", "wb") as fh:
+                        fh.write(out)
+                    CK.save(enc, ckpt_path, len(out))
+            out += enc.encode_frame(Y, U, V,
+                                    view1=frames1[i] if frames1 else None)
+        out += enc.flush()
     t_seq = time.time() - t_seq0
     qp_of = {"I": prm.QPISlice, "P": prm.QPPSlice, "B": prm.QPBSlice}
     n_met = 0                  # results carrying recon (not ckpt-restored)
