@@ -90,6 +90,7 @@ class H264Decoder:
                 raise ValueError(f"truncated NAL unit: {e}") from e
         self._flush_dp()
         self._finish_picture()
+        self._materialize_pending()
         return self._outputs[start:]
 
     # ------------------------------------------------------------------
@@ -469,17 +470,37 @@ class H264Decoder:
             jnp.asarray(pic.slice_id.astype(np.int32)), zeros,
             d_cb, d_cr, mb_w=pic.mb_w, mb_h=pic.mb_h)
         state = EJ.prep_ref(dY, dU, dV)
-        # ONE fetch leaf: each device_get leaf costs a full tunnel round
-        # trip, so ship the three planes as one flat buffer
-        flat = np.asarray(jax.device_get(jnp.concatenate(
-            [dY.ravel(), dU.ravel(), dV.ravel()])))
-        hy, wy = dY.shape
-        hc, wc = dU.shape
-        ny = hy * wy
-        nc = hc * wc
-        return (flat[:ny].reshape(hy, wy),
-                flat[ny:ny + nc].reshape(hc, wc),
-                flat[ny + nc:].reshape(hc, wc), state)
+        # DEFERRED single-leaf fetch: the host returns placeholder
+        # arrays now and pulls the pixels at the start of the NEXT
+        # picture's _finish_picture — i.e. after the next slice's native
+        # parse has overlapped this picture's device execution, but
+        # BEFORE the next dispatch is enqueued (on the axon tunnel a
+        # fetch waits for ALL queued compute, so fetch-then-dispatch is
+        # the only order that overlaps). Everything downstream holds
+        # views of the placeholders, which the fetch fills in place.
+        Y = np.empty(dY.shape, np.uint8)
+        U = np.empty(dU.shape, np.uint8)
+        V = np.empty(dV.shape, np.uint8)
+        self._pend_fetch = {
+            "dev": jnp.concatenate([dY.ravel(), dU.ravel(), dV.ravel()]),
+            "Y": Y, "U": U, "V": V,
+        }
+        return Y, U, V, state
+
+    def _materialize_pending(self) -> None:
+        """Complete the deferred device->host pixel fetch of the last
+        device-pipe picture (no-op when nothing is pending)."""
+        p = getattr(self, "_pend_fetch", None)
+        if p is None:
+            return
+        self._pend_fetch = None
+        import jax
+        flat = np.asarray(jax.device_get(p["dev"]))
+        ny = p["Y"].size
+        nc = p["U"].size
+        p["Y"][...] = flat[:ny].reshape(p["Y"].shape)
+        p["U"][...] = flat[ny:ny + nc].reshape(p["U"].shape)
+        p["V"][...] = flat[ny + nc:].reshape(p["V"].shape)
 
     def _inter_recon_device(self, pic, pps, lst0):
         """Run ops/dec_jax.inter_recon_p over the picture's inter MBs;
@@ -537,6 +558,7 @@ class H264Decoder:
         """Gap in frame_num (spec 7.4.3 gaps_in_frame_num; ldecod
         conceal_lost_frames mbuffer.c:1837): synthesize the missing
         reference frames so later pictures keep decoding."""
+        self._materialize_pending()   # concealment copies real pixels
         max_fn = sps.max_frame_num
         prev = self._prev_ref_frame_num
         gap = (hdr.frame_num - prev - 1) % max_fn
@@ -562,6 +584,10 @@ class H264Decoder:
     # ------------------------------------------------------------------
 
     def _finish_picture(self) -> None:
+        # complete the previous device-pipe picture's deferred pixel
+        # fetch first: its device work overlapped this picture's parse,
+        # and the fetch must precede the next dispatch (tunnel ordering)
+        self._materialize_pending()
         if self._cur is None:
             return
         cur, self._cur = self._cur, None
