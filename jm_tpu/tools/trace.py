@@ -112,6 +112,11 @@ def trace_stream(data: bytes, max_nalus: int | None = None) -> str:
         nalus = nalus[:max_nalus]
     out = []
     saved = _patch_modules(TraceBitReader)
+    # the native C slice parser consumes whole slices without per-element
+    # reads; tracing needs the Python parse loop
+    from ..decoder.mb_parse import MBParser
+    saved_native = MBParser._parse_native
+    MBParser._parse_native = lambda self: False
     try:
         dec = H264Decoder()
         for k, nal in enumerate(nalus):
@@ -128,6 +133,7 @@ def trace_stream(data: bytes, max_nalus: int | None = None) -> str:
                            f"{'x' * min(width, 24):>24s} ({val:7d})")
     finally:
         _restore_modules(saved)
+        MBParser._parse_native = saved_native
     return "\n".join(out) + "\n"
 
 
