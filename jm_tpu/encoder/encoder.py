@@ -175,6 +175,12 @@ class EncoderConfig:
                                  # order + explicit modification commands
                                  # (lencod list_reorder.c
                                  # poc_ref_pic_reorder_frame_default:82)
+    mmco_policy: str = ""        # "cra": clean-random-access marking
+                                 # (mmco.c:151 cra_ref_management —
+                                 # after each open-GOP I, the next
+                                 # anchor emits MMCO 1 for every
+                                 # short-term reference older than that
+                                 # I, so decoding can start at the I)
     poc_mem_mgmt: int = 0        # PocMemoryManagement=1: MMCO 1 unmarks the
                                  # min-POC short-term ref when the DPB is
                                  # full (lencod mmco.c
@@ -1201,6 +1207,26 @@ class Encoder:
         poc_victim = None
         if cfg.poc_mem_mgmt == 1 and not is_idr and mmco_ops is None:
             mmco_ops, poc_victim = self._poc_mmco()
+        cra_victims = []
+        if (cfg.mmco_policy == "cra" and mmco_ops is None and not is_idr
+                and stype != SliceType.I
+                and getattr(self, "_cra_poc", None) is not None):
+            # cra_ref_management_frame_pic (mmco.c:151): unmark every
+            # short-term reference from before the last open-GOP I
+            max_fn = self.sps.max_frame_num
+            ops = []
+            for f in self.refs:
+                if f.is_long_term or f.poc >= self._cra_poc:
+                    continue
+                t = f.frame_num if f.frame_num <= self.frame_num \
+                    else f.frame_num - max_fn
+                ops.append((1, self.frame_num - t - 1))
+                cra_victims.append(f)
+            if ops:
+                mmco_ops = tuple(ops)
+                self._cra_poc = None
+        if is_intra and not is_idr:
+            self._cra_poc = poc      # open-GOP random access point
         ref_mod_l0 = (self._poc_reorder_cmds()
                       if cfg.ref_reorder == 1
                       and stype in (SliceType.P, SliceType.SP)
@@ -1302,6 +1328,8 @@ class Encoder:
             # the decoder executes the MMCO before storing the current
             # picture (spec 8.2.5.4.1); mirror that marking here
             self.refs.remove(poc_victim)
+        for f in cra_victims:
+            self.refs.remove(f)
         self._store_ref(frame, long_term=lt_mark)
         if self.errdo is not None:   # advance the simulated lossy decoders
             self.errdo.update(pic, recY, self.mb_w, is_ref=True)
