@@ -109,7 +109,10 @@ def main():
 
     # decode benchmark: full-stream decode with our decoder (JM ldecod
     # on this host: 3 frames / 2.145 s = 1.4 fps incl. startup,
-    # .refbuild/run/bench1080_dec.log)
+    # .refbuild/run/bench1080_dec.log). Warm the device decode programs
+    # first (the encoder path gets the same treatment above).
+    H264Decoder(device_recon=True).decode_annexb(
+        b"".join(per_frame_bytes[:3]))
     t0 = time.time()
     dec_all = H264Decoder(device_recon=True) \
         .decode_annexb(b"".join(per_frame_bytes))
