@@ -730,15 +730,17 @@ class Encoder:
                 core["luma_scan"], core["luma_nnz"], core["chroma_dc"],
                 core["chroma_scan"], core["chroma_nnz"],
                 mb_w=self.mb_w, mb_h=self.mb_h, max_words=max_words)
-            # one 3-int flag vector -> ONE transfer leaf at finalize (the
-            # dict of separate scalars cost one ~25 ms tunnel round trip
-            # per leaf)
+            # flags PREPENDED to the words buffer -> ONE transfer leaf at
+            # finalize (every leaf costs a full ~27 ms tunnel round trip,
+            # tools/profile_pipe.py rtt_ms)
             import jax.numpy as jnp
             flags = jnp.stack([
                 packed["nbits"].astype(jnp.int32),
                 packed["ovf"].astype(jnp.int32),
                 core["intra_mask"].any().astype(jnp.int32)])
-            out = {"flags": flags, "words": packed["words"],
+            words_ext = jnp.concatenate(
+                [flags.astype(jnp.uint32), packed["words"]])
+            out = {"words_ext": words_ext,
                    "core": core, "skip": packed["skip"]}
             return out, state
 
@@ -749,19 +751,33 @@ class Encoder:
         frames = list(frames)
         dev_in = [None] * len(frames)
 
+        def _pack_host(fY, fU, fV):
+            """Y + side-by-side U|V in ONE buffer: a single H2D leaf
+            (three separate device_puts cost ~3 tunnel round trips,
+            tools/profile_pipe.py upload_ms ~= 3 * rtt_ms)."""
+            Y = np.asarray(fY, np.uint8)
+            U = np.asarray(fU, np.uint8)
+            V = np.asarray(fV, np.uint8)
+            buf = np.empty((Y.shape[0] + U.shape[0], Y.shape[1]), np.uint8)
+            buf[:Y.shape[0]] = Y
+            buf[Y.shape[0]:, :U.shape[1]] = U
+            buf[Y.shape[0]:, U.shape[1]:] = V
+            return buf
+
         def _prefetch(k):
             if 0 <= k < len(frames) and dev_in[k] is None:
-                fY, fU, fV = frames[k]
                 # async H2D: overlaps with the in-flight frame's compute
-                dev_in[k] = (jax.device_put(np.asarray(fY, np.uint8)),
-                             jax.device_put(np.asarray(fU, np.uint8)),
-                             jax.device_put(np.asarray(fV, np.uint8)))
+                dev_in[k] = jax.device_put(_pack_host(*frames[k]))
         _prefetch(0)
         _prefetch(1)
+        h_pix, w_pix = self.mb_h * 16, self.mb_w * 16
         for fi, f in enumerate(frames):
             _prefetch(fi + 1)
-            Y, U, V = dev_in[fi] if dev_in[fi] is not None else \
-                tuple(np.asarray(p, np.uint8) for p in f)
+            packed_in = dev_in[fi] if dev_in[fi] is not None else \
+                jax.device_put(_pack_host(*f))
+            Y = packed_in[:h_pix]
+            U = packed_in[h_pix:, :w_pix // 2]
+            V = packed_in[h_pix:, w_pix // 2:]
             dev_in[fi] = None
             # coding index of THIS frame (the in-flight frame hasn't
             # bumped frame_idx yet)
@@ -773,7 +789,8 @@ class Encoder:
                 if pending is not None:
                     payloads.append(self._pipe_finalize(*pending)[0])
                     pending = None
-                payloads.append(self.encode_frame(Y, U, V))
+                payloads.append(self.encode_frame(
+                    *(np.asarray(p, np.uint8) for p in f)))
                 dev_state = None
                 continue
             disp = self.display_idx
@@ -788,7 +805,7 @@ class Encoder:
                     # the speculated reference state was wrong: redo this
                     # frame's dispatch against the corrected DPB head
                     out, new_state = dispatch(Y, U, V, ref_state())
-            pending = (out, disp, (Y, U, V), new_state)
+            pending = (out, disp, f, new_state)
             dev_state = new_state
         if pending is not None:
             payloads.append(self._pipe_finalize(*pending)[0])
@@ -801,11 +818,15 @@ class Encoder:
         -> classic re-encode; entropy-pack overflow -> download the wide
         coefficient tensors and serialize on host."""
         import jax
-        # ONE transfer round: the flag vector and the full fixed-shape
-        # words buffer. Fetching `words[:k]` instead would build a new
-        # XLA slice program per distinct k — a per-frame remote compile
-        # (~400 ms/frame on the axon tunnel, tools/profile_pipe.py).
-        flags, words_full = jax.device_get((out["flags"], out["words"]))
+        # ONE transfer leaf: flags live in the first 3 words of the
+        # fixed-shape words buffer. Fetching `words[:k]` instead would
+        # build a new XLA slice program per distinct k — a per-frame
+        # remote compile (~400 ms/frame on the axon tunnel,
+        # tools/profile_pipe.py); a second flags leaf costs one more
+        # ~27 ms round trip.
+        ext = jax.device_get(out["words_ext"])
+        flags = ext[:3].astype(np.int64)
+        words_full = ext[3:]
         small = {"nbits": int(flags[0]), "ovf": bool(flags[1]),
                  "intra_any": bool(flags[2])}
         if bool(small["intra_any"]):
