@@ -128,31 +128,36 @@ def block_slots(coeffs, nc, max_coeff: int):
 
     coeffs: (B, L) int32 scan-order (L = max_coeff); nc: (B,) int32
     (>=0 luma/chroma-AC context, -1 chroma DC 4:2:0).
-    Returns (vals (B, 34) u32, lens (B, 34) i32, ovf (B,) bool)."""
+    Returns (vals (B, S) u32, lens (B, S) i32, ovf (B,) bool).
+
+    Slots are POSITION-indexed (one level slot and one run slot per
+    scan position, visited high->low frequency) rather than
+    rank-indexed: fold_slots only cares about slot ORDER and zero-length
+    slots vanish, and the per-rank level/position extraction (16 masked
+    selects over (B, L)) this replaces was the hottest op of the
+    1080p device entropy pack (see enc_rd.block_len_parts, same walk).
+    S = 2 + L (levels) + 1 + (L-1) (runs); 34 for L=16."""
     B, L = coeffs.shape
     assert L == max_coeff
     c = coeffs.astype(jnp.int32)
     mask = c != 0
     tc = mask.sum(axis=1)
 
-    # sorted (high->low frequency) levels and positions
+    # trailing ones (<= 3): rank-j-from-the-end is a +-1
     rfe = jnp.cumsum(mask[:, ::-1], axis=1)[:, ::-1]     # rank from end
-    pos_i = jnp.arange(L, dtype=jnp.int32)
-    levels = []
-    positions = []
-    for j in range(min(L, 16)):
-        sel = mask & (rfe == j + 1)
-        levels.append((c * sel).sum(axis=1))
-        positions.append((pos_i * sel).sum(axis=1))
-    levels = jnp.stack(levels, axis=1)                   # (B, <=16)
-    positions = jnp.stack(positions, axis=1)
-
-    # trailing ones (<= 3)
-    is1 = jnp.abs(levels[:, :3]) == 1
-    a0 = is1[:, 0] & (tc >= 1)
-    a1 = a0 & (is1[:, 1] if L > 1 else False) & (tc >= 2)
-    a2 = a1 & (is1[:, 2] if L > 2 else False) & (tc >= 3)
+    is1 = (jnp.abs(c) == 1) & mask
+    neg = (c < 0) & mask
+    o = [((rfe == j + 1) & is1).any(axis=1) for j in range(3)]
+    s_j = [((rfe == j + 1) & neg).any(axis=1).astype(jnp.int32)
+           for j in range(3)]
+    a0 = o[0] & (tc >= 1)
+    a1 = a0 & o[1] & (tc >= 2)
+    a2 = a1 & o[2] & (tc >= 3)
     t1 = a0.astype(jnp.int32) + a1 + a2
+
+    # highest nonzero position -> total_zeros
+    hi = (L - 1) - jnp.argmax(mask[:, ::-1], axis=1).astype(jnp.int32)
+    tz = hi + 1 - tc
 
     vals = []
     lens = []
@@ -171,22 +176,26 @@ def block_slots(coeffs, nc, max_coeff: int):
     lens.append(jnp.where(is_flc, 6, ctl))
 
     # trailing one signs (one combined slot, high frequency first)
-    sgn = (levels[:, :3] < 0).astype(jnp.int32)
     t1v = jnp.zeros(B, jnp.int32)
     for j in range(3):
-        t1v = jnp.where(t1 > j, (t1v << 1) | sgn[:, j], t1v)
+        t1v = jnp.where(t1 > j, (t1v << 1) | s_j[j], t1v)
     vals.append(t1v)
     lens.append(t1)
 
-    # levels (slots j = t1 .. tc-1), adaptive suffix length
+    # one descending-position walk: level slot per position (rank >= t1
+    # emits), run slot per position (rank >= 1 while zeros remain)
     sl = jnp.where((tc > 10) & (t1 < 3), 1, 0)
-    nlev = levels.shape[1]
-    for j in range(nlev):
-        active = (j >= t1) & (j < tc)
-        lv = levels[:, j]
+    j = jnp.zeros(B, jnp.int32)
+    zl = jnp.where(tc > 0, tz, 0)
+    prev = hi
+    run_vals = []
+    run_lens = []
+    for p in range(L - 1, -1, -1):
+        lv = c[:, p]
+        nz = mask[:, p]
+        active = nz & (j >= t1)
         lc = jnp.where(lv > 0, 2 * lv - 2, -2 * lv - 1)
-        adjust = (j == t1) & (t1 < 3)
-        lc = lc - jnp.where(adjust, 2, 0)
+        lc = lc - jnp.where((j == t1) & (t1 < 3), 2, 0)
         # suffix_len == 0 branch
         v0 = jnp.where(lc < 14, 1,
                        jnp.where(lc < 30, (1 << 4) | (lc - 14),
@@ -203,21 +212,29 @@ def block_slots(coeffs, nc, max_coeff: int):
         oN = (pre >= 15) & (esc >= 4096)
         v = jnp.where(sl == 0, v0, vN)
         ln = jnp.where(sl == 0, l0, lN)
-        o = jnp.where(sl == 0, o0, oN)
+        ob = jnp.where(sl == 0, o0, oN)
         vals.append(jnp.where(active, v, 0))
         lens.append(jnp.where(active, ln, 0))
-        ovf = ovf | (active & o)
-        # suffix adaptation
+        ovf = ovf | (active & ob)
         sl_next = jnp.maximum(sl, 1)
         sl_next = jnp.where((jnp.abs(lv) > (3 << (sl_next - 1)))
                             & (sl_next < 6), sl_next + 1, sl_next)
         sl = jnp.where(active, sl_next, sl)
-    for _ in range(nlev, 16):
-        vals.append(jnp.zeros(B, jnp.int32))
-        lens.append(jnp.zeros(B, jnp.int32))
+        # run_before at this position (rank >= 1, zeros remain)
+        if p < L - 1:
+            run = prev - p - 1
+            run_act = nz & (j >= 1) & (zl > 0)
+            vlc = jnp.clip(jnp.minimum(zl, 7) - 1, 0, 6)
+            runc = jnp.clip(run, 0, 14)
+            run_lens.append(jnp.where(
+                run_act, jnp.asarray(_RUN_LEN_D)[vlc, runc], 0))
+            run_vals.append(jnp.where(
+                run_act, jnp.asarray(_RUN_COD_D)[vlc, runc], 0))
+            zl = jnp.where(run_act, zl - run, zl)
+        prev = jnp.where(nz, p, prev)
+        j = j + nz
 
-    # total_zeros
-    tz = positions[:, 0] + 1 - tc
+    # total_zeros (between the level slots and the run slots)
     tzc = jnp.clip(tz, 0, max_coeff - 1)
     vi = jnp.clip(tc - 1, 0, max_coeff - 2)
     if max_coeff == 4:
@@ -229,22 +246,8 @@ def block_slots(coeffs, nc, max_coeff: int):
     tz_on = (tc > 0) & (tc < max_coeff)
     vals.append(jnp.where(tz_on, tzv, 0))
     lens.append(jnp.where(tz_on, tzl, 0))
-
-    # run_before (slots k = 0 .. tc-2 in sorted order)
-    zl = jnp.where(tc > 0, tz, 0)
-    for k in range(15):
-        if k + 1 < levels.shape[1]:
-            run = positions[:, k] - positions[:, k + 1] - 1
-        else:
-            run = jnp.zeros(B, jnp.int32)
-        active = (k < tc - 1) & (zl > 0)
-        vlc = jnp.clip(jnp.minimum(zl, 7) - 1, 0, 6)
-        runc = jnp.clip(run, 0, 14)
-        rl = jnp.asarray(_RUN_LEN_D)[vlc, runc]
-        rv = jnp.asarray(_RUN_COD_D)[vlc, runc]
-        vals.append(jnp.where(active, rv, 0))
-        lens.append(jnp.where(active, rl, 0))
-        zl = jnp.where(active, zl - run, zl)
+    vals.extend(run_vals)
+    lens.extend(run_lens)
     return (jnp.stack(vals, axis=1).astype(jnp.uint32),
             jnp.stack(lens, axis=1), ovf)
 

@@ -258,11 +258,21 @@ def _gather_qpel(planes, x4, y4, bs: int, w: int, h: int, y0: int = -PAD):
 def _satd8_raw(diff):
     """(..., 8, 8) int32 -> (...,) sum over the 4 4x4 tiles of
     sum|H d H^T| (no final >>1; applied by the caller after summing a
-    partition's quadrants, me.satd semantics)."""
+    partition's quadrants, me.satd semantics).
+
+    Hadamard as two butterfly passes of adds: int32 einsum has no MXU
+    path on TPU and lowers ~1.4x slower than the adds
+    (tools/bench_kernels.py satd49_int32 58.6 ms vs satd49_bfly 40.8);
+    f32 einsum would be faster still but the default-precision TPU
+    matmul is bf16 and inexact for these magnitudes."""
     d = diff.reshape(*diff.shape[:-2], 2, 4, 2, 4).swapaxes(-3, -2)
-    H = jnp.asarray(_H4)
-    t = jnp.einsum("ij,...jk,lk->...il", H, d, H)
-    return jnp.abs(t).sum(axis=(-4, -3, -2, -1))
+    d0, d1, d2, d3 = d[..., 0, :], d[..., 1, :], d[..., 2, :], d[..., 3, :]
+    p0, p1, m0, m1 = d0 + d3, d1 + d2, d0 - d3, d1 - d2
+    a = jnp.stack([p0 + p1, m0 + m1, p0 - p1, m0 - m1], axis=-2)
+    e0, e1, e2, e3 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    q0, q1, n0, n1 = e0 + e3, e1 + e2, e0 - e3, e1 - e2
+    b = jnp.stack([q0 + q1, n0 + n1, q0 - q1, n0 - n1], axis=-1)
+    return jnp.abs(b).sum(axis=(-4, -3, -2, -1))
 
 
 def _gather_windows(planes, ax, ay, size: int, y0: int = -PAD):
@@ -1074,11 +1084,14 @@ def _p_frame_core(origY, origU, origV, planes, padU, padV,
     orig_v = origV.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
 
     if rd:
-        # md_high tier on device: exact trial-encode RD (ops/enc_rd.py)
+        # md_high tier on device: exact trial-encode RD (ops/enc_rd.py),
+        # pruned per MB to the top-2 SATD-ranked partition modes (the
+        # md_highfast-style preselection; P_Skip always survives)
         from .enc_rd import p_mode_rd_device
         r = p_mode_rd_device(band, cband, _win, mv_q, int_mv, pred,
                              orig_q, orig_u, orig_v, mb_xy, qp, qpc,
-                             mb_w=mb_w, mb_h=mb_h, sr=sr)
+                             mb_w=mb_w, mb_h=mb_h, sr=sr,
+                             mode_satd=mode_costs, top_modes=2)
         best_mode = r["inter_mode"]
         mv_quad = r["mv_quad"]
         scan = r["luma_scan"]

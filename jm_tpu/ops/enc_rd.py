@@ -72,6 +72,22 @@ _SE_BITS_NP = EJ._SE_BITS      # converted lazily (a module-level
 # four ue(0) = 4 bits)
 _MODE_HDR_BITS = np.array([1 + 0, 3 + 0, 3 + 0, 5 + 4], np.int32)
 
+# per (mode, quad): the parent partition job, whether this quad is the
+# job's FIRST quad (mvd is written once per job), and the job's index
+# within MODE_JOBS[mode] (the mv_pred_parts partition slot)
+PARENT_OF = np.zeros((4, 4), np.int32)
+FIRSTQ = np.zeros((4, 4), np.int32)
+PART_OF = np.zeros((4, 4), np.int32)
+for _m in range(4):
+    seen = set()
+    for _q in range(4):
+        _j = int(EJ.QJ_PARENT[QJOB_OF[_m, _q]])
+        PARENT_OF[_m, _q] = _j
+        PART_OF[_m, _q] = EJ.MODE_JOBS[_m].index(_j)
+        if _j not in seen:
+            FIRSTQ[_m, _q] = 1
+            seen.add(_j)
+
 
 def lambda_mode_f(qp: int) -> float:
     """md_high lambda (rdo.lambda_mode twin): 0.85 * 2^((qp-12)/3)."""
@@ -126,47 +142,34 @@ def block_len_parts(scan, max_coeff: int):
 
     scan: (B, L). Returns (tc (B,), t1 (B,), rest_len (B,)) where
     rest = t1 signs + levels + total_zeros + run_before bits; the
-    caller adds the nC-dependent coeff_token length."""
+    caller adds the nC-dependent coeff_token length.
+
+    Implemented as ONE descending-position walk carrying (B,)-shaped
+    state (rank, suffix-length, zeros-left, previous position) instead
+    of materializing per-rank level/position tensors: the rank
+    extraction (16 masked selects over (B, 16)) was the single hottest
+    op of the device RD stage at 1080p (~65 ms of the ~300 ms core,
+    tools/profile_rd2.py); this form reads one (B,) column per step."""
     from .cavlc_jax import _RUN_LEN_D, _TZ_DC420_LEN_D, _TZ_LEN_D
     B, L = scan.shape
     c = scan.astype(jnp.int32)
     mask = c != 0
     tc = mask.sum(axis=1)
+    # trailing ones: rank-j (from the high-frequency end) is a +-1
     rfe = jnp.cumsum(mask[:, ::-1], axis=1)[:, ::-1]
-    pos_i = jnp.arange(L, dtype=jnp.int32)
-    nlev = min(L, 16)
-    levels = []
-    positions = []
-    for j in range(nlev):
-        sel = mask & (rfe == j + 1)
-        levels.append((c * sel).sum(axis=1))
-        positions.append((pos_i * sel).sum(axis=1))
-    levels = jnp.stack(levels, axis=1)
-    positions = jnp.stack(positions, axis=1)
-    is1 = jnp.abs(levels[:, :3]) == 1
-    a0 = is1[:, 0] & (tc >= 1)
-    a1 = a0 & is1[:, 1] & (tc >= 2)
-    a2 = a1 & is1[:, 2] & (tc >= 3)
+    is1 = (jnp.abs(c) == 1) & mask
+    o0 = ((rfe == 1) & is1).any(axis=1)
+    o1 = ((rfe == 2) & is1).any(axis=1)
+    o2 = ((rfe == 3) & is1).any(axis=1)
+    a0 = o0 & (tc >= 1)
+    a1 = a0 & o1 & (tc >= 2)
+    a2 = a1 & o2 & (tc >= 3)
     t1 = a0.astype(jnp.int32) + a1 + a2
 
+    # total_zeros from the highest nonzero position
+    hi = (L - 1) - jnp.argmax(mask[:, ::-1], axis=1).astype(jnp.int32)
+    tz = hi + 1 - tc
     rest = t1                                 # trailing-one sign bits
-    sl = jnp.where((tc > 10) & (t1 < 3), 1, 0)
-    for j in range(nlev):
-        active = (j >= t1) & (j < tc)
-        lv = levels[:, j]
-        lc = jnp.where(lv > 0, 2 * lv - 2, -2 * lv - 1)
-        lc = lc - jnp.where((j == t1) & (t1 < 3), 2, 0)
-        l0 = jnp.where(lc < 14, lc + 1, jnp.where(lc < 30, 19, 28))
-        pre = lc >> jnp.maximum(sl, 1).astype(jnp.int32)
-        lN = jnp.where(pre < 15, pre + 1 + sl, 28)
-        ln = jnp.where(sl == 0, l0, lN)
-        rest = rest + jnp.where(active, ln, 0)
-        sl_next = jnp.maximum(sl, 1)
-        sl_next = jnp.where((jnp.abs(lv) > (3 << (sl_next - 1)))
-                            & (sl_next < 6), sl_next + 1, sl_next)
-        sl = jnp.where(active, sl_next, sl)
-
-    tz = positions[:, 0] + 1 - tc
     tzc = jnp.clip(tz, 0, max_coeff - 1)
     vi = jnp.clip(tc - 1, 0, max_coeff - 2)
     if max_coeff == 4:
@@ -175,14 +178,36 @@ def block_len_parts(scan, max_coeff: int):
         tzl = jnp.asarray(_TZ_LEN_D)[vi, tzc]
     rest = rest + jnp.where((tc > 0) & (tc < max_coeff), tzl, 0)
 
+    run_tab = jnp.asarray(_RUN_LEN_D)
+    sl = jnp.where((tc > 10) & (t1 < 3), 1, 0)
+    j = jnp.zeros(B, jnp.int32)               # rank of the next nonzero
     zl = jnp.where(tc > 0, tz, 0)
-    for k in range(min(15, nlev - 1)):
-        run = positions[:, k] - positions[:, k + 1] - 1
-        active = (k < tc - 1) & (zl > 0)
+    prev = hi
+    for p in range(L - 1, -1, -1):
+        lv = c[:, p]
+        nz = mask[:, p]
+        # level bits (ranks >= t1)
+        lvl_act = nz & (j >= t1)
+        lc = jnp.where(lv > 0, 2 * lv - 2, -2 * lv - 1)
+        lc = lc - jnp.where((j == t1) & (t1 < 3), 2, 0)
+        l0 = jnp.where(lc < 14, lc + 1, jnp.where(lc < 30, 19, 28))
+        pre = lc >> jnp.maximum(sl, 1).astype(jnp.int32)
+        lN = jnp.where(pre < 15, pre + 1 + sl, 28)
+        ln = jnp.where(sl == 0, l0, lN)
+        rest = rest + jnp.where(lvl_act, ln, 0)
+        sl_next = jnp.maximum(sl, 1)
+        sl_next = jnp.where((jnp.abs(lv) > (3 << (sl_next - 1)))
+                            & (sl_next < 6), sl_next + 1, sl_next)
+        sl = jnp.where(lvl_act, sl_next, sl)
+        # run_before bits (ranks >= 1, while zeros remain)
+        run = prev - p - 1
+        run_act = nz & (j >= 1) & (zl > 0)
         vlc = jnp.clip(jnp.minimum(zl, 7) - 1, 0, 6)
-        rl = jnp.asarray(_RUN_LEN_D)[vlc, jnp.clip(run, 0, 14)]
-        rest = rest + jnp.where(active, rl, 0)
-        zl = jnp.where(active, zl - run, zl)
+        rl = run_tab[vlc, jnp.clip(run, 0, 14)]
+        rest = rest + jnp.where(run_act, rl, 0)
+        zl = jnp.where(run_act, zl - run, zl)
+        prev = jnp.where(nz, p, prev)
+        j = j + nz
     return tc, t1, rest
 
 
@@ -258,12 +283,33 @@ def _chroma_trial(cband, mv_quad, mb_xy, orig_u, orig_v, qpc, sr):
 
 def p_mode_rd_device(band, cband, win, mv_q, int_mv, pred, orig_q,
                      orig_u, orig_v, mb_xy, qp, qpc, *,
-                     mb_w: int, mb_h: int, sr: int):
+                     mb_w: int, mb_h: int, sr: int,
+                     mode_satd=None, top_modes: int = 4):
     """Batched md_high: pick per-MB among {P_Skip, 16x16, 16x8, 8x16,
     8x8} by J = SSD + lambda_mode * exact bits. Returns the committed
     fields (inter_mode, mv_quad, luma scan16/nnz/cbp, chroma set,
-    recY/recU/recV as MB tensors) plus the SATD-scale inter cost for the
-    intra-fallback trigger."""
+    recY/recU/recV as MB tensors).
+
+    top_modes=2 (with mode_satd, the SATD+rate mode costs of the
+    subpel stage) prunes the trial set per MB to the two best
+    SATD-ranked partition modes before trial encoding — the batched
+    twin of the reference's fast-tier mode preselection
+    (lencod/src/md_highfast.c:95 mode skip heuristics): the trial
+    encode, bit pricing and chroma RD all run on 8 qjobs/MB instead
+    of 16. P_Skip is always kept as a candidate."""
+    if top_modes < 4 and mode_satd is not None:
+        return _p_mode_rd_pruned(band, cband, win, mv_q, int_mv, pred,
+                                 orig_q, orig_u, orig_v, mb_xy, qp, qpc,
+                                 mode_satd, mb_w=mb_w, mb_h=mb_h, sr=sr)
+    return _p_mode_rd_full(band, cband, win, mv_q, int_mv, pred,
+                           orig_q, orig_u, orig_v, mb_xy, qp, qpc,
+                           mb_w=mb_w, mb_h=mb_h, sr=sr)
+
+
+def _p_mode_rd_full(band, cband, win, mv_q, int_mv, pred, orig_q,
+                    orig_u, orig_v, mb_xy, qp, qpc, *,
+                    mb_w: int, mb_h: int, sr: int):
+    """All-modes trial encode (md_high twin, the top_modes=4 tier)."""
     n = mb_w * mb_h
     lam_f = jnp.float32(lambda_mode_f(qp))
     cbp_inv = jnp.asarray(_CBP_INTER_INV)
@@ -458,6 +504,222 @@ def p_mode_rd_device(band, cband, win, mv_q, int_mv, pred, orig_q,
                 mv_quad=mv_quad,
                 luma_scan=scan16, luma_nnz=nnz16,
                 cbp=(cbp_c_f << 4) | cbp_l,
+                chroma_dc=dc_f, chroma_scan=ac_f, chroma_nnz=cnnz_f,
+                recY_mbs=recY, recU_mbs=recU_f, recV_mbs=recV_f,
+                j_win=jnp.min(jstack, axis=1))
+
+
+def _qjob_pred_subset(win, tx, ty):
+    """qjob_pred_blocks for a gathered qjob subset: 49-way static select
+    at the chosen sub-pel window offsets. win: (B, 4, 10, 10) int16;
+    tx/ty: (B,) quarter offsets in 1..7. Returns (B, 8, 8) int32."""
+    out = jnp.zeros((win.shape[0], 8, 8), jnp.int32)
+    for t_y in range(1, 8):
+        for t_x in range(1, 8):
+            blk = EJ._qpel_block_at(win, t_x, t_y)
+            sel = ((tx == t_x) & (ty == t_y))[:, None, None]
+            out = jnp.where(sel, blk, out)
+    return out
+
+
+def _p_mode_rd_pruned(band, cband, win, mv_q, int_mv, pred, orig_q,
+                      orig_u, orig_v, mb_xy, qp, qpc, mode_satd, *,
+                      mb_w: int, mb_h: int, sr: int):
+    """Trial-encode RD restricted per MB to the top-2 SATD-ranked
+    partition modes (P_Skip always stays a candidate). Identical cost
+    model to _p_mode_rd_full on the surviving candidates; the only
+    difference is the md_highfast-style preselection."""
+    n = mb_w * mb_h
+    ns = 2
+    lam_f = jnp.float32(lambda_mode_f(qp))
+    cbp_inv = jnp.asarray(_CBP_INTER_INV)
+    se = jnp.asarray(_SE_BITS_NP)
+
+    # ---- candidate modes by SATD + rate cost --------------------------
+    m1 = jnp.argmin(mode_satd, axis=1).astype(jnp.int32)
+    masked = jnp.where(jnp.arange(4)[None] == m1[:, None],
+                       jnp.asarray(np.float32(np.inf)),
+                       mode_satd.astype(jnp.float32))
+    m2 = jnp.argmin(masked, axis=1).astype(jnp.int32)
+    cand = jnp.stack([m1, m2], axis=1)                    # (N, 2)
+
+    sel_qjob = jnp.asarray(QJOB_OF)[cand]                 # (N, 2, 4)
+    parent = jnp.asarray(PARENT_OF)[cand]                 # (N, 2, 4)
+    firstq = jnp.asarray(FIRSTQ)[cand]                    # (N, 2, 4)
+    partof = jnp.asarray(PART_OF)[cand]                   # (N, 2, 4)
+    hdr_bits = jnp.asarray(_MODE_HDR_BITS)[cand]          # (N, 2)
+    flat_sel = sel_qjob.reshape(n, ns * 4)                # (N, 8)
+
+    # ---- gather trial inputs at the surviving qjobs -------------------
+    win16 = win.reshape(n, 16, 4, 10, 10)
+    win_sub = jnp.take_along_axis(
+        win16, flat_sel[:, :, None, None, None], axis=1)  # (N,8,4,10,10)
+    tx16 = (mv_q[..., 0] - 4 * int_mv[..., 0] + 4)[:, jnp.asarray(EJ.QJ_PARENT)]
+    ty16 = (mv_q[..., 1] - 4 * int_mv[..., 1] + 4)[:, jnp.asarray(EJ.QJ_PARENT)]
+    tx_s = jnp.take_along_axis(tx16, flat_sel, axis=1)    # (N, 8)
+    ty_s = jnp.take_along_axis(ty16, flat_sel, axis=1)
+    # slot-local trial order IS quad order (QJOB_OF rows are per-quad)
+    oq_sub = orig_q.astype(jnp.int32)[
+        jnp.arange(n)[:, None],
+        jnp.asarray(EJ.QJ_QUAD)[flat_sel]]                # (N, 8, 8, 8)
+    mv_sel = jnp.take_along_axis(
+        mv_q, parent.reshape(n, ns * 4)[..., None], axis=1) \
+        .reshape(n, ns, 4, 2)                             # (N, 2, 4, 2)
+
+    blk_pred = _qjob_pred_subset(
+        win_sub.reshape(n * ns * 4, 4, 10, 10),
+        tx_s.reshape(-1), ty_s.reshape(-1))               # (N8, 8, 8)
+
+    scan4, costq, nnz4, ssd_c, ssd_z, rec8 = luma_quad_tq(
+        oq_sub.reshape(n * ns * 4, 8, 8), blk_pred, qp)
+    scan4 = scan4.reshape(n, ns, 4, 4, 16)
+    costq = costq.reshape(n, ns, 4)
+    nnz4 = nnz4.reshape(n, ns, 4, 4)
+    ssd_c = ssd_c.reshape(n, ns, 4)
+    ssd_z = ssd_z.reshape(n, ns, 4)
+    rec8 = rec8.reshape(n, ns, 4, 8, 8)
+    tc_b, t1_b, rest_b = block_len_parts(
+        scan4.reshape(n * ns * 4 * 4, 16), 16)
+    tc_b = tc_b.reshape(n, ns, 4, 4)
+    t1_b = t1_b.reshape(n, ns, 4, 4)
+    rest_b = rest_b.reshape(n, ns, 4, 4)
+
+    # ---- per-slot luma cost ------------------------------------------
+    keep_q = costq > 4
+    total = jnp.where(keep_q, costq, 0).sum(axis=2)       # (N, 2)
+    kept = keep_q & (total > 5)[..., None]                # (N, 2, 4)
+    luma_ssd = jnp.where(kept, ssd_c, ssd_z).sum(axis=2)  # (N, 2)
+    nnz_m = jnp.where(kept[..., None], nnz4, 0)           # (N, 2, 4, 4)
+    nnz16 = jnp.zeros((n, ns, 16), jnp.int32)
+    nnz16 = nnz16.at[:, :, jnp.asarray(RASTER_OF).reshape(-1)].set(
+        nnz_m.reshape(n, ns, 16))
+    nc16 = _nc_cat(_luma_nc_inmb(nnz16.reshape(n * ns, 16))) \
+        .reshape(n, ns, 16)
+    ct = _ct_len(nc16[:, :, jnp.asarray(RASTER_OF).reshape(-1)]
+                 .reshape(n, ns, 4, 4), t1_b, tc_b)
+    bl = (ct + rest_b).sum(axis=3)                        # (N, 2, 4)
+    luma_bits = jnp.where(kept, bl, 0).sum(axis=2)        # (N, 2)
+    cbp_l = ((nnz_m.sum(axis=3) > 0).astype(jnp.int32)
+             * jnp.asarray([1, 2, 4, 8])[None, None]).sum(axis=2)
+
+    # ---- per-slot chroma trials --------------------------------------
+    chroma = [_chroma_trial(cband, mv_sel[:, s], mb_xy, orig_u,
+                            orig_v, qpc, sr) for s in range(ns)]
+
+    orig16 = orig_q.astype(jnp.int32).reshape(n, 2, 2, 8, 8) \
+        .transpose(0, 1, 3, 2, 4).reshape(n, 16, 16)
+    blk_quad = jnp.asarray(
+        [(b // 8) * 2 + ((b % 4) // 2) for b in range(16)])
+
+    def skip_trial(smv):
+        s4 = jnp.broadcast_to(smv[:, None, :], (n, 4, 2))
+        p16 = EJ.mc_luma_quads_band(band, s4, mb_xy, sr)
+        ssd_l = ((orig16 - p16) ** 2).sum(axis=(1, 2))
+        pu, pv = EJ.mc_chroma_quads_band(cband, s4, mb_xy, sr)
+        sc = (((orig_u.astype(jnp.int32) - pu) ** 2).sum(axis=(1, 2))
+              + ((orig_v.astype(jnp.int32) - pv) ** 2).sum(axis=(1, 2)))
+        return s4, p16, pu, pv, (ssd_l + sc).astype(jnp.float32)
+
+    def mvb_of(predq):
+        """predq (N, 2, 4, 2): predictor per slot per quad."""
+        d = mv_sel - predq
+        bits = (se[jnp.clip(jnp.abs(d[..., 0]), 0, 4095)]
+                + se[jnp.clip(jnp.abs(d[..., 1]), 0, 4095)])
+        return (firstq * bits).sum(axis=2)                # (N, 2)
+
+    def decide(mvb, j_skip):
+        js = [j_skip]
+        for s in range(ns):
+            ch = chroma[s]
+            cbp_full = cbp_l[:, s] | (ch["cbp_c"] << 4)
+            cbp_bits = _ue_len_arr(cbp_inv[jnp.clip(cbp_full, 0, 47)])
+            dqp_bits = (cbp_full != 0).astype(jnp.int32)
+            bits = (hdr_bits[:, s] + mvb[:, s] + cbp_bits + dqp_bits
+                    + luma_bits[:, s] + ch["bits"])
+            js.append((luma_ssd[:, s] + ch["ssd"]).astype(jnp.float32)
+                      + lam_f * bits.astype(jnp.float32))
+        jstack = jnp.stack(js, axis=1)                    # (N, 3)
+        return jnp.argmin(jstack, axis=1).astype(jnp.int32), jstack
+
+    # ---- pass 1: approximate (per-MB) predictor rate ------------------
+    skip4, pred16_skip, pu_s, pv_s, ssd_skip = skip_trial(pred)
+    win_p1, _ = decide(mvb_of(jnp.broadcast_to(
+        pred[:, None, None, :], (n, ns, 4, 2))), ssd_skip + lam_f)
+    slot_p1 = jnp.clip(win_p1 - 1, 0, ns - 1)
+    mode_p1 = jnp.take_along_axis(cand, slot_p1[:, None], axis=1)[:, 0]
+    mv_quad_p1 = jnp.take_along_axis(
+        mv_sel, slot_p1[:, None, None, None], axis=1)[:, 0]
+    mv_quad_p1 = jnp.where((win_p1 == 0)[:, None, None],
+                           skip4, mv_quad_p1)
+    mode_p1 = jnp.where(win_p1 == 0, 0, mode_p1)
+
+    # ---- pass 2: exact median predictors from the pass-1 field --------
+    from .cavlc_jax import mv_pred_parts, skip_mv_field
+    mv4_p1 = mv_quad_p1[:, blk_quad]
+    allpred = mv_pred_parts(mv4_p1, mode_p1, mb_w, mb_h,
+                            all_modes=True)               # (N, 4m, 4p, 2)
+    allpred_s = jnp.take_along_axis(
+        allpred, cand[:, :, None, None], axis=1)          # (N, 2, 4p, 2)
+    predq = jnp.take_along_axis(allpred_s, partof[..., None], axis=2)
+    smv_exact = skip_mv_field(mv4_p1, mb_w, mb_h)
+    skip4, pred16_skip, pu_s, pv_s, ssd_skip2 = skip_trial(smv_exact)
+    win_i, jstack = decide(mvb_of(predq), ssd_skip2)      # true skip ~0 bits
+    is_skip = win_i == 0
+    best_slot = jnp.clip(win_i - 1, 0, ns - 1)
+    best_m = jnp.take_along_axis(cand, best_slot[:, None], axis=1)[:, 0]
+
+    # ---- gather final fields (winner slot) ----------------------------
+    def take_slot(arr):
+        """arr (N, 2, ...) -> (N, ...) at the winning slot."""
+        idx = best_slot.reshape(n, 1, *([1] * (arr.ndim - 2)))
+        return jnp.take_along_axis(arr, idx, axis=1)[:, 0]
+
+    kept_w = take_slot(kept) & ~is_skip[:, None]          # (N, 4)
+    scan_q = jnp.where(kept_w[..., None, None], take_slot(scan4), 0)
+    nnz_q = jnp.where(kept_w[..., None], take_slot(nnz4), 0)
+    rec_q = jnp.where(
+        kept_w[..., None, None], take_slot(rec8),
+        jnp.clip(take_slot(blk_pred.reshape(n, ns, 4, 8, 8)),
+                 0, 255).astype(jnp.uint8))
+    skip_rec = pred16_skip.reshape(n, 2, 8, 2, 8) \
+        .transpose(0, 1, 3, 2, 4).reshape(n, 4, 8, 8).astype(jnp.uint8)
+    rec_q = jnp.where(is_skip[:, None, None, None], skip_rec, rec_q)
+
+    # slot-local trial order is quad order -> RASTER/QUAD maps apply
+    qb = jnp.asarray(QUAD_OF_BLK)
+    sb = jnp.asarray(SUB_OF_BLK)
+    scan16 = scan_q[:, qb, sb]                            # (N, 16, 16)
+    nnz16f = nnz_q[:, qb, sb]
+    cbp_lw = ((nnz_q.sum(axis=2) > 0).astype(jnp.int32)
+              * jnp.asarray([1, 2, 4, 8])[None]).sum(axis=1)
+    recY = rec_q.reshape(n, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 16, 16)
+
+    def ch_sel(key, zero_like):
+        outs = jnp.stack([chroma[s][key] for s in range(ns)], axis=0)
+        v = jnp.take_along_axis(
+            outs, best_slot.reshape(1, n, *([1] * (outs.ndim - 2))),
+            axis=0)[0]
+        zl = jnp.zeros_like(v) if zero_like is None else zero_like
+        ex = is_skip.reshape(n, *([1] * (v.ndim - 1)))
+        return jnp.where(ex, zl, v)
+
+    dc_f = ch_sel("dc", None)
+    ac_f = ch_sel("ac", None)
+    cnnz_f = ch_sel("cnnz", None)
+    cbp_c_f = ch_sel("cbp_c", None)
+    recU_f = ch_sel("recU", jnp.clip(pu_s, 0, 255).astype(jnp.uint8))
+    recV_f = ch_sel("recV", jnp.clip(pv_s, 0, 255).astype(jnp.uint8))
+
+    mv_quad = jnp.take_along_axis(
+        mv_sel, best_slot[:, None, None, None], axis=1)[:, 0]
+    mv_quad = jnp.where(is_skip[:, None, None], skip4, mv_quad)
+    inter_mode = jnp.where(is_skip, 0, best_m)
+
+    return dict(inter_mode=inter_mode.astype(jnp.int32),
+                mv_quad=mv_quad,
+                luma_scan=scan16, luma_nnz=nnz16f,
+                cbp=(cbp_c_f << 4) | cbp_lw,
                 chroma_dc=dc_f, chroma_scan=ac_f, chroma_nnz=cnnz_f,
                 recY_mbs=recY, recU_mbs=recU_f, recV_mbs=recV_f,
                 j_win=jnp.min(jstack, axis=1))

@@ -74,7 +74,7 @@ LADDERS = {
         ours=dict(num_ref=5, search_range=32, rdo=1, sub8x8=True, rdoq=1),
         jm_cfg="encoder_baseline.cfg", jm_extra=[]),
     "main_qcif9": dict(
-        yuv=os.path.join(RUN, "foreman10.yuv"), w=176, h=144, n=9,
+        yuv=os.path.join(RUN, "qcif10.yuv"), w=176, h=144, n=9,
         ours=dict(num_ref=2, search_range=16, rdo=1, sub8x8=True, rdoq=1,
                   entropy="cabac", num_b=2),
         jm_cfg="encoder_main.cfg",

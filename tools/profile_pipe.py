@@ -56,7 +56,7 @@ def main():
     zeros = jax.device_put(np.zeros(n, np.int32))
     d_cb = jax.device_put(qpc_cb)
     d_cr = jax.device_put(qpc_cr)
-    max_words = max(4096, n * 8) + 64
+    max_words = max(4096, n * 2) + 64    # production budget (encoder.py)
 
     def sync(x):
         """Completion barrier: fetch one scalar derived from x."""
@@ -87,8 +87,16 @@ def main():
             timings.setdefault(name, []).append(time.time() - t0)
             return r
 
-        dY = t("upload", lambda: (jax.device_put(Y), jax.device_put(U),
-                                  jax.device_put(V)))
+        def _pack_host(Y, U, V):
+            buf = np.empty((Y.shape[0] + U.shape[0], Y.shape[1]), np.uint8)
+            buf[:Y.shape[0]] = Y
+            buf[Y.shape[0]:, :U.shape[1]] = U
+            buf[Y.shape[0]:, U.shape[1]:] = V
+            return buf
+
+        packed_in = t("upload",
+                      lambda: jax.device_put(_pack_host(Y, U, V)))
+        dY = (packed_in[:H], packed_in[H:, :W // 2], packed_in[H:, W // 2:])
         core = t("core_rd", lambda: EJ.p_frame_step(
             dY[0], dY[1], dY[2], state[0], state[1], state[2], QP, qpc,
             lambda_me(QP), lambda_mode4(QP),
@@ -100,20 +108,24 @@ def main():
             qp_arr, zeros, zeros, zeros, zeros, zeros, d_cb, d_cr,
             mb_w=mb_w, mb_h=mb_h))
         nstate = t("prep_ref", lambda: EJ.prep_ref(*deb))
-        skip = t("skip_field", lambda: CJX.skip_field(
-            core["inter_mode"], core["cbp"], core["mv4"], mb_w, mb_h))
-        packed = t("pack", lambda: CJX.pack_p_slice(
-            skip, core["inter_mode"], core["mv4"], core["cbp"],
+        packed = t("pack", lambda: CJX.pack_p_slice_full(
+            core["inter_mode"], core["mv4"], core["cbp"],
             core["luma_scan"], core["luma_nnz"], core["chroma_dc"],
             core["chroma_scan"], core["chroma_nnz"],
             mb_w=mb_w, mb_h=mb_h, max_words=max_words))
 
+        # production fetch: ONE fixed-shape leaf (flags prepended)
+        import jax.numpy as jnp
+        ext_dev = jnp.concatenate(
+            [jnp.stack([packed["nbits"].astype(jnp.int32),
+                        packed["ovf"].astype(jnp.int32),
+                        jnp.int32(0)]).astype(jnp.uint32),
+             packed["words"]])
         t0 = time.time()
-        small = jax.device_get({"nbits": packed["nbits"],
-                                "ovf": packed["ovf"]})
-        nbits = int(small["nbits"])
+        ext = jax.device_get(ext_dev)
+        nbits = int(ext[0])
         k = (nbits + 31) // 32
-        words = np.asarray(packed["words"][:k])
+        words = np.asarray(ext[3:3 + k])
         timings.setdefault("download", []).append(time.time() - t0)
 
         t0 = time.time()
