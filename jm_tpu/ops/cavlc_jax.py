@@ -84,10 +84,15 @@ for _i, (_cbp_intra, _cbp_inter) in enumerate(CBP_MAP_CHROMA):
 _C2R = np.asarray(CODE2RASTER)
 
 BLOCK_SLOTS = 34                      # ct, t1signs, 16 levels, tz, 15 runs
-BLOCK_WORDS = 21                      # 672 bits >= worst-case block
-HEADER_SLOTS = 16                     # skiprun, mbtype, 4 submb, 8 mvd,
-                                      # cbp, dqp
-HEADER_WORDS = 8
+BLOCK_WORDS = 9                       # 288 bits: covers every realistic
+                                      # coded block (worst natural ~200
+                                      # bits); beyond-288-bit blocks set
+                                      # ovf -> host serializer fallback.
+                                      # fold_slots is O(S*B*W), so the
+                                      # r4 worst-case budget of 21 words
+                                      # cost ~2.3x the entropy-pack time
+HEADER_WORDS = 9                      # 288 bits > worst-case header
+                                      # (8 mvd x 25 + skiprun 27 + ...)
 PIECES_PER_MB = 27                    # header + 16 luma + 2 dc + 8 ac
 
 
@@ -710,11 +715,8 @@ def _pack_p_body(skip, inter_mode, mv4, cbp, luma_scan, luma_nnz,
     # k_overlap=16: real content packs 12+ 1-bit pieces (empty coded
     # blocks) into one output word, which overflowed the r4 bound of 8;
     # pathological content beyond 16 still flags ovf -> host serializer.
-    hw_p = jnp.concatenate(
-        [hw, jnp.zeros((n, BLOCK_WORDS - HEADER_WORDS), jnp.uint32)],
-        axis=1)
     piece_words = jnp.concatenate([
-        hw_p[:, None], lw_mb, dw.reshape(n, 2, BLOCK_WORDS),
+        hw[:, None], lw_mb, dw.reshape(n, 2, BLOCK_WORDS),
         aw.reshape(n, 8, BLOCK_WORDS)], axis=1)     # (N, 27, W)
     piece_lens = jnp.concatenate([
         jnp.where(coded, hbits, 0)[:, None],
@@ -743,10 +745,16 @@ def _pack_p_body(skip, inter_mode, mv4, cbp, luma_scan, luma_nnz,
 
     words, nbits, aovf2 = assemble(piece_words, piece_lens, max_words,
                                    k_overlap=16)
+    # fold-capacity overflow: any piece longer than its word buffer
+    # (BLOCK_WORDS/HEADER_WORDS are sized for realistic content; the
+    # host serializer handles the pathological tail)
+    cap_ovf = ((lbits > 32 * BLOCK_WORDS).any()
+               | (abits > 32 * BLOCK_WORDS).any()
+               | (hbits > 32 * HEADER_WORDS).any())
     return {
         "words": words,
         "nbits": nbits,
-        "ovf": lovf.any() | dovf.any() | aovf.any() | aovf2,
+        "ovf": lovf.any() | dovf.any() | aovf.any() | aovf2 | cap_ovf,
         "bits_per_mb": bits_per_mb,
     }
 

@@ -509,19 +509,6 @@ def _p_mode_rd_full(band, cband, win, mv_q, int_mv, pred, orig_q,
                 j_win=jnp.min(jstack, axis=1))
 
 
-def _qjob_pred_subset(win, tx, ty):
-    """qjob_pred_blocks for a gathered qjob subset: 49-way static select
-    at the chosen sub-pel window offsets. win: (B, 4, 10, 10) int16;
-    tx/ty: (B,) quarter offsets in 1..7. Returns (B, 8, 8) int32."""
-    out = jnp.zeros((win.shape[0], 8, 8), jnp.int32)
-    for t_y in range(1, 8):
-        for t_x in range(1, 8):
-            blk = EJ._qpel_block_at(win, t_x, t_y)
-            sel = ((tx == t_x) & (ty == t_y))[:, None, None]
-            out = jnp.where(sel, blk, out)
-    return out
-
-
 def _p_mode_rd_pruned(band, cband, win, mv_q, int_mv, pred, orig_q,
                       orig_u, orig_v, mb_xy, qp, qpc, mode_satd, *,
                       mb_w: int, mb_h: int, sr: int):
@@ -551,13 +538,14 @@ def _p_mode_rd_pruned(band, cband, win, mv_q, int_mv, pred, orig_q,
     flat_sel = sel_qjob.reshape(n, ns * 4)                # (N, 8)
 
     # ---- gather trial inputs at the surviving qjobs -------------------
-    win16 = win.reshape(n, 16, 4, 10, 10)
-    win_sub = jnp.take_along_axis(
-        win16, flat_sel[:, :, None, None, None], axis=1)  # (N,8,4,10,10)
-    tx16 = (mv_q[..., 0] - 4 * int_mv[..., 0] + 4)[:, jnp.asarray(EJ.QJ_PARENT)]
-    ty16 = (mv_q[..., 1] - 4 * int_mv[..., 1] + 4)[:, jnp.asarray(EJ.QJ_PARENT)]
-    tx_s = jnp.take_along_axis(tx16, flat_sel, axis=1)    # (N, 8)
-    ty_s = jnp.take_along_axis(ty16, flat_sel, axis=1)
+    # extract all 16 qjob predictions first (49-way static select over
+    # the refine windows), then gather the surviving (8, 8) blocks: a
+    # take_along_axis on the (N, 16, 4, 10, 10) window tensor itself
+    # costs more than the halved select saves (large-slice TPU gathers)
+    blk_all = EJ.qjob_pred_blocks(win, mv_q, int_mv)      # (N, 16, 8, 8)
+    blk_pred = jnp.take_along_axis(
+        blk_all, flat_sel[:, :, None, None], axis=1) \
+        .reshape(n * ns * 4, 8, 8)                        # (N8, 8, 8)
     # slot-local trial order IS quad order (QJOB_OF rows are per-quad)
     oq_sub = orig_q.astype(jnp.int32)[
         jnp.arange(n)[:, None],
@@ -565,10 +553,6 @@ def _p_mode_rd_pruned(band, cband, win, mv_q, int_mv, pred, orig_q,
     mv_sel = jnp.take_along_axis(
         mv_q, parent.reshape(n, ns * 4)[..., None], axis=1) \
         .reshape(n, ns, 4, 2)                             # (N, 2, 4, 2)
-
-    blk_pred = _qjob_pred_subset(
-        win_sub.reshape(n * ns * 4, 4, 10, 10),
-        tx_s.reshape(-1), ty_s.reshape(-1))               # (N8, 8, 8)
 
     scan4, costq, nnz4, ssd_c, ssd_z, rec8 = luma_quad_tq(
         oq_sub.reshape(n * ns * 4, 8, 8), blk_pred, qp)
