@@ -323,6 +323,9 @@ class H264Decoder:
         sps = cur["sps"]
         if sps.bit_depth_luma_minus8 or sps.bit_depth_chroma_minus8:
             return False          # device recon is uint8-only
+        if getattr(sps, "qpprime_y_zero_transform_bypass_flag", 0) \
+                and (pic.qp == 0).any():
+            return False          # lossless bypass stays on the host path
         if wp is not None and getattr(wp, "mode", 0):
             return False
         if not lst0:

