@@ -134,10 +134,12 @@ def main():
         pass
     print(json.dumps({
         "metric": "1080p IPPP CAVLC real-encoder frames/s (device "
-                  f"pipeline + device RD + device entropy, SR16 qp{QP}, "
-                  f"{kbps:.0f} kbit/s @30Hz; this preset measures "
-                  "-26.9% BD-rate vs the matched live JM anchor at "
-                  "CIF/30 frames, bd_cif.json; decode-validated)",
+                  f"pipeline + pruned device RD + device entropy, SR16 "
+                  f"qp{QP}, {kbps:.0f} kbit/s @30Hz; this preset "
+                  "measures "
+                  f"{bd.get('bd_rate_fast_rd_cif30_pct', '?')}% BD-rate "
+                  "vs the matched live JM anchor at CIF/30 frames, "
+                  "bd_cif.json; decode-validated)",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / JM_LENCOD_1080P_FPS, 1),
