@@ -127,5 +127,40 @@ def main():
     print(json.dumps(out))
 
 
+
+def assemble_only():
+    """python tools/profile_pack.py assemble — time assemble() alone."""
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from jm_tpu.ops import cavlc_jax as CJ
+    n = 8160
+    P = n * 27 + 1
+    rng = np.random.default_rng(0)
+    lens = rng.integers(0, 40, P).astype(np.int32)
+    lens[rng.random(P) < 0.5] = 0
+    words = rng.integers(0, 2**31, (P, CJ.BLOCK_WORDS)).astype(np.uint32)
+    dW = jax.device_put(words)
+    dL = jax.device_put(lens)
+    max_words = max(4096, n * 2) + 64
+
+    f = jax.jit(lambda w, l: CJ.assemble(w, l, max_words, k_overlap=16))
+    r = f(dW, dL)
+    np.asarray(r[1])
+    import time as T
+    best = 1e9
+    for _ in range(3):
+        t0 = T.time()
+        r = f(dW, dL)
+        np.asarray(r[1])
+        best = min(best, T.time() - t0)
+    print(json.dumps({"assemble_ms": round(1000 * best, 1)}))
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "assemble":
+    main = assemble_only
+
+
 if __name__ == "__main__":
     main()
