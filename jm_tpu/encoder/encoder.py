@@ -707,6 +707,24 @@ class Encoder:
         # fallback instead
         max_words = max(4096, n * 2) + 64
 
+        import os
+        # ONE fused device program per frame when possible: every
+        # separately-dispatched program costs ~1 wire round trip on this
+        # transport even when async (~230 ms/frame across the ~8-program
+        # composition, tools/profile_pipe.py stage sum vs bench wall).
+        # The composed path remains for md_low (rd=False) and for the
+        # opt-in Pallas deblock probe (deblock_auto can't run inside the
+        # fused XLA-only program).
+        use_fused = (cfg.device_rd
+                     and not os.environ.get("JM_TPU_PALLAS_DEBLOCK"))
+
+        def dispatch_fused(packed_in, s):
+            return EJ.p_frame_rd_pipe(
+                packed_in, s[0], s[1], s[2], qp, qpc,
+                lambda_me(qp), lambda_mode4(qp), d_cb, d_cr,
+                mb_w=self.mb_w, mb_h=self.mb_h, sr=cfg.search_range,
+                max_words=max_words)
+
         def dispatch(Y, U, V, s):
             # composed from separately-jitted (persistently cached)
             # programs: core encode -> bS -> in-loop deblock (Pallas on
@@ -795,16 +813,21 @@ class Encoder:
                 continue
             disp = self.display_idx
             self.display_idx += 1
-            out, new_state = dispatch(Y, U, V,
-                                      dev_state if dev_state is not None
-                                      else ref_state())
+
+            def _go(s):
+                if use_fused:
+                    return dispatch_fused(packed_in, s)
+                return dispatch(Y, U, V, s)
+
+            out, new_state = _go(dev_state if dev_state is not None
+                                 else ref_state())
             if pending is not None:
                 payload, fell_back = self._pipe_finalize(*pending)
                 payloads.append(payload)
                 if fell_back:
                     # the speculated reference state was wrong: redo this
                     # frame's dispatch against the corrected DPB head
-                    out, new_state = dispatch(Y, U, V, ref_state())
+                    out, new_state = _go(ref_state())
             pending = (out, disp, f, new_state)
             dev_state = new_state
         if pending is not None:

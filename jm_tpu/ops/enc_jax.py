@@ -1201,6 +1201,66 @@ def pack_syntax(inter_mode, mv4, luma_scan, luma_nnz, cbp, chroma_dc,
     }
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mb_w", "mb_h", "sr", "max_words"))
+def p_frame_rd_pipe(packed_in, planes, padU, padV, qp, qpc, lam, lam4,
+                    qpc_cb_tab, qpc_cr_tab, *, mb_w: int, mb_h: int,
+                    sr: int, max_words: int):
+    """The WHOLE pipelined RD P frame as ONE device program: source
+    unpack -> RD encode -> boundary strengths -> deblock -> next-ref
+    prep -> CAVLC slice pack -> flags/words concat.
+
+    The former composition dispatched ~8 separately-jitted programs per
+    frame; on the axon tunnel every dispatch costs about one ~28 ms wire
+    round trip even when async, which was ~230 ms of the measured 605 ms
+    frame wall (tools/profile_pipe.py stage sum vs bench wall). One
+    program pays the overhead once.
+
+    packed_in: (16*mb_h * 3 // 2, 16*mb_w) uint8 — Y on top, U|V below
+    (the single-leaf upload layout of Encoder.encode_stream).
+    Returns (out dict, next-ref state)."""
+    from .deblock_jax import compute_bs_jax, deblock_jax
+    h, w = mb_h * 16, mb_w * 16
+    origY = packed_in[:h]
+    origU = packed_in[h:, :w // 2]
+    origV = packed_in[h:, w // 2:]
+    n = mb_w * mb_h
+    core = _p_frame_core(origY, origU, origV, planes, padU, padV,
+                         qp, qpc, lam, lam4, mb_w=mb_w, mb_h=mb_h,
+                         sr=sr, rd=True)
+    zeros = jnp.zeros(n, jnp.int32)
+    ref0 = jnp.full((n, 4), 7, jnp.int32)
+    refm1 = jnp.full((n, 4), -1, jnp.int32)
+    bs_v, bs_h = compute_bs_jax(
+        zeros.astype(jnp.int8), core["luma_nnz"], zeros,
+        core["mv4"], jnp.zeros_like(core["mv4"]), ref0, refm1,
+        mb_w, mb_h)
+    qp_arr = jnp.broadcast_to(jnp.asarray(qp, jnp.int32), (n,))
+    dY, dU, dV = deblock_jax(
+        core["recY"], core["recU"], core["recV"], bs_v, bs_h, qp_arr,
+        zeros, zeros, zeros, zeros, zeros, qpc_cb_tab, qpc_cr_tab,
+        mb_w=mb_w, mb_h=mb_h)
+    state = (make_luma_planes_dev(dY),
+             jnp.pad(dU, PAD, mode="edge"),
+             jnp.pad(dV, PAD, mode="edge"))
+    from . import cavlc_jax as CJX
+    skip = CJX.skip_field(core["inter_mode"], core["cbp"], core["mv4"],
+                          mb_w, mb_h)
+    packed = CJX._pack_p_body(
+        skip, core["inter_mode"], core["mv4"], core["cbp"],
+        core["luma_scan"], core["luma_nnz"], core["chroma_dc"],
+        core["chroma_scan"], core["chroma_nnz"],
+        mb_w, mb_h, max_words)
+    flags = jnp.stack([
+        packed["nbits"].astype(jnp.int32),
+        packed["ovf"].astype(jnp.int32),
+        core["intra_mask"].any().astype(jnp.int32)])
+    words_ext = jnp.concatenate(
+        [flags.astype(jnp.uint32), packed["words"]])
+    out = {"words_ext": words_ext, "core": core, "skip": skip}
+    return out, state
+
+
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "sr"))
 def p_frame_pipe(origY, origU, origV, planes, padU, padV,
                  qp, qpc, lam, lam4, qpc_cb_tab, qpc_cr_tab,
